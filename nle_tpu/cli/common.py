@@ -1,0 +1,92 @@
+"""Shared CLI plumbing: flag parsing layered on top of the reference's
+positional contract, precision control, and debug outputs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
+  --precision=float32|float64   compute dtype (float64 needs CPU/x64)
+  --eps=EPS                     eigenvalue/reciprocal cutoff override
+  --no-pallas                   force the XLA path (no Pallas kernels)
+  --save-filter=PATH            save trained filter (V, S) to .npz
+  --debug-eigvecs=DIR           dump min-max-rescaled eigenvector images
+  --platform=cpu|tpu            select JAX platform"""
+
+
+def add_common_flags() -> str:
+    return _FLAG_DOC
+
+
+def split_flags(argv):
+    """Separate `--name[=value]` flags from positional args."""
+    pos, flags = [], {}
+    for a in argv:
+        if a.startswith("--"):
+            body = a[2:]
+            if "=" in body:
+                k, v = body.split("=", 1)
+                flags[k] = v
+            else:
+                flags[body] = True
+        else:
+            pos.append(a)
+    return pos, flags
+
+
+def apply_common_flags(flags) -> None:
+    """Process flags that must act before JAX computes anything."""
+    if "platform" in flags:
+        import jax
+
+        # Some environments pin JAX_PLATFORMS via sitecustomize; the config
+        # knob wins over the env var.
+        jax.config.update("jax_platforms", flags["platform"])
+    if flags.get("precision") == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+
+def make_filter(flags):
+    from nle_tpu.models.filter import NLEFilter
+
+    kwargs = {}
+    if "eps" in flags:
+        kwargs["eps"] = float(flags["eps"])
+    if flags.get("no-pallas"):
+        kwargs["use_pallas"] = False
+    if flags.get("precision") == "float64":
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = jnp.float64
+    return NLEFilter(**kwargs)
+
+
+def maybe_dump_eigvecs(flt, flags) -> None:
+    """Headless replacement for the reference's debug imshow of the first
+    <=5 eigenvectors (src/filter.cpp:504-511)."""
+    out_dir = flags.get("debug-eigvecs")
+    if not out_dir:
+        return
+    import numpy as np
+
+    from nle_tpu.utils.imageio import imwrite_bgr
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = flt.trained
+    V = np.asarray(t.eigvecs)
+    S = np.asarray(t.eigvals)
+    for i in range(min(V.shape[1], 5)):
+        v = V[:, i]
+        print(
+            f"Eigvec {i} eigval: {S[i]} minCoeff: {v.min()} maxCoeff: {v.max()}",
+            file=sys.stderr,
+        )
+        rng = v.max() - v.min()
+        img = (v - v.min()) / (rng if rng else 1.0) * 255.0
+        img = np.rint(img).clip(0, 255).astype(np.uint8)
+        img = img.reshape(t.nrows, t.ncols)
+        imwrite_bgr(os.path.join(out_dir, f"eigvec_{i}.png"),
+                    np.repeat(img[..., None], 3, axis=-1))

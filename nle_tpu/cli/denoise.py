@@ -1,0 +1,68 @@
+"""`denoise` CLI — positional contract identical to the reference binary.
+
+    denoise <image> <output> <# row samples> <# col samples> <hx> <hy>
+            <# sinkhorn iterations> <# eigen vectors>
+            <sigmaColor> <sigmaSpace> <shrinkFactor>
+
+(reference src/denoise.cpp:13-50).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from nle_tpu.cli.common import (
+    add_common_flags,
+    apply_common_flags,
+    make_filter,
+    maybe_dump_eigvecs,
+    split_flags,
+)
+
+USAGE = (
+    "Usage: {prog} <image> <output> <# row samples> <# col samples> <hx> <hy> "
+    "<# sinkhorn iterations> <# eigen vectors> <sigmaColor> <sigmaSpace> "
+    "<shrinkFactor>"
+)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    pos, flags = split_flags(argv)
+    if len(pos) < 11:
+        print(USAGE.format(prog="denoise"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0  # reference exits 0 on usage (src/denoise.cpp:15-18)
+
+    image_path, output_path = pos[0], pos[1]
+    n_row_samples, n_col_samples = int(pos[2]), int(pos[3])
+    hx, hy = float(pos[4]), float(pos[5])
+    n_sinkhorn_iter, n_eigen_vectors = int(pos[6]), int(pos[7])
+    sigma_color, sigma_space = float(pos[8]), float(pos[9])
+    shrink_factor = float(pos[10])
+
+    apply_common_flags(flags)
+    from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
+
+    try:
+        image = imread_bgr(image_path)
+    except FileNotFoundError:
+        print(f"Failed to read file from {image_path}", file=sys.stderr)
+        return 0
+
+    flt = make_filter(flags)
+    flt.train_for_denoise(
+        image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
+        n_eigen_vectors, int(sigma_color), int(sigma_space),
+    )
+    maybe_dump_eigvecs(flt, flags)
+    result = flt.denoise(image, shrink_factor, int(sigma_color), int(sigma_space))
+    imwrite_bgr(output_path, result)
+    if "save-filter" in flags:
+        flt.trained.save(flags["save-filter"])
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Single-channel bilateral filter matching cv::bilateralFilter semantics.
+
+The reference denoise path bilateral-filters the 8-bit Lab L channel before
+training and before spectral filtering (reference src/filter.cpp:371,534-535)
+with d = -1, so the aperture is derived from sigmaSpace exactly as OpenCV
+does: radius = round(sigmaSpace * 1.5), circular support (dy^2 + dx^2 <=
+radius^2), BORDER_DEFAULT (reflect-101), weights
+    w = exp(-0.5 (dy^2+dx^2)/sigmaSpace^2) * exp(-0.5 (dI)^2/sigmaColor^2)
+and cvRound (half-to-even) of sum(w I)/sum(w).
+
+Implemented as a `lax.scan` over the static offset list with dynamic-sliced
+shifted windows — a stencil the TPU VPU streams well for the 8-bit image
+sizes involved. Validated against cv2.bilateralFilter to <= 1 LSB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _aperture(d: int, sigma_space: float) -> int:
+    if d <= 0:
+        radius = int(round(sigma_space * 1.5))
+    else:
+        radius = d // 2
+    return max(radius, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space"))
+def bilateral_filter_u8(
+    img_u8: jax.Array, d: int = -1, sigma_color: float = 10.0, sigma_space: float = 10.0
+) -> jax.Array:
+    """(H, W) uint8 -> (H, W) uint8 bilateral-filtered."""
+    sigma_color = float(sigma_color) if sigma_color > 0 else 1.0
+    sigma_space = float(sigma_space) if sigma_space > 0 else 1.0
+    radius = _aperture(d, sigma_space)
+    gc = -0.5 / (sigma_color * sigma_color)
+    gs = -0.5 / (sigma_space * sigma_space)
+
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    keep = dy * dy + dx * dx <= radius * radius
+    offs_y = (dy[keep] + radius).astype(np.int32)
+    offs_x = (dx[keep] + radius).astype(np.int32)
+    space_w = np.exp(gs * (dy[keep] ** 2 + dx[keep] ** 2)).astype(np.float32)
+
+    img = img_u8.astype(jnp.float32)
+    h, w = img.shape
+    pad = jnp.pad(img, radius, mode="reflect")  # reflect-101 == BORDER_DEFAULT
+
+    def step(carry, off):
+        num, den = carry
+        oy, ox, sw = off
+        win = jax.lax.dynamic_slice(pad, (oy, ox), (h, w))
+        wgt = sw * jnp.exp(gc * (win - img) ** 2)
+        return (num + wgt * win, den + wgt), None
+
+    init = (jnp.zeros_like(img), jnp.zeros_like(img))
+    (num, den), _ = jax.lax.scan(
+        step, init, (jnp.asarray(offs_y), jnp.asarray(offs_x), jnp.asarray(space_w))
+    )
+    return jnp.clip(jnp.rint(num / den), 0, 255).astype(jnp.uint8)

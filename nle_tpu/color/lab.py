@@ -1,0 +1,99 @@
+"""BGR <-> CIE Lab conversion matching OpenCV's 8-bit convention, in JAX.
+
+The reference trains and edits in OpenCV's 8-bit Lab space
+(cv::COLOR_BGR2Lab on CV_8U, reference src/filter.cpp:423,440,463):
+L is scaled to [0, 255] (L * 255/100) and a, b are offset by +128 — the
+"8-bit scaling trap" flagged at reference src/enhance.cpp:41-42. OpenCV's
+8-bit path applies sRGB linearization, D65 white point, and the standard
+CIE f(t) with the 0.008856 / 903.3 low-light branch; this module reproduces
+that float pipeline (validated against cv2 to within 1-2 LSB, which is
+OpenCV's own fixed-point LUT quantization).
+
+All functions are jittable and operate on uint8 arrays (HWC, BGR order,
+matching cv::imread).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# D65 reference white (OpenCV's constants).
+_XN = 0.950456
+_ZN = 1.088754
+# sRGB <-> linear
+_SRGB_T = 0.04045
+_SRGB_INV_T = 0.0031308
+# CIE Lab
+_T0 = 0.008856
+_CBRT_T = 6.0 / 29.0
+_KAPPA = 903.3
+
+
+def _srgb_to_linear(c):
+    return jnp.where(c > _SRGB_T, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
+
+
+def _linear_to_srgb(c):
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(c > _SRGB_INV_T, 1.055 * c ** (1.0 / 2.4) - 0.055, 12.92 * c)
+
+
+def _f(t):
+    return jnp.where(t > _T0, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+def _f_inv(t):
+    return jnp.where(t > _CBRT_T, t**3, (t - 16.0 / 116.0) / 7.787)
+
+
+@jax.jit
+def bgr_to_lab_u8(bgr_u8: jax.Array) -> jax.Array:
+    """(H, W, 3) uint8 BGR -> (H, W, 3) uint8 Lab (OpenCV 8-bit scaling)."""
+    x = bgr_u8.astype(jnp.float32) / 255.0
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    r, g, b = _srgb_to_linear(r), _srgb_to_linear(g), _srgb_to_linear(b)
+    X = 0.412453 * r + 0.357580 * g + 0.180423 * b
+    Y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    Z = 0.019334 * r + 0.119193 * g + 0.950227 * b
+    fX = _f(X / _XN)
+    fY = _f(Y)
+    fZ = _f(Z / _ZN)
+    L = jnp.where(Y > _T0, 116.0 * jnp.cbrt(Y) - 16.0, _KAPPA * Y)
+    a = 500.0 * (fX - fY) + 128.0
+    bb = 200.0 * (fY - fZ) + 128.0
+    L8 = L * (255.0 / 100.0)
+    lab = jnp.stack([L8, a, bb], axis=-1)
+    return jnp.clip(jnp.rint(lab), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
+    """(H, W, 3) uint8 Lab (OpenCV 8-bit scaling) -> (H, W, 3) uint8 BGR."""
+    lab = lab_u8.astype(jnp.float32)
+    L = lab[..., 0] * (100.0 / 255.0)
+    a = lab[..., 1] - 128.0
+    b = lab[..., 2] - 128.0
+    fY = (L + 16.0) / 116.0
+    fX = fY + a / 500.0
+    fZ = fY - b / 200.0
+    Y = jnp.where(L > _KAPPA * _T0, fY**3, L / _KAPPA)
+    X = _f_inv(fX) * _XN
+    Z = _f_inv(fZ) * _ZN
+    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
+    g = -0.969256 * X + 1.875992 * Y + 0.041556 * Z
+    bl = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+    out = jnp.stack(
+        [_linear_to_srgb(bl), _linear_to_srgb(g), _linear_to_srgb(r)], axis=-1
+    )
+    return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def luminance_channel(bgr_u8: jax.Array) -> jax.Array:
+    """8-bit Lab L channel as float — the training signal.
+
+    Semantics of `getLuminanceChannel` (reference src/filter.cpp:460-469):
+    BGR -> 8-bit Lab -> L channel -> float. Values are integer-valued floats
+    in [0, 255].
+    """
+    return bgr_to_lab_u8(bgr_u8)[..., 0].astype(jnp.float32)

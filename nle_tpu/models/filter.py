@@ -1,0 +1,148 @@
+"""NLEFilter — the model layer: train once, edit many.
+
+Mirrors the reference class contract (reference include/filter.hpp:35-54):
+`train_for_enhancement` / `train_for_denoise` learn the global filter
+eigensystem from one channel; `enhance` / `denoise` re-weight the eigen
+detail layers. Beyond the reference, the trained filter is a serializable
+pytree (`TrainedFilter.save/load`) so editing can run standalone — the
+reference keeps m_eigvecs only in process memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nle_tpu.color.bilateral import bilateral_filter_u8
+from nle_tpu.color.lab import bgr_to_lab_u8, lab_to_bgr_u8
+from nle_tpu.ops.pipeline import apply_filter, train_filter
+from nle_tpu.ops.transform import shrink_eigenvalues, transform_eigenvalues
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainedFilter:
+    """The learned global filter: top-k orthonormal eigenvectors (pixel
+    order) and eigenvalues of the balanced affinity matrix W."""
+
+    eigvecs: jax.Array  # (N, k)
+    eigvals: jax.Array  # (k,)
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+    ncols: int = dataclasses.field(metadata=dict(static=True))
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            eigvecs=np.asarray(self.eigvecs),
+            eigvals=np.asarray(self.eigvals),
+            shape=np.array([self.nrows, self.ncols]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TrainedFilter":
+        z = np.load(path)
+        return cls(
+            eigvecs=jnp.asarray(z["eigvecs"]),
+            eigvals=jnp.asarray(z["eigvals"]),
+            nrows=int(z["shape"][0]),
+            ncols=int(z["shape"][1]),
+        )
+
+
+def _check_image(image, n_pixels):
+    image = np.asarray(image)
+    if image.ndim != 3 or image.shape[2] != 3:
+        # Reference guard text (src/filter.cpp:414-416).
+        raise ValueError("Can only enhance RGB image.")
+    if image.shape[0] * image.shape[1] != n_pixels:
+        raise ValueError(
+            "Cannot apply filter on image with different size from the image "
+            "filter was trained on."
+        )
+    return image
+
+
+class NLEFilter:
+    """Train-and-edit convenience wrapper around the functional pipeline."""
+
+    def __init__(self, trained: TrainedFilter | None = None, **train_kwargs):
+        self._trained = trained
+        self._train_kwargs = train_kwargs  # eps/dtype/use_pallas overrides
+
+    @property
+    def trained(self) -> TrainedFilter:
+        if self._trained is None:
+            raise RuntimeError("Filter has not been trained.")
+        return self._trained
+
+    # -- training ---------------------------------------------------------
+
+    def _train(self, channel, n_row_samples, n_col_samples, hx, hy,
+               n_sinkhorn_iter, n_eigen_vectors):
+        nrows, ncols = channel.shape
+        V, S = train_filter(
+            channel, n_row_samples, n_col_samples, hx, hy,
+            n_sinkhorn_iter, n_eigen_vectors, **self._train_kwargs,
+        )
+        self._trained = TrainedFilter(V, S, nrows, ncols)
+        return self._trained
+
+    def train_for_enhancement(self, image_bgr_u8, n_row_samples, n_col_samples,
+                              hx, hy, n_sinkhorn_iter=10, n_eigen_vectors=5):
+        """Train on the 8-bit Lab luminance (src/filter.cpp:514-519)."""
+        lab = bgr_to_lab_u8(jnp.asarray(image_bgr_u8))
+        L = lab[..., 0].astype(jnp.float32)
+        return self._train(L, n_row_samples, n_col_samples, hx, hy,
+                           n_sinkhorn_iter, n_eigen_vectors)
+
+    def train_for_denoise(self, image_bgr_u8, n_row_samples, n_col_samples,
+                          hx, hy, n_sinkhorn_iter, n_eigen_vectors,
+                          sigma_color=10, sigma_space=10):
+        """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538)."""
+        lab = bgr_to_lab_u8(jnp.asarray(image_bgr_u8))
+        denoised = bilateral_filter_u8(lab[..., 0], -1, sigma_color, sigma_space)
+        return self._train(denoised.astype(jnp.float32), n_row_samples,
+                           n_col_samples, hx, hy, n_sinkhorn_iter, n_eigen_vectors)
+
+    # -- editing ----------------------------------------------------------
+
+    def apply(self, channel, transformed_eigvals) -> jax.Array:
+        """V diag(f(S)) V^T c (src/filter.cpp:445-458)."""
+        t = self.trained
+        channel = jnp.asarray(channel)
+        if channel.size != t.eigvecs.shape[0]:
+            raise ValueError(
+                "Number of values in channel must match that of training image."
+            )
+        return apply_filter(t.eigvecs, jnp.asarray(transformed_eigvals), channel)
+
+    def enhance(self, image_bgr_u8, weights) -> np.ndarray:
+        """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
+        t = self.trained
+        image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
+        lab = bgr_to_lab_u8(jnp.asarray(image))
+        L = lab[..., 0].astype(t.eigvecs.dtype)
+        fS = transform_eigenvalues(t.eigvals, weights)
+        Lf = self.apply(L, fS)
+        Lf = jnp.clip(jnp.rint(Lf), 0, 255).astype(jnp.uint8)
+        out = lab.at[..., 0].set(Lf)
+        return np.asarray(lab_to_bgr_u8(out))
+
+    def denoise(self, image_bgr_u8, shrink_factor, sigma_color=10,
+                sigma_space=10) -> np.ndarray:
+        """GLIDE-style global denoise (src/filter.cpp:349-410): bilateral on
+        L, spectral filter with shrunk eigenvalues on the a/b chroma."""
+        t = self.trained
+        image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
+        lab = bgr_to_lab_u8(jnp.asarray(image))
+        L = bilateral_filter_u8(lab[..., 0], -1, sigma_color, sigma_space)
+        teig = shrink_eigenvalues(t.eigvals, shrink_factor)
+        chans = [L]
+        for i in (1, 2):
+            ci = self.apply(lab[..., i].astype(t.eigvecs.dtype), teig)
+            chans.append(jnp.clip(jnp.rint(ci), 0, 255).astype(jnp.uint8))
+        out = jnp.stack(chans, axis=-1)
+        return np.asarray(lab_to_bgr_u8(out))

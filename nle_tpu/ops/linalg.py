@@ -1,0 +1,85 @@
+"""Dense symmetric eigensolver wrappers and safe elementwise inverses.
+
+Mirrors the semantics of the reference numerics core with jit-compatible
+static shapes:
+
+- `eigh_descending` == `eigenDecomposition` (reference src/filter.cpp:204-228):
+  eigenvalues sorted descending, entries below `eps` *masked to zero* instead
+  of truncated. Zeroing is algebraically equivalent to the reference's
+  column-dropping because every downstream use multiplies eigenvectors by
+  (a function of) their eigenvalue that maps 0 -> 0; masking keeps shapes
+  static for XLA.
+- `safe_reciprocal` == `inplaceReciprocal` (src/filter.cpp:42-54):
+  x -> 1/x where |x| >= eps else 0.
+- `safe_rsqrt`: the `inplaceReciprocal` + `cwiseSqrt` composition used for
+  Lambda^{-1/2} (src/filter.cpp:289-291, 319-321).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def safe_reciprocal(x: jax.Array, eps: float) -> jax.Array:
+    valid = jnp.abs(x) >= eps
+    return jnp.where(valid, 1.0 / jnp.where(valid, x, 1.0), 0.0)
+
+
+def safe_rsqrt(x: jax.Array, eps: float) -> jax.Array:
+    valid = jnp.abs(x) >= eps
+    return jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, x, 1.0)), 0.0)
+
+
+def eigh_descending(M: jax.Array, eps: float, method: str = "xla"):
+    """Full symmetric eigendecomposition, descending, eps-masked.
+
+    Returns (U, lam) with U (n, n) eigenvectors as columns and lam (n,)
+    eigenvalues, sorted descending, with lam[i] < eps replaced by 0.
+    Because lam is sorted descending, elementwise masking equals the
+    reference's prefix-truncation rule (src/filter.cpp:213-216).
+
+    Inputs that are only approximately symmetric (Wa after finitely many
+    Sinkhorn rounds — the reference leaves it unsymmetrized, see the
+    commented-out line at src/filter.cpp:496) are resolved the way Eigen's
+    SelfAdjointEigenSolver does: only the LOWER triangle is referenced.
+    jnp.linalg.eigh would instead average (A + A^T)/2, which measurably
+    shifts the final eigenvalues, so mirror the lower triangle explicitly.
+
+    method:
+      "xla"    — jnp.linalg.eigh on device (TPU QDWH/Jacobi or CPU LAPACK).
+      "host64" — float64 LAPACK on the host via pure_callback. The matrices
+        here are tiny (p x p, p ~ a few hundred) while their eigensystems
+        gate the accuracy of the whole Nystrom chain; a float32 eigh's
+        O(n * eps32 * ||A||) backward error is the dominant noise source of
+        the f32 pipeline, so spending a microsecond-scale host roundtrip
+        buys back most of the reference's fp64 fidelity.
+    """
+    low = jnp.tril(M)
+    M = low + jnp.tril(M, -1).T
+    if method == "host64":
+        lam, U = _host_eigh64(M)
+    else:
+        lam, U = jnp.linalg.eigh(M)
+    lam = lam[::-1]
+    U = U[:, ::-1]
+    lam = jnp.where(lam >= eps, lam, 0.0)
+    return U, lam
+
+
+def _host_eigh64(M: jax.Array):
+    n = M.shape[0]
+    dtype = M.dtype
+
+    def cb(a):
+        lam64, u64 = np.linalg.eigh(np.asarray(a, dtype=np.float64))
+        return lam64.astype(dtype), u64.astype(dtype)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((n, n), dtype),
+    )
+    return jax.pure_callback(cb, out_shape, M, vmap_method="sequential")

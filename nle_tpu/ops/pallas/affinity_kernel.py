@@ -1,0 +1,92 @@
+"""Fused Gaussian-affinity x matrix Pallas TPU kernel.
+
+Computes  out = K @ B  where  K[i, j] = exp(-||fb_i - fa_j||^2)  without ever
+materializing K in HBM: each (TILE_Q, p) affinity block is generated in VMEM
+from the pixel features (VPU: 3 broadcasted squared differences + exp) and
+immediately contracted with B on the MXU.
+
+This replaces the reference's hot loop #1 + the (p, N) K_AB buffer
+(reference src/filter.cpp:130-145, README.md:96 memory wall): HBM traffic is
+only the features (N*3), B (p*m) and the output (N*m).
+
+Differences are computed per-coordinate (not via the |a|^2+|b|^2-2ab
+expansion) to avoid catastrophic cancellation for nearby pixels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 512
+# B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
+MAX_PALLAS_P = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
+    sw = sw_ref[0, 0]
+    pw = pw_ref[0, 0]
+    dr = fb_ref[:, 0:1] - fa_ref[0:1, :]
+    dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
+    dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
+    # Raw integer differences are exact in f32; scale only after squaring.
+    k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
+    out_ref[:] = jnp.dot(k, b_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
+                           sw, pw, interpret: bool = False) -> jax.Array:
+    """out (q, m) = exp-affinity(fb, fa) @ B.
+
+    fa: (p, 3) raw sample-pixel features (row, col, intensity); fb: (q, 3)
+    pixel features; B: (p, m) right factor; sw/pw bandwidth weights.
+    Zero-padded to hardware tiles; pad columns of the affinity block are
+    annihilated by B's zero pad rows.
+    """
+    p = fa.shape[0]
+    q = fb.shape[0]
+    m = B.shape[1]
+    if p > MAX_PALLAS_P:
+        raise ValueError(f"affinity_matmul_pallas supports p <= {MAX_PALLAS_P}, got {p}")
+
+    ppad = _round_up(p, 128)
+    mpad = _round_up(m, 128)
+    qpad = _round_up(max(q, 1), TILE_Q)
+
+    fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))          # (3, Ppad)
+    fb_cols = jnp.pad(fb, ((0, qpad - q), (0, 0)))            # (Qpad, 3)
+    bp = jnp.pad(B, ((0, ppad - p), (0, mpad - m)))           # (Ppad, Mpad)
+
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+
+    grid = (qpad // TILE_Q,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppad, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qpad, mpad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qpad * ppad * (mpad + 4),
+            bytes_accessed=4 * (qpad * 3 + 3 * ppad + ppad * mpad + qpad * mpad),
+            transcendentals=qpad * ppad,
+        ),
+        interpret=interpret,
+    )(sw2, pw2, fb_cols, fa_rows, bp)
+    return out[:q, :m]

@@ -1,0 +1,248 @@
+"""The five-stage filter-training pipeline as jitted pure functions.
+
+Composition (reference NLEFilter::trainFilter, src/filter.cpp:480-512):
+  sample -> affinity (Ka, fused K_AB) -> Nystrom -> Sinkhorn -> orthogonalize
+  -> permute packed order back to pixel order.
+
+Everything on-device operates in packed [selected; rest] order with static
+shapes; the (host, static) `SampleGrid` supplies the coordinates and the
+permutation.
+
+Two-stage structure: the number of Nystrom eigenvalues kept by the eps
+truncation, m = #{lam_i(Ka) >= eps}, is data-dependent, and the reference
+*re-partitions on m*: its `sinkhorn` reads `p = phi.cols()` and reconstructs
+the balanced blocks as Wa (m, m) = the first m *rows* of phi — i.e. when
+truncation occurs (m < p) the "sampled block" boundary shifts from the p
+sampled pixels to the first m of them (src/filter.cpp:247-250). Shapes
+downstream therefore depend on m, so stage 1 (eigh of Ka) is resolved before
+stage 2 is compiled with m static.
+
+Precision policy (empirically established against the reference golden
+images — see tests/test_golden.py):
+- The *only* chaos-sensitive computation is stage 1's eigenbasis: Ka's
+  spectrum runs down to the 1e-10 cutoff, so Lambda^{-1} amplifies basis
+  rotations of the near-degenerate tail; a float32-rounded Ka (or a float32
+  eigensolver) picks an O(1)-different basis and costs ~25 dB. Stage 1
+  therefore defaults to float64 LAPACK on the host ("host64") — it is a
+  p x p problem (p ~ hundreds), milliseconds of host time.
+- Everything streamed at N scale (K_AB, phi, Sinkhorn, V) is float32 on
+  device: algebraic invariance (every Lambda^{-1} is re-multiplied by
+  Lambda downstream) cancels the amplified noise to ~1e-7 relative.
+- TPU matmuls default to bfloat16 MXU passes; that *is* enough to re-excite
+  the chaos, so all device matmuls here run under
+  jax.default_matmul_precision("highest") (full f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nle_tpu.config import default_eps
+from nle_tpu.ops.affinity import (
+    affinity_block,
+    affinity_matmul,
+    bandwidth_weights,
+    features,
+)
+from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal
+from nle_tpu.ops.orthogonalize import orthogonalize_factored
+from nle_tpu.ops.sampling import SampleGrid, sample_grid
+from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+
+@functools.partial(jax.jit, static_argnames=("p", "eps", "eigh_method"))
+def ka_eigh_stage(
+    y: jax.Array, rows: jax.Array, cols: jax.Array, hx: jax.Array, hy: jax.Array,
+    *, p: int, eps: float, eigh_method: str = "xla",
+):
+    """Stage 1 (on-device variant): Ka affinity block; masked descending eigh.
+
+    hx, hy here are the bandwidth *weights* (sw, pw) = (1/hx^2, 1/hy^2).
+    """
+    with jax.default_matmul_precision("highest"):
+        f = features(rows[:p], cols[:p], y[:p])
+        Ka = affinity_block(f, f, hx, hy)
+        U, lam = eigh_descending(Ka, eps, eigh_method)
+    return U, lam
+
+
+def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
+    """Stage 1 (default): exact float64 Ka + LAPACK eigh on the host.
+
+    Mirrors the reference computation op-for-op (src/filter.cpp:114-145,
+    204-228): squared integer distances, sw = 1/hx^2, pw = 1/hy^2, bulk exp,
+    descending eigenvalues truncated at eps. Returns float64
+    (U (p, m), lam (m,), U * Lambda^{-1} (p, m)) — the caller casts to the
+    device dtype, keeping the f64-chosen eigenbasis.
+    """
+    r = np.asarray(rows_sel, np.float64)
+    c = np.asarray(cols_sel, np.float64)
+    y = np.asarray(y_sel, np.float64)
+    sw = 1.0 / (float(hx) * float(hx))
+    pw = 1.0 / (float(hy) * float(hy))
+    d2s = (r[:, None] - r[None, :]) ** 2 + (c[:, None] - c[None, :]) ** 2
+    d2i = (y[:, None] - y[None, :]) ** 2
+    Ka = np.exp(-sw * d2s - pw * d2i)
+    lam, U = np.linalg.eigh(Ka)
+    lam = lam[::-1]
+    U = U[:, ::-1]
+    m = int(np.count_nonzero(lam >= eps)) if lam.size else 0
+    # lam is descending, so the first m entries are exactly the kept ones.
+    U_m = U[:, :m]
+    lam_m = lam[:m]
+    return U_m, lam_m, U_m / lam_m[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p", "m", "n_sinkhorn_iter", "n_eig_vectors", "eps", "use_pallas",
+        "eigh_method",
+    ),
+)
+def train_filter_stage2(
+    y: jax.Array,       # (N,) channel values, packed [selected; rest]
+    rows: jax.Array,    # (N,) row coords, packed
+    cols: jax.Array,    # (N,) col coords, packed
+    Um: jax.Array,      # (p, m) kept eigenvectors of Ka (descending)
+    lam_m: jax.Array,   # (m,) kept eigenvalues of Ka
+    Uinv: jax.Array,    # (p, m) U * Lambda^{-1} (host-f64-computed, cast)
+    sw: jax.Array,      # 1/hx^2 (host-f64-computed, cast)
+    pw: jax.Array,      # 1/hy^2
+    *,
+    p: int,
+    m: int,             # kept eigenvalue count — static, from stage 1
+    n_sinkhorn_iter: int,
+    n_eig_vectors: int,
+    eps: float,
+    use_pallas: bool | None = None,
+    eigh_method: str = "xla",
+):
+    """Stage 2: Nystrom extension + Sinkhorn + orthogonalize.
+
+    Returns (V_packed (N, k), S (k,)) with k = min(n_eig_vectors, m).
+    """
+    with jax.default_matmul_precision("highest"):
+        f = features(rows, cols, y)                   # (N, 3)
+        fa, fb = f[:p], f[p:]
+
+        # --- Nystrom: extend eigenvectors to all pixels (src/filter.cpp:257-280)
+        phi_b = affinity_matmul(fa, fb, Uinv, sw, pw, use_pallas=use_pallas)  # (N-p, m)
+        phi = jnp.concatenate([Um, phi_b], axis=0)        # (N, m); phi[:p] == Um
+
+        # --- Sinkhorn balancing (src/filter.cpp:230-254) ---
+        r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
+
+        # --- Balanced-block reconstruction at the *m* boundary ---
+        # Reference `sinkhorn` uses p := phi.cols() == m: Wa is (m, m) over
+        # the first m packed rows; everything below row m is the "ab" part.
+        phi_top = phi[:m]                                 # == Um[:m]
+        Ga = phi_top * lam_m[None, :]                     # (m, m)
+        RGa = r[:m, None] * Ga
+        Wa = RGa @ (c[:m, None] * phi_top).T
+        phi_rest = phi[m:]                                # (N - m, m)
+
+        # --- One-shot orthogonalization, Wab fully factored ---
+        k = min(n_eig_vectors, m)
+        V, S = orthogonalize_factored(
+            Wa, RGa, phi_rest, c[m:], r[:m], Ga, k, eps, eigh_method
+        )
+    return V, S
+
+
+def train_filter(
+    channel,
+    n_row_samples: int,
+    n_col_samples: int,
+    hx: float,
+    hy: float,
+    n_sinkhorn_iter: int = 10,
+    n_eig_vectors: int = 5,
+    *,
+    eps: float | None = None,
+    dtype=None,
+    grid: SampleGrid | None = None,
+    use_pallas: bool | None = None,
+    eigh_method: str | None = None,
+    stage1: str = "host64",
+):
+    """Train the nonlocal filter on a single channel (H, W).
+
+    Host-level wrapper: builds the static SampleGrid, packs the channel,
+    resolves stage 1 (Ka eigensystem; "host64" = float64 LAPACK on host,
+    "device" = jitted on-device), runs the jitted stage 2, and scatters
+    eigenvectors back to pixel order (the reference's `m_eigvecs = P * V`,
+    src/filter.cpp:502).
+
+    Returns (eigvecs (N, k) pixel-order, eigvals (k,)).
+    """
+    channel = jnp.asarray(channel)
+    if dtype is None:
+        dtype = channel.dtype if jnp.issubdtype(channel.dtype, jnp.floating) else jnp.float32
+    if eps is None:
+        eps = default_eps(dtype)
+    if eigh_method is None:
+        eigh_method = "xla"
+    nrows, ncols = channel.shape
+    if grid is None:
+        grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
+
+    perm = jnp.asarray(grid.perm)
+    flat = channel.reshape(-1).astype(dtype)
+    y = flat[perm]
+    rr = (perm // ncols).astype(dtype)
+    cc = (perm % ncols).astype(dtype)
+    sw, pw = bandwidth_weights(hx, hy, dtype)
+    p = grid.n_samples
+
+    if stage1 == "host64":
+        host_chan = np.asarray(channel, np.float64)
+        Um64, lam64, Uinv64 = ka_eigh_host64(
+            host_chan[grid.sel_rows, grid.sel_cols], grid.sel_rows, grid.sel_cols,
+            hx, hy, float(eps),
+        )
+        m = lam64.shape[0]
+        Um = jnp.asarray(Um64, dtype)
+        lam_m = jnp.asarray(lam64, dtype)
+        Uinv = jnp.asarray(Uinv64, dtype)
+    else:
+        U, lam = ka_eigh_stage(
+            y, rr, cc, sw, pw, p=p, eps=float(eps), eigh_method=eigh_method
+        )
+        m = int(np.count_nonzero(np.asarray(lam)))
+        Um = U[:, :m]
+        lam_m = lam[:m]
+        Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
+    if m == 0:
+        raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
+
+    V_packed, S = train_filter_stage2(
+        y, rr, cc, Um, lam_m, Uinv, sw, pw,
+        p=p,
+        m=m,
+        n_sinkhorn_iter=n_sinkhorn_iter,
+        n_eig_vectors=n_eig_vectors,
+        eps=float(eps),
+        use_pallas=use_pallas,
+        eigh_method=eigh_method,
+    )
+    V = jnp.zeros_like(V_packed).at[perm].set(V_packed)
+    return V, S
+
+
+@jax.jit
+def apply_filter(eigvecs: jax.Array, f_eigvals: jax.Array, channel: jax.Array):
+    """filtered = V diag(f(S)) V^T c on a flattened channel.
+
+    Semantics of NLEFilter::apply (src/filter.cpp:445-458): two skinny
+    (N, k) MXU matmuls.
+    """
+    with jax.default_matmul_precision("highest"):
+        shape = channel.shape
+        c = channel.reshape(-1).astype(eigvecs.dtype)
+        filtered = eigvecs @ (f_eigvals * (eigvecs.T @ c))
+        return filtered.reshape(shape)

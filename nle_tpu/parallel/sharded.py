@@ -1,0 +1,227 @@
+"""Multi-chip sharded training and application of the nonlocal filter.
+
+The reference is strictly single-threaded single-process (OpenMP commented
+out of its build, reference CMakeLists.txt:40-46); this module is new
+capability. Parallel layout over a 2D ('data', 'pixel') `jax.sharding.Mesh`:
+
+- 'data'  — batch of independent channels/images (the reference's denoise
+  path already applies one filter to 2 chroma channels, src/filter.cpp:388).
+- 'pixel' — the N dimension: phi_b rows, Sinkhorn vectors, and V rows are
+  sharded; every cross-shard reduction is an m- or (m, m)-sized `psum`
+  riding ICI:
+    * Sinkhorn's phi^T x contraction (2 psums per half-iteration),
+    * Sb = phi_b^T diag(c_b)^2 phi_b in the factored orthogonalization,
+    * V^T c in `apply`.
+  All p-sized work (Ka eigensystem slices, the small-matrix chain) is
+  replicated per device — it is O(p^2..p^3) on a few-hundred-sized matrix,
+  cheaper than communicating it.
+
+Block boundary: as in ops/pipeline.py, the balanced Wa block sits at the
+kept-eigenvalue count m (reference src/filter.cpp:247 uses p = phi.cols()).
+The replicated part of each shard covers all p sampled pixels, split into
+the m-row top block and the (p - m) overflow rows; only rest pixels are
+sharded.
+
+Padding: the rest-pixel count (N - p) is zero-padded to a multiple of the
+pixel-axis size; pad rows of phi_b are masked to exact zeros, which makes
+every pad contribution vanish (reciprocals of 0 are 0 by the eps rule).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nle_tpu.config import default_eps
+from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
+from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal, safe_rsqrt
+from nle_tpu.ops.sampling import sample_grid
+
+
+def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh:
+    devices = list(jax.devices() if devices is None else devices)
+    if n_pixel is None:
+        n_pixel = len(devices) // n_data
+    devs = np.array(devices[: n_data * n_pixel]).reshape(n_data, n_pixel)
+    return Mesh(devs, ("data", "pixel"))
+
+
+def _train_one(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter, k,
+               eps, sw, pw):
+    """Per-(batch element, pixel-shard) training body under shard_map with
+    `psum` over 'pixel'. Um (p, m), lam_m (m,), Uinv (p, m), fa (p, 3)
+    replicated across 'pixel'; fb_local (nb_local, 3); mask_local (nb_local,)."""
+    phi_bl = affinity_matmul_xla(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
+    phi_top = Um[:m]          # (m, m) — the balanced-block rows
+    phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
+
+    def w_matvec(xt, xu, xbl):
+        s = phi_top.T @ xt + phi_u.T @ xu + jax.lax.psum(phi_bl.T @ xbl, "pixel")
+        t = lam_m * s
+        return phi_top @ t, phi_u @ t, phi_bl @ t
+
+    nbl = fb_local.shape[0]
+    dt = fa.dtype
+
+    def body(_, state):
+        rt, ru, rbl = state[:3]
+        wt, wu, wbl = w_matvec(rt, ru, rbl)
+        ct = safe_reciprocal(wt, eps)
+        cu = safe_reciprocal(wu, eps)
+        cbl = safe_reciprocal(wbl, eps) * mask_local
+        wt, wu, wbl = w_matvec(ct, cu, cbl)
+        rt = safe_reciprocal(wt, eps)
+        ru = safe_reciprocal(wu, eps)
+        rbl = safe_reciprocal(wbl, eps) * mask_local
+        return rt, ru, rbl, ct, cu, cbl
+
+    # Loop-carry inits must carry the same varying-axes type as the loop
+    # outputs: the replicated p-side vectors vary over 'data' (they are
+    # per-batch-element), the sharded rest-side vectors also vary over
+    # 'pixel' (mask_local provides that). r = 1 on valid rows as in the
+    # reference (pad rows are annihilated by phi's zero rows either way).
+    data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
+    init = (
+        data_varying(jnp.ones((m,), dt)),
+        data_varying(jnp.ones((p - m,), dt)),
+        mask_local,
+        data_varying(jnp.zeros((m,), dt)),
+        data_varying(jnp.zeros((p - m,), dt)),
+        jnp.zeros_like(mask_local),
+    )
+    rt, ru, rbl, ct, cu, cbl = jax.lax.fori_loop(0, n_iter, body, init)
+
+    Ga = phi_top * lam_m[None, :]
+    RGa = rt[:, None] * Ga
+    Wa = RGa @ (ct[:, None] * phi_top).T
+
+    Uw, lw = eigh_descending(Wa, eps)
+    inv_root_wa = (Uw * safe_rsqrt(lw, eps)[None, :]) @ Uw.T
+    cphiu = cu[:, None] * phi_u
+    cphib_l = cbl[:, None] * phi_bl
+    Sb = cphiu.T @ cphiu + jax.lax.psum(cphib_l.T @ cphib_l, "pixel")
+    Q = Wa + inv_root_wa @ (RGa @ Sb @ RGa.T) @ inv_root_wa
+    Uq, lq = eigh_descending(Q, eps)
+    Vq = Uq[:, :k]
+    Sq = lq[:k]
+    T = inv_root_wa @ (Vq * safe_rsqrt(Sq, eps)[None, :])
+    GrT = Ga.T @ (rt[:, None] * T)
+    Vt = Wa @ T                    # (m, k)
+    Vu = cphiu @ GrT               # (p - m, k)
+    Vb_local = cphib_l @ GrT       # (nb_local, k)
+    return Vt, Vu, Vb_local, Sq
+
+
+def train_filter_sharded(
+    channels,
+    n_row_samples: int,
+    n_col_samples: int,
+    hx: float,
+    hy: float,
+    n_sinkhorn_iter: int,
+    n_eig_vectors: int,
+    mesh: Mesh,
+    *,
+    eps: float | None = None,
+    dtype=jnp.float32,
+):
+    """Train filters for a batch of channels (B, H, W) over the mesh.
+
+    Returns (V (B, N, k) pixel-order, S (B, k)). B must divide by the
+    'data' axis size. Batch elements whose kept-eigenvalue counts m differ
+    are processed in same-m groups (shapes are static per compile).
+    """
+    channels = np.asarray(channels)
+    b, nrows, ncols = channels.shape
+    grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
+    p = grid.n_samples
+    n = grid.n_pixels
+    nb = n - p
+    n_pixel = mesh.shape["pixel"]
+    nb_pad = -(-nb // n_pixel) * n_pixel
+    if eps is None:
+        eps = default_eps(dtype)
+    eps = float(eps)
+
+    flat = channels.reshape(b, n)[:, grid.perm].astype(np.dtype(dtype))
+    rr = jnp.asarray((grid.perm // ncols).astype(np.dtype(dtype)))
+    cc = jnp.asarray((grid.perm % ncols).astype(np.dtype(dtype)))
+    sw, pw = bandwidth_weights(hx, hy, dtype)
+
+    feats = jax.vmap(lambda yb: features(rr, cc, yb))(jnp.asarray(flat))
+    fa = feats[:, :p]
+    fb = jnp.pad(feats[:, p:], ((0, 0), (0, nb_pad - nb), (0, 0)))
+    mask = jnp.pad(jnp.ones((b, nb), dtype), ((0, 0), (0, nb_pad - nb)))
+
+    # Stage 1 (host, float64): Ka eigensystem per batch element — the
+    # chaos-sensitive eigenbasis must be chosen at f64 (see ops/pipeline.py).
+    from nle_tpu.ops.pipeline import ka_eigh_host64
+
+    stage1 = [
+        ka_eigh_host64(
+            channels[i][grid.sel_rows, grid.sel_cols],
+            grid.sel_rows, grid.sel_cols, hx, hy, eps,
+        )
+        for i in range(b)
+    ]
+    ms = np.array([s[1].shape[0] for s in stage1])
+
+    k_out = min(n_eig_vectors, int(ms.min()))
+    V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
+    S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
+
+    for m in np.unique(ms):
+        idx = np.nonzero(ms == m)[0]
+        m = int(m)
+        k = min(n_eig_vectors, m)
+        Um = jnp.asarray(np.stack([stage1[i][0] for i in idx]), dtype)
+        lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
+        Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
+        fn = functools.partial(
+            _train_one, p=p, m=m, n_iter=n_sinkhorn_iter, k=k, eps=eps,
+            sw=sw, pw=pw,
+        )
+        vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))
+        sharded = jax.shard_map(
+            vfn,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"),
+                      P("data", "pixel"), P("data", "pixel")),
+            out_specs=(P("data"), P("data"), P("data", "pixel"), P("data")),
+        )
+        with jax.default_matmul_precision("highest"):
+            Vt, Vu, Vb, S = jax.jit(sharded)(
+                Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx]
+            )
+        V_packed = jnp.concatenate([Vt, Vu, Vb[:, :nb]], axis=1)
+        inv = jnp.asarray(grid.unpack_indices())
+        V_out[idx] = np.asarray(V_packed[:, inv, :k_out])
+        S_out[idx] = np.asarray(S[:, :k_out])
+    return jnp.asarray(V_out), jnp.asarray(S_out)
+
+
+def apply_filter_sharded(eigvecs, f_eigvals, channel, mesh: Mesh):
+    """V diag(f(S)) V^T c with V rows and c sharded over 'pixel'."""
+    n, k = eigvecs.shape
+    n_pixel = mesh.shape["pixel"]
+    n_pad = -(-n // n_pixel) * n_pixel
+    V = jnp.pad(eigvecs, ((0, n_pad - n), (0, 0)))
+    c = jnp.pad(channel.reshape(-1).astype(eigvecs.dtype), (0, n_pad - n))
+
+    def body(v_l, c_l, fs):
+        proj = jax.lax.psum(v_l.T @ c_l, "pixel")
+        return v_l @ (fs * proj)
+
+    out = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("pixel"), P("pixel"), P()),
+            out_specs=P("pixel"),
+        )
+    )(V, c, f_eigvals.astype(eigvecs.dtype))
+    return out[:n].reshape(channel.shape)

@@ -1,0 +1,40 @@
+"""Host-side image file I/O (decode/encode only — all math is on device).
+
+Images are exchanged as (H, W, 3) uint8 BGR arrays, matching the reference's
+cv::imread/imwrite contract (reference src/enhance.cpp:33,47). Uses OpenCV
+when present, else Pillow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    _HAVE_CV2 = False
+
+
+def imread_bgr(path: str) -> np.ndarray:
+    if _HAVE_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"Failed to read file from {path}")
+        return img
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    return rgb[..., ::-1].copy()
+
+
+def imwrite_bgr(path: str, img_bgr_u8: np.ndarray) -> None:
+    img = np.asarray(img_bgr_u8)
+    if _HAVE_CV2:
+        if not cv2.imwrite(path, img):
+            raise IOError(f"Failed to write {path}")
+        return
+    from PIL import Image
+
+    Image.fromarray(img[..., ::-1]).save(path)

@@ -1,0 +1,64 @@
+"""Shard-consistency: the sharded pipeline on the virtual 8-device CPU mesh
+must agree with the single-device pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nle_tpu.ops.pipeline import apply_filter, train_filter
+from nle_tpu.ops.transform import transform_eigenvalues
+from nle_tpu.parallel.sharded import (
+    apply_filter_sharded,
+    make_mesh,
+    train_filter_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+ARGS = (3, 4, 50.0, 30.0, 10, 5)
+
+
+@pytest.fixture(scope="module")
+def batch(rng=None):
+    rng = np.random.default_rng(3)
+    return rng.integers(0, 256, (2, 24, 32)).astype(np.float32)
+
+
+def _single(batch):
+    outs = [train_filter(c, *ARGS, use_pallas=False) for c in batch]
+    return (
+        np.stack([np.asarray(v) for v, _ in outs]),
+        np.stack([np.asarray(s) for _, s in outs]),
+    )
+
+
+@pytest.mark.parametrize("n_data,n_pixel", [(1, 8), (2, 4), (1, 1)])
+def test_sharded_matches_single_device(batch, n_data, n_pixel):
+    mesh = make_mesh(n_data, n_pixel)
+    V_s, S_s = train_filter_sharded(batch, *ARGS, mesh)
+    V_1, S_1 = _single(batch)
+    # f32 psum reduction order differs from the single-device matmul order;
+    # ~1e-5 relative wobble on S is expected.
+    np.testing.assert_allclose(np.asarray(S_s), S_1, rtol=2e-4, atol=1e-5)
+    # eigenvector sign is solver-dependent; compare the filter action
+    w = [2.0, 3.0, 4.0, 1.0]
+    for i in range(batch.shape[0]):
+        fS = transform_eigenvalues(jnp.asarray(S_1[i]), w)
+        out_1 = np.asarray(apply_filter(jnp.asarray(V_1[i]), fS, jnp.asarray(batch[i])))
+        out_s = np.asarray(
+            apply_filter(jnp.asarray(V_s[i]), fS, jnp.asarray(batch[i]))
+        )
+        assert np.abs(out_s - out_1).max() < 0.05
+
+
+def test_sharded_apply_matches(batch):
+    mesh = make_mesh(1, 8)
+    V, S = train_filter(batch[0], *ARGS, use_pallas=False)
+    fS = transform_eigenvalues(S, [2.0, 3.0, 4.0, 1.0])
+    out_1 = np.asarray(apply_filter(V, fS, jnp.asarray(batch[0])))
+    out_s = np.asarray(apply_filter_sharded(V, fS, jnp.asarray(batch[0]), mesh))
+    np.testing.assert_allclose(out_s, out_1, atol=1e-3)
