@@ -186,7 +186,11 @@ def train_filter(
     if eps is None:
         eps = default_eps(dtype)
     if eigh_method is None:
-        eigh_method = "xla"
+        # f32 device runs: the orthogonalization small-matrix chain must be
+        # f64 (host callback) — f32 chain arithmetic costs ~25 dB on golden
+        # configs whose Ka spectrum reaches the eps cutoff. f64 runs: XLA
+        # (== LAPACK) on device matches the oracle to 1e-15.
+        eigh_method = "xla" if jnp.dtype(dtype) == jnp.float64 else "host64-chain"
     nrows, ncols = channel.shape
     if grid is None:
         grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
