@@ -166,6 +166,57 @@ def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
 
 
+def bgr_to_lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
+    """Host NumPy twin of `bgr_to_lab_u8` (same tables, bit-exact vs
+    OpenCV). Used by the model layer for images that live on the host
+    anyway (file I/O) to avoid device round trips."""
+    idx = bgr_u8.astype(np.int32)
+    b = _GAMMA_TAB[idx[..., 0]].astype(np.int64)
+    g = _GAMMA_TAB[idx[..., 1]].astype(np.int64)
+    r = _GAMMA_TAB[idx[..., 2]].astype(np.int64)
+    C = _XYZ_COEFFS.astype(np.int64)
+
+    def descale(x, n):
+        return (x + (1 << (n - 1))) >> n
+
+    fX = _CBRT_TAB[np.clip(descale(r * C[0, 0] + g * C[0, 1] + b * C[0, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
+    fY = _CBRT_TAB[np.clip(descale(r * C[1, 0] + g * C[1, 1] + b * C[1, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
+    fZ = _CBRT_TAB[np.clip(descale(r * C[2, 0] + g * C[2, 1] + b * C[2, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
+    L = descale(_L_SCALE * fY + _L_SHIFT, _LAB_SHIFT2)
+    a = descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bb = descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
+    return np.clip(np.stack([L, a, bb], -1), 0, 255).astype(np.uint8)
+
+
+def lab_to_bgr_u8_np(lab_u8: np.ndarray) -> np.ndarray:
+    """Host NumPy twin of `lab_to_bgr_u8` (float formula, within 1-2 LSB
+    of OpenCV)."""
+    lab = lab_u8.astype(np.float64)
+    L = lab[..., 0] * (100.0 / 255.0)
+    a = lab[..., 1] - 128.0
+    b = lab[..., 2] - 128.0
+    fY = (L + 16.0) / 116.0
+    fX = fY + a / 500.0
+    fZ = fY - b / 200.0
+
+    def f_inv(t):
+        return np.where(t > _CBRT_T, t**3, (t - 16.0 / 116.0) / 7.787)
+
+    Y = np.where(L > _KAPPA * _T0, fY**3, L / _KAPPA)
+    X = f_inv(fX) * _XN
+    Z = f_inv(fZ) * _ZN
+    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
+    g = -0.969256 * X + 1.875992 * Y + 0.041556 * Z
+    bl = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+
+    def gam(c):
+        c = np.clip(c, 0.0, 1.0)
+        return np.where(c > _SRGB_INV_T, 1.055 * c ** (1.0 / 2.4) - 0.055, 12.92 * c)
+
+    out = np.stack([gam(bl), gam(g), gam(r)], -1) * 255.0
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def luminance_channel(bgr_u8: jax.Array) -> jax.Array:
     """8-bit Lab L channel as float — the training signal.
 

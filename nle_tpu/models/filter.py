@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nle_tpu.color.bilateral import bilateral_filter_u8
-from nle_tpu.color.lab import bgr_to_lab_u8, lab_to_bgr_u8
+from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
 from nle_tpu.ops.pipeline import apply_filter, train_filter
 from nle_tpu.ops.transform import shrink_eigenvalues, transform_eigenvalues
 
@@ -92,9 +92,14 @@ class NLEFilter:
 
     def train_for_enhancement(self, image_bgr_u8, n_row_samples, n_col_samples,
                               hx, hy, n_sinkhorn_iter=10, n_eigen_vectors=5):
-        """Train on the 8-bit Lab luminance (src/filter.cpp:514-519)."""
-        lab = bgr_to_lab_u8(jnp.asarray(image_bgr_u8))
-        L = lab[..., 0].astype(jnp.float32)
+        """Train on the 8-bit Lab luminance (src/filter.cpp:514-519).
+
+        Color conversion runs on the host (bit-exact OpenCV LUT pipeline) —
+        the image lives there anyway, and device round trips on a
+        tunnel-attached TPU cost more than the LUT math.
+        """
+        lab = bgr_to_lab_u8_np(np.asarray(image_bgr_u8))
+        L = lab[..., 0].astype(np.float32)
         return self._train(L, n_row_samples, n_col_samples, hx, hy,
                            n_sinkhorn_iter, n_eigen_vectors)
 
@@ -102,10 +107,12 @@ class NLEFilter:
                           hx, hy, n_sinkhorn_iter, n_eigen_vectors,
                           sigma_color=10, sigma_space=10):
         """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538)."""
-        lab = bgr_to_lab_u8(jnp.asarray(image_bgr_u8))
-        denoised = bilateral_filter_u8(lab[..., 0], -1, sigma_color, sigma_space)
-        return self._train(denoised.astype(jnp.float32), n_row_samples,
-                           n_col_samples, hx, hy, n_sinkhorn_iter, n_eigen_vectors)
+        lab = bgr_to_lab_u8_np(np.asarray(image_bgr_u8))
+        denoised = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
+                                       sigma_color, sigma_space)
+        return self._train(np.asarray(denoised).astype(np.float32),
+                           n_row_samples, n_col_samples, hx, hy,
+                           n_sinkhorn_iter, n_eigen_vectors)
 
     # -- editing ----------------------------------------------------------
 
@@ -123,13 +130,13 @@ class NLEFilter:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
-        lab = bgr_to_lab_u8(jnp.asarray(image))
-        L = lab[..., 0].astype(t.eigvecs.dtype)
+        lab = bgr_to_lab_u8_np(np.asarray(image))
+        L = lab[..., 0].astype(np.dtype(t.eigvecs.dtype))
         fS = transform_eigenvalues(t.eigvals, weights)
-        Lf = self.apply(L, fS)
-        Lf = jnp.clip(jnp.rint(Lf), 0, 255).astype(jnp.uint8)
-        out = lab.at[..., 0].set(Lf)
-        return np.asarray(lab_to_bgr_u8(out))
+        Lf = np.asarray(self.apply(L, fS))
+        out = lab.copy()
+        out[..., 0] = np.clip(np.rint(Lf), 0, 255).astype(np.uint8)
+        return lab_to_bgr_u8_np(out)
 
     def denoise(self, image_bgr_u8, shrink_factor, sigma_color=10,
                 sigma_space=10) -> np.ndarray:
@@ -137,12 +144,13 @@ class NLEFilter:
         L, spectral filter with shrunk eigenvalues on the a/b chroma."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
-        lab = bgr_to_lab_u8(jnp.asarray(image))
-        L = bilateral_filter_u8(lab[..., 0], -1, sigma_color, sigma_space)
+        lab = bgr_to_lab_u8_np(np.asarray(image))
+        L = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1, sigma_color,
+                                sigma_space)
         teig = shrink_eigenvalues(t.eigvals, shrink_factor)
-        chans = [L]
+        out = lab.copy()
+        out[..., 0] = np.asarray(L)
         for i in (1, 2):
-            ci = self.apply(lab[..., i].astype(t.eigvecs.dtype), teig)
-            chans.append(jnp.clip(jnp.rint(ci), 0, 255).astype(jnp.uint8))
-        out = jnp.stack(chans, axis=-1)
-        return np.asarray(lab_to_bgr_u8(out))
+            ci = np.asarray(self.apply(lab[..., i].astype(np.dtype(t.eigvecs.dtype)), teig))
+            out[..., i] = np.clip(np.rint(ci), 0, 255).astype(np.uint8)
+        return lab_to_bgr_u8_np(out)

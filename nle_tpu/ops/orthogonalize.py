@@ -64,78 +64,65 @@ def orthogonalize_factored(
     """Returns (V, Sq): V (N, k) packed-order orthonormal eigenvectors of the
     balanced filter W, Sq (k,) its eigenvalues (descending, eps-masked).
 
-    eigh_method "host64-chain" runs the whole small-matrix chain (both
-    eigendecompositions, Wa^{-1/2}, Q, T) in float64 on the host via
-    pure_callback: the chain is chaos-sensitive — eig(Wa) has near-degenerate
-    small eigenvalues amplified by Wa^{-1/2} — and float32 arithmetic there
-    costs ~25 dB of golden-image fidelity (see tests/test_golden.py). All
-    N-scale work (Sb reduction, V_b matmul) stays on device in the working
-    dtype.
+    The default f32 pipeline does NOT use this single-jit form — it splits
+    around `host_chain64` (the axon TPU runtime does not support host
+    callbacks inside jit): see ops/pipeline.py train_filter.
     """
     k = min(n_eig_vectors, Wa.shape[0])
     cphib = c_b[:, None] * phi_b                       # (N-m, m)
     Sb = cphib.T @ cphib                               # (m, m) psum point when sharded
 
-    if eigh_method == "host64-chain":
-        Va, GrT, Sq = _host_chain64(Wa, RGa, Sb, Ga, r_a, k, eps)
-    else:
-        Uw, lw = eigh_descending(Wa, eps, eigh_method)
-        inv_root_wa = (Uw * safe_rsqrt(lw, eps)[None, :]) @ Uw.T
-        wab_wabT = RGa @ Sb @ RGa.T                    # (m, m)
-        Q = Wa + inv_root_wa @ wab_wabT @ inv_root_wa
-        Uq, lq = eigh_descending(Q, eps, eigh_method)
-        Vq = Uq[:, :k]
-        Sq = lq[:k]
-        T = inv_root_wa @ (Vq * safe_rsqrt(Sq, eps)[None, :])   # (m, k)
-        Va = Wa @ T                                             # (m, k)
-        GrT = Ga.T @ (r_a[:, None] * T)                         # (m, k)
+    Uw, lw = eigh_descending(Wa, eps, eigh_method)
+    inv_root_wa = (Uw * safe_rsqrt(lw, eps)[None, :]) @ Uw.T
+    wab_wabT = RGa @ Sb @ RGa.T                    # (m, m)
+    Q = Wa + inv_root_wa @ wab_wabT @ inv_root_wa
+    Uq, lq = eigh_descending(Q, eps, eigh_method)
+    Vq = Uq[:, :k]
+    Sq = lq[:k]
+    T = inv_root_wa @ (Vq * safe_rsqrt(Sq, eps)[None, :])   # (m, k)
+    Va = Wa @ T                                             # (m, k)
+    GrT = Ga.T @ (r_a[:, None] * T)                         # (m, k)
 
     Vb = cphib @ GrT                                   # (N-m, k)
     V = jnp.concatenate([Va, Vb], axis=0)
     return V, Sq
 
 
-def _host_chain64(Wa, RGa, Sb, Ga, r_a, k: int, eps: float):
-    """Float64 host evaluation of the orthogonalization small-matrix chain
-    (reference src/filter.cpp:282-331 semantics, lower-triangle eigh,
-    eps truncation via masking). Inputs/outputs in the device dtype."""
-    dtype = Wa.dtype
-    m = Wa.shape[0]
+def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float):
+    """Float64 host (NumPy) evaluation of the orthogonalization small-matrix
+    chain (reference src/filter.cpp:282-331 semantics: lower-triangle eigh,
+    eps truncation via masking). The chain is chaos-sensitive — eig(Wa) has
+    near-degenerate small eigenvalues amplified by Wa^{-1/2} — and float32
+    arithmetic there costs ~25 dB of golden-image fidelity
+    (tests/test_golden.py), so it runs at f64 on the host between the two
+    jitted device stages (the matrices are m x m, m ~ hundreds).
 
-    def cb(wa, rga, sb, ga, ra):
-        wa = np.asarray(wa, np.float64)
-        rga = np.asarray(rga, np.float64)
-        sb = np.asarray(sb, np.float64)
-        ga = np.asarray(ga, np.float64)
-        ra = np.asarray(ra, np.float64)
+    Returns float64 (Va (m, k), GrT (m, k), Sq (k,)).
+    """
+    wa = np.asarray(wa, np.float64)
+    rga = np.asarray(rga, np.float64)
+    sb = np.asarray(sb, np.float64)
+    ga = np.asarray(ga, np.float64)
+    ra = np.asarray(ra, np.float64)
 
-        def eigh_desc(M):
-            low = np.tril(M)
-            lam, U = np.linalg.eigh(low + np.tril(M, -1).T)
-            lam = lam[::-1].copy()
-            U = U[:, ::-1].copy()
-            return U, np.where(lam >= eps, lam, 0.0)
+    def eigh_desc(M):
+        low = np.tril(M)
+        lam, U = np.linalg.eigh(low + np.tril(M, -1).T)
+        lam = lam[::-1].copy()
+        U = U[:, ::-1].copy()
+        return U, np.where(lam >= eps, lam, 0.0)
 
-        def rsqrt_safe(x):
-            valid = np.abs(x) >= eps
-            return np.where(valid, 1.0 / np.sqrt(np.where(valid, x, 1.0)), 0.0)
+    def rsqrt_safe(x):
+        valid = np.abs(x) >= eps
+        return np.where(valid, 1.0 / np.sqrt(np.where(valid, x, 1.0)), 0.0)
 
-        Uw, lw = eigh_desc(wa)
-        inv_root = (Uw * rsqrt_safe(lw)[None, :]) @ Uw.T
-        Q = wa + inv_root @ (rga @ sb @ rga.T) @ inv_root
-        Uq, lq = eigh_desc(Q)
-        Vq = Uq[:, :k]
-        Sq = lq[:k]
-        T = inv_root @ (Vq * rsqrt_safe(Sq)[None, :])
-        va = wa @ T
-        grt = ga.T @ (ra[:, None] * T)
-        cast = np.dtype(dtype)
-        return va.astype(cast), grt.astype(cast), Sq.astype(cast)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((m, k), dtype),
-        jax.ShapeDtypeStruct((m, k), dtype),
-        jax.ShapeDtypeStruct((k,), dtype),
-    )
-    return jax.pure_callback(cb, out_shape, Wa, RGa, Sb, Ga, r_a,
-                             vmap_method="sequential")
+    Uw, lw = eigh_desc(wa)
+    inv_root = (Uw * rsqrt_safe(lw)[None, :]) @ Uw.T
+    Q = wa + inv_root @ (rga @ sb @ rga.T) @ inv_root
+    Uq, lq = eigh_desc(Q)
+    Vq = Uq[:, :k]
+    Sq = lq[:k]
+    T = inv_root @ (Vq * rsqrt_safe(Sq)[None, :])
+    va = wa @ T
+    grt = ga.T @ (ra[:, None] * T)
+    return va, grt, Sq

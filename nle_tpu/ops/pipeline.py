@@ -49,9 +49,30 @@ from nle_tpu.ops.affinity import (
     features,
 )
 from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal
-from nle_tpu.ops.orthogonalize import orthogonalize_factored
+from nle_tpu.ops.orthogonalize import host_chain64, orthogonalize_factored
 from nle_tpu.ops.sampling import SampleGrid, sample_grid
 from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+
+_GRID_CACHE: dict = {}
+
+
+def _grid_device_arrays(grid: SampleGrid, dtype):
+    """Device-resident (perm, rows, cols) for a SampleGrid, cached — these
+    are static per (image shape, sample counts) and re-uploading ~12 MB/MP
+    per call would dominate tunnel-attached-TPU latency."""
+    key = (grid.nrows, grid.ncols, grid.n_samples, int(grid.perm[0]),
+           jnp.dtype(dtype).name)
+    hit = _GRID_CACHE.get(key)
+    if hit is None:
+        perm = jnp.asarray(grid.perm)
+        rr = (perm // grid.ncols).astype(dtype)
+        cc = (perm % grid.ncols).astype(dtype)
+        hit = (perm, rr, cc)
+        if len(_GRID_CACHE) > 16:
+            _GRID_CACHE.clear()
+        _GRID_CACHE[key] = hit
+    return hit
 
 
 @functools.partial(jax.jit, static_argnames=("p", "eps", "eigh_method"))
@@ -154,6 +175,57 @@ def train_filter_stage2(
     return V, S
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "use_pallas"),
+)
+def train_filter_stage2a(
+    y, rows, cols, Um, lam_m, Uinv, sw, pw,
+    *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
+    use_pallas: bool | None = None,
+):
+    """Device half 1 of the default (split) pipeline: Nystrom extension,
+    Sinkhorn, balanced-block pieces, and the Sb reduction. Returns the small
+    matrices for the host-f64 chain packed into ONE (4m+1, m) array (a
+    single device->host transfer — each transfer over a tunnel-attached TPU
+    costs ~30 ms of latency) plus the device-resident scaled factor
+    `cphi_rest` (N-m, m)."""
+    with jax.default_matmul_precision("highest"):
+        f = features(rows, cols, y)
+        fa, fb = f[:p], f[p:]
+        phi_b = affinity_matmul(fa, fb, Uinv, sw, pw, use_pallas=use_pallas)
+        phi = jnp.concatenate([Um, phi_b], axis=0)
+        pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
+                     else use_pallas)
+        if pallas_ok and phi.dtype == jnp.float32:
+            from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+
+            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps)
+        else:
+            r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
+        phi_top = phi[:m]
+        Ga = phi_top * lam_m[None, :]
+        RGa = r[:m, None] * Ga
+        Wa = RGa @ (c[:m, None] * phi_top).T
+        cphi_rest = c[m:, None] * phi[m:]
+        Sb = cphi_rest.T @ cphi_rest
+        packed = jnp.concatenate([Wa, RGa, Ga, r[None, :m], Sb], axis=0)
+    return packed, cphi_rest
+
+
+@jax.jit
+def train_filter_stage2b(cphi_rest, va_grt, perm):
+    """Device half 2: V = scatter_to_pixel_order([Va; cphi_rest @ GrT]).
+    va_grt is the host chain's (m, 2k) [Va | GrT] packed upload."""
+    with jax.default_matmul_precision("highest"):
+        k = va_grt.shape[1] // 2
+        Va = va_grt[:, :k]
+        GrT = va_grt[:, k:]
+        Vb = cphi_rest @ GrT
+        V_packed = jnp.concatenate([Va, Vb], axis=0)
+        return jnp.zeros_like(V_packed).at[perm].set(V_packed)
+
+
 def train_filter(
     channel,
     n_row_samples: int,
@@ -195,11 +267,9 @@ def train_filter(
     if grid is None:
         grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
 
-    perm = jnp.asarray(grid.perm)
+    perm, rr, cc = _grid_device_arrays(grid, dtype)
     flat = channel.reshape(-1).astype(dtype)
     y = flat[perm]
-    rr = (perm // ncols).astype(dtype)
-    cc = (perm % ncols).astype(dtype)
     sw, pw = bandwidth_weights(hx, hy, dtype)
     p = grid.n_samples
 
@@ -224,16 +294,33 @@ def train_filter(
     if m == 0:
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
 
-    V_packed, S = train_filter_stage2(
-        y, rr, cc, Um, lam_m, Uinv, sw, pw,
-        p=p,
-        m=m,
-        n_sinkhorn_iter=n_sinkhorn_iter,
-        n_eig_vectors=n_eig_vectors,
-        eps=float(eps),
-        use_pallas=use_pallas,
-        eigh_method=eigh_method,
-    )
+    if eigh_method == "host64-chain":
+        packed, cphi_rest = train_filter_stage2a(
+            y, rr, cc, Um, lam_m, Uinv, sw, pw,
+            p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
+            use_pallas=use_pallas,
+        )
+        arr = np.asarray(packed)          # one device->host transfer
+        Wa, RGa, Ga = arr[:m], arr[m:2 * m], arr[2 * m:3 * m]
+        rt, Sb = arr[3 * m], arr[3 * m + 1:]
+        k = min(n_eig_vectors, m)
+        Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
+        va_grt = jnp.asarray(
+            np.concatenate([Va, GrT], axis=1), dtype
+        )                                  # one host->device transfer
+        V = train_filter_stage2b(cphi_rest, va_grt, perm)
+        return V, jnp.asarray(Sq, dtype)
+    else:
+        V_packed, S = train_filter_stage2(
+            y, rr, cc, Um, lam_m, Uinv, sw, pw,
+            p=p,
+            m=m,
+            n_sinkhorn_iter=n_sinkhorn_iter,
+            n_eig_vectors=n_eig_vectors,
+            eps=float(eps),
+            use_pallas=use_pallas,
+            eigh_method=eigh_method,
+        )
     V = jnp.zeros_like(V_packed).at[perm].set(V_packed)
     return V, S
 
