@@ -225,3 +225,14 @@ def luminance_channel(bgr_u8: jax.Array) -> jax.Array:
     in [0, 255].
     """
     return bgr_to_lab_u8(bgr_u8)[..., 0].astype(jnp.float32)
+
+
+def y_channel(bgr_u8: jax.Array) -> jax.Array:
+    """BGR -> YUV Y channel (semantics of `getYChannel`,
+    reference src/filter.cpp:471-478; unused by the pipelines there but part
+    of the API surface). OpenCV's 8-bit Y uses BT.601 fixed-point weights."""
+    x = bgr_u8.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    # OpenCV: Y = (R*4899 + G*9617 + B*1868 + (1<<13)) >> 14
+    y = (r * 4899 + g * 9617 + b * 1868 + (1 << 13)) >> 14
+    return jnp.clip(y, 0, 255).astype(jnp.uint8)

@@ -70,6 +70,40 @@ def eigh_descending(M: jax.Array, eps: float, method: str = "xla"):
     return U, lam
 
 
+def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
+    """Iterative top-k symmetric eigensolver, host-side.
+
+    API-parity port of the reference's optional Spectra path
+    (`topkEigenDecomposition`, src/filter.cpp:169-200, USE_SPECTRA): largest-
+    magnitude Lanczos with k clamped to n-1, non-convergence reported as a
+    warning (not an error), and eigenvalues below eps truncated. Backed by
+    scipy.sparse.linalg.eigsh (ARPACK — the same algorithm family Spectra
+    implements).
+    """
+    import scipy.sparse.linalg as spla
+
+    from nle_tpu.utils.logging import logger
+
+    M = np.asarray(M, np.float64)
+    n = M.shape[0]
+    k = min(n_largest, n - 1)
+    ncv = min(2 * k, n)
+    try:
+        lam, U = spla.eigsh(M, k=k, which="LM", ncv=ncv)
+    except spla.ArpackNoConvergence as e:  # mirror the reference warning
+        logger.warning(
+            "Eigen decomposition NOT successful. Results might be inaccurate."
+        )
+        lam, U = e.eigenvalues, e.eigenvectors
+    order = np.argsort(lam)[::-1]
+    lam = lam[order]
+    U = U[:, order]
+    keep = int(np.count_nonzero(lam >= eps))
+    if keep < lam.size:
+        return U[:, :keep], lam[:keep]
+    return U, lam
+
+
 def _host_eigh64(M: jax.Array):
     n = M.shape[0]
     dtype = M.dtype

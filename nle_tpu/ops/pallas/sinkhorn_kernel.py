@@ -32,6 +32,12 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+
     # w = phi @ t without materializing a transposed t: contract (T, M) with
     # (1, M) over M.
     w = jax.lax.dot_general(
@@ -43,12 +49,17 @@ def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
     valid = jnp.abs(w) >= eps
     x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
     x_ref[:] = x
-    # s = x^T phi: contract (T, 1) with (T, M) over T.
-    s_ref[:] = jax.lax.dot_general(
+    # s = x^T phi: contract (T, 1) with (T, M) over T; accumulate into the
+    # persistent (8, M) output block (constant index_map keeps it resident
+    # in VMEM across the sequential grid), striping rows for a tiny
+    # pairwise-summation benefit.
+    part = jax.lax.dot_general(
         x, phi_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                      # (1, M)
+    row = i % 8
+    s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -75,11 +86,11 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
         ],
         out_specs=(
             pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((npad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((npad // TILE_N, mpad), jnp.float32),
+            jax.ShapeDtypeStruct((8, mpad), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * npad * mpad,

@@ -52,6 +52,7 @@ from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal
 from nle_tpu.ops.orthogonalize import host_chain64, orthogonalize_factored
 from nle_tpu.ops.sampling import SampleGrid, sample_grid
 from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+from nle_tpu.utils.logging import stage, warn_rank_deficient, warn_truncation
 
 
 _GRID_CACHE: dict = {}
@@ -273,54 +274,61 @@ def train_filter(
     sw, pw = bandwidth_weights(hx, hy, dtype)
     p = grid.n_samples
 
-    if stage1 == "host64":
-        host_chan = np.asarray(channel, np.float64)
-        Um64, lam64, Uinv64 = ka_eigh_host64(
-            host_chan[grid.sel_rows, grid.sel_cols], grid.sel_rows, grid.sel_cols,
-            hx, hy, float(eps),
-        )
-        m = lam64.shape[0]
-        Um = jnp.asarray(Um64, dtype)
-        lam_m = jnp.asarray(lam64, dtype)
-        Uinv = jnp.asarray(Uinv64, dtype)
-    else:
-        U, lam = ka_eigh_stage(
-            y, rr, cc, sw, pw, p=p, eps=float(eps), eigh_method=eigh_method
-        )
-        m = int(np.count_nonzero(np.asarray(lam)))
-        Um = U[:, :m]
-        lam_m = lam[:m]
-        Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
+    with stage("Computing kernel"):  # + Nystrom eigh (reference stage prints)
+        if stage1 == "host64":
+            host_chan = np.asarray(channel, np.float64)
+            Um64, lam64, Uinv64 = ka_eigh_host64(
+                host_chan[grid.sel_rows, grid.sel_cols], grid.sel_rows,
+                grid.sel_cols, hx, hy, float(eps),
+            )
+            m = lam64.shape[0]
+            Um = jnp.asarray(Um64, dtype)
+            lam_m = jnp.asarray(lam64, dtype)
+            Uinv = jnp.asarray(Uinv64, dtype)
+        else:
+            U, lam = ka_eigh_stage(
+                y, rr, cc, sw, pw, p=p, eps=float(eps), eigh_method=eigh_method
+            )
+            m = int(np.count_nonzero(np.asarray(lam)))
+            Um = U[:, :m]
+            lam_m = lam[:m]
+            Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
     if m == 0:
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
+    warn_truncation(p, m, float(eps))
 
     if eigh_method == "host64-chain":
-        packed, cphi_rest = train_filter_stage2a(
-            y, rr, cc, Um, lam_m, Uinv, sw, pw,
-            p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
-            use_pallas=use_pallas,
-        )
-        arr = np.asarray(packed)          # one device->host transfer
+        with stage("Nystrom approximation + Sinkhorn"):
+            packed, cphi_rest = train_filter_stage2a(
+                y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
+                use_pallas=use_pallas,
+            )
+            arr = np.asarray(packed)          # one device->host transfer
         Wa, RGa, Ga = arr[:m], arr[m:2 * m], arr[2 * m:3 * m]
         rt, Sb = arr[3 * m], arr[3 * m + 1:]
         k = min(n_eig_vectors, m)
-        Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
-        va_grt = jnp.asarray(
-            np.concatenate([Va, GrT], axis=1), dtype
-        )                                  # one host->device transfer
-        V = train_filter_stage2b(cphi_rest, va_grt, perm)
+        with stage("Orthogonalize"):
+            Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
+            warn_rank_deficient("orthogonalize eig(Q)",
+                                int(np.count_nonzero(Sq)), k)
+            va_grt = jnp.asarray(
+                np.concatenate([Va, GrT], axis=1), dtype
+            )                                  # one host->device transfer
+            V = train_filter_stage2b(cphi_rest, va_grt, perm)
         return V, jnp.asarray(Sq, dtype)
     else:
-        V_packed, S = train_filter_stage2(
-            y, rr, cc, Um, lam_m, Uinv, sw, pw,
-            p=p,
-            m=m,
-            n_sinkhorn_iter=n_sinkhorn_iter,
-            n_eig_vectors=n_eig_vectors,
-            eps=float(eps),
-            use_pallas=use_pallas,
-            eigh_method=eigh_method,
-        )
+        with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
+            V_packed, S = train_filter_stage2(
+                y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                p=p,
+                m=m,
+                n_sinkhorn_iter=n_sinkhorn_iter,
+                n_eig_vectors=n_eig_vectors,
+                eps=float(eps),
+                use_pallas=use_pallas,
+                eigh_method=eigh_method,
+            )
     V = jnp.zeros_like(V_packed).at[perm].set(V_packed)
     return V, S
 
