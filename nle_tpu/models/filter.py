@@ -22,24 +22,41 @@ from nle_tpu.ops.pipeline import apply_filter, train_filter
 from nle_tpu.ops.transform import shrink_eigenvalues, transform_eigenvalues
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainedFilter:
-    """The learned global filter: top-k orthonormal eigenvectors (pixel
-    order) and eigenvalues of the balanced affinity matrix W."""
+    """The learned global filter: top-k orthonormal eigenvectors and
+    eigenvalues of the balanced affinity matrix W.
+
+    `eigvecs` rows are in packed [selected; rest] order when `perm` is set
+    (perm[i] = flat pixel index of packed row i); permuting rows to pixel
+    order happens on the host at the edges — an (N, k) device scatter is far
+    more expensive than the filter application itself. `perm=None` means
+    rows are already in pixel order (the reference's m_eigvecs layout)."""
 
     eigvecs: jax.Array  # (N, k)
     eigvals: jax.Array  # (k,)
-    nrows: int = dataclasses.field(metadata=dict(static=True))
-    ncols: int = dataclasses.field(metadata=dict(static=True))
+    nrows: int
+    ncols: int
+    perm: np.ndarray | None = None
+
+    def eigvecs_pixel_order(self) -> np.ndarray:
+        """Eigenvectors with rows in flat pixel order (host array)."""
+        V = np.asarray(self.eigvecs)
+        if self.perm is None:
+            return V
+        out = np.empty_like(V)
+        out[self.perm] = V
+        return out
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        arrs = dict(
             eigvecs=np.asarray(self.eigvecs),
             eigvals=np.asarray(self.eigvals),
             shape=np.array([self.nrows, self.ncols]),
         )
+        if self.perm is not None:
+            arrs["perm"] = self.perm
+        np.savez_compressed(path, **arrs)
 
     @classmethod
     def load(cls, path: str) -> "TrainedFilter":
@@ -49,6 +66,7 @@ class TrainedFilter:
             eigvals=jnp.asarray(z["eigvals"]),
             nrows=int(z["shape"][0]),
             ncols=int(z["shape"][1]),
+            perm=z["perm"] if "perm" in z.files else None,
         )
 
 
@@ -82,12 +100,16 @@ class NLEFilter:
 
     def _train(self, channel, n_row_samples, n_col_samples, hx, hy,
                n_sinkhorn_iter, n_eigen_vectors):
+        from nle_tpu.ops.sampling import sample_grid
+
         nrows, ncols = channel.shape
+        grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
         V, S = train_filter(
             channel, n_row_samples, n_col_samples, hx, hy,
-            n_sinkhorn_iter, n_eigen_vectors, **self._train_kwargs,
+            n_sinkhorn_iter, n_eigen_vectors, grid=grid, pixel_order=False,
+            **self._train_kwargs,
         )
-        self._trained = TrainedFilter(V, S, nrows, ncols)
+        self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm)
         return self._trained
 
     def train_for_enhancement(self, image_bgr_u8, n_row_samples, n_col_samples,
@@ -116,15 +138,28 @@ class NLEFilter:
 
     # -- editing ----------------------------------------------------------
 
-    def apply(self, channel, transformed_eigvals) -> jax.Array:
-        """V diag(f(S)) V^T c (src/filter.cpp:445-458)."""
+    def apply(self, channel, transformed_eigvals) -> np.ndarray:
+        """V diag(f(S)) V^T c (src/filter.cpp:445-458). Returns the filtered
+        channel in pixel order (host array)."""
         t = self.trained
-        channel = jnp.asarray(channel)
-        if channel.size != t.eigvecs.shape[0]:
+        channel_np = np.asarray(channel)
+        if channel_np.size != t.eigvecs.shape[0]:
             raise ValueError(
                 "Number of values in channel must match that of training image."
             )
-        return apply_filter(t.eigvecs, jnp.asarray(transformed_eigvals), channel)
+        shape = channel_np.shape
+        dtype = np.dtype(t.eigvecs.dtype)
+        flat = channel_np.reshape(-1).astype(dtype)
+        if t.perm is not None:
+            flat = flat[t.perm]             # host gather into packed order
+        out = np.asarray(
+            apply_filter(t.eigvecs, jnp.asarray(transformed_eigvals), jnp.asarray(flat))
+        )
+        if t.perm is not None:
+            unpacked = np.empty_like(out)
+            unpacked[t.perm] = out          # host scatter back to pixel order
+            out = unpacked
+        return out.reshape(shape)
 
     def enhance(self, image_bgr_u8, weights) -> np.ndarray:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""

@@ -204,27 +204,35 @@ def train_filter_stage2a(
             r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps)
         else:
             r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
-        phi_top = phi[:m]
-        Ga = phi_top * lam_m[None, :]
-        RGa = r[:m, None] * Ga
-        Wa = RGa @ (c[:m, None] * phi_top).T
         cphi_rest = c[m:, None] * phi[m:]
         Sb = cphi_rest.T @ cphi_rest
-        packed = jnp.concatenate([Wa, RGa, Ga, r[None, :m], Sb], axis=0)
+        # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
+        # there in f64 from stage 1's Um/lam (smaller transfer, better
+        # precision).
+        packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
     return packed, cphi_rest
 
 
 @jax.jit
-def train_filter_stage2b(cphi_rest, va_grt, perm):
-    """Device half 2: V = scatter_to_pixel_order([Va; cphi_rest @ GrT]).
+def train_filter_stage2b(cphi_rest, va_grt):
+    """Device half 2: V_packed = [Va; cphi_rest @ GrT].
     va_grt is the host chain's (m, 2k) [Va | GrT] packed upload."""
     with jax.default_matmul_precision("highest"):
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
         Vb = cphi_rest @ GrT
-        V_packed = jnp.concatenate([Va, Vb], axis=0)
-        return jnp.zeros_like(V_packed).at[perm].set(V_packed)
+        return jnp.concatenate([Va, Vb], axis=0)
+
+
+@jax.jit
+def _scatter_rows(V_packed, perm):
+    return jnp.zeros_like(V_packed).at[perm].set(V_packed)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _cast_channel(y_u8, dtype):
+    return y_u8.astype(dtype)
 
 
 def train_filter(
@@ -242,44 +250,57 @@ def train_filter(
     use_pallas: bool | None = None,
     eigh_method: str | None = None,
     stage1: str = "host64",
+    pixel_order: bool = True,
 ):
     """Train the nonlocal filter on a single channel (H, W).
 
     Host-level wrapper: builds the static SampleGrid, packs the channel,
     resolves stage 1 (Ka eigensystem; "host64" = float64 LAPACK on host,
-    "device" = jitted on-device), runs the jitted stage 2, and scatters
-    eigenvectors back to pixel order (the reference's `m_eigvecs = P * V`,
-    src/filter.cpp:502).
+    "device" = jitted on-device), runs the jitted stage 2, and (by default)
+    scatters eigenvectors back to pixel order (the reference's
+    `m_eigvecs = P * V`, src/filter.cpp:502). With pixel_order=False the
+    packed [selected; rest] row order is returned instead — callers that
+    hold the SampleGrid (the model layer) permute on the host, which is much
+    cheaper than an (N, k) device scatter.
 
-    Returns (eigvecs (N, k) pixel-order, eigvals (k,)).
+    Returns (eigvecs (N, k), eigvals (k,)).
     """
-    channel = jnp.asarray(channel)
+    channel_np = np.asarray(channel)
     if dtype is None:
-        dtype = channel.dtype if jnp.issubdtype(channel.dtype, jnp.floating) else jnp.float32
+        dtype = (channel_np.dtype if np.issubdtype(channel_np.dtype, np.floating)
+                 else np.float32)
+    dtype = jnp.dtype(dtype)
     if eps is None:
         eps = default_eps(dtype)
     if eigh_method is None:
         # f32 device runs: the orthogonalization small-matrix chain must be
-        # f64 (host callback) — f32 chain arithmetic costs ~25 dB on golden
+        # f64 on the host — f32 chain arithmetic costs ~25 dB on golden
         # configs whose Ka spectrum reaches the eps cutoff. f64 runs: XLA
         # (== LAPACK) on device matches the oracle to 1e-15.
-        eigh_method = "xla" if jnp.dtype(dtype) == jnp.float64 else "host64-chain"
-    nrows, ncols = channel.shape
+        eigh_method = "xla" if dtype == jnp.float64 else "host64-chain"
+    nrows, ncols = channel_np.shape
     if grid is None:
         grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
 
     perm, rr, cc = _grid_device_arrays(grid, dtype)
-    flat = channel.reshape(-1).astype(dtype)
-    y = flat[perm]
+    # Pack on the host and ship integer-valued channels as uint8 (4x less
+    # transfer; L channels are always 8-bit-valued).
+    flat_np = channel_np.reshape(-1)
+    packed_np = flat_np[grid.perm]
+    if (packed_np.dtype == np.uint8
+            or (packed_np.min() >= 0 and packed_np.max() <= 255
+                and np.array_equal(packed_np, np.rint(packed_np)))):
+        y = _cast_channel(jnp.asarray(packed_np.astype(np.uint8)), dtype)
+    else:
+        y = jnp.asarray(packed_np.astype(dtype))
     sw, pw = bandwidth_weights(hx, hy, dtype)
     p = grid.n_samples
 
     with stage("Computing kernel"):  # + Nystrom eigh (reference stage prints)
         if stage1 == "host64":
-            host_chan = np.asarray(channel, np.float64)
             Um64, lam64, Uinv64 = ka_eigh_host64(
-                host_chan[grid.sel_rows, grid.sel_cols], grid.sel_rows,
-                grid.sel_cols, hx, hy, float(eps),
+                channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+                grid.sel_rows, grid.sel_cols, hx, hy, float(eps),
             )
             m = lam64.shape[0]
             Um = jnp.asarray(Um64, dtype)
@@ -293,6 +314,8 @@ def train_filter(
             Um = U[:, :m]
             lam_m = lam[:m]
             Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
+            Um64 = np.asarray(Um, np.float64)
+            lam64 = np.asarray(lam_m, np.float64)
     if m == 0:
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
     warn_truncation(p, m, float(eps))
@@ -304,19 +327,25 @@ def train_filter(
                 p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                 use_pallas=use_pallas,
             )
-            arr = np.asarray(packed)          # one device->host transfer
-        Wa, RGa, Ga = arr[:m], arr[m:2 * m], arr[2 * m:3 * m]
-        rt, Sb = arr[3 * m], arr[3 * m + 1:]
+            arr = np.asarray(packed, np.float64)  # one device->host transfer
+        rt, ct, Sb = arr[0], arr[1], arr[2:]
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
+            # Rebuild the balanced-block small matrices in f64 on the host
+            # from stage 1's f64 eigensystem (cheaper than fetching them and
+            # slightly more accurate).
+            phi_top = Um64[:m]
+            Ga = phi_top * lam64[None, :]
+            RGa = rt[:, None] * Ga
+            Wa = RGa @ (ct[:, None] * phi_top).T
             Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
             warn_rank_deficient("orthogonalize eig(Q)",
                                 int(np.count_nonzero(Sq)), k)
             va_grt = jnp.asarray(
                 np.concatenate([Va, GrT], axis=1), dtype
             )                                  # one host->device transfer
-            V = train_filter_stage2b(cphi_rest, va_grt, perm)
-        return V, jnp.asarray(Sq, dtype)
+            V_packed = train_filter_stage2b(cphi_rest, va_grt)
+        S = jnp.asarray(Sq, dtype)
     else:
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
             V_packed, S = train_filter_stage2(
@@ -329,8 +358,9 @@ def train_filter(
                 use_pallas=use_pallas,
                 eigh_method=eigh_method,
             )
-    V = jnp.zeros_like(V_packed).at[perm].set(V_packed)
-    return V, S
+    if not pixel_order:
+        return V_packed, S
+    return _scatter_rows(V_packed, perm), S
 
 
 @jax.jit
