@@ -18,7 +18,7 @@ import numpy as np
 
 from nle_tpu.color.bilateral import bilateral_filter_u8
 from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
-from nle_tpu.ops.pipeline import apply_filter, train_filter
+from nle_tpu.ops.pipeline import apply_filter, apply_filter_u8, train_filter
 from nle_tpu.ops.transform import shrink_eigenvalues, transform_eigenvalues
 
 
@@ -161,16 +161,29 @@ class NLEFilter:
             out = unpacked
         return out.reshape(shape)
 
+    def _apply_edit_u8(self, channel_u8: np.ndarray, scale_vals) -> np.ndarray:
+        """Filter + clamp an 8-bit channel; uint8 transfers both ways."""
+        t = self.trained
+        flat = channel_u8.reshape(-1)
+        if t.perm is not None:
+            flat = flat[t.perm]
+        out = np.asarray(
+            apply_filter_u8(t.eigvecs, jnp.asarray(scale_vals), jnp.asarray(flat))
+        )
+        if t.perm is not None:
+            unpacked = np.empty_like(out)
+            unpacked[t.perm] = out
+            out = unpacked
+        return out.reshape(channel_u8.shape)
+
     def enhance(self, image_bgr_u8, weights) -> np.ndarray:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
         lab = bgr_to_lab_u8_np(np.asarray(image))
-        L = lab[..., 0].astype(np.dtype(t.eigvecs.dtype))
         fS = transform_eigenvalues(t.eigvals, weights)
-        Lf = np.asarray(self.apply(L, fS))
         out = lab.copy()
-        out[..., 0] = np.clip(np.rint(Lf), 0, 255).astype(np.uint8)
+        out[..., 0] = self._apply_edit_u8(lab[..., 0], fS)
         return lab_to_bgr_u8_np(out)
 
     def denoise(self, image_bgr_u8, shrink_factor, sigma_color=10,
@@ -186,6 +199,5 @@ class NLEFilter:
         out = lab.copy()
         out[..., 0] = np.asarray(L)
         for i in (1, 2):
-            ci = np.asarray(self.apply(lab[..., i].astype(np.dtype(t.eigvecs.dtype)), teig))
-            out[..., i] = np.clip(np.rint(ci), 0, 255).astype(np.uint8)
+            out[..., i] = self._apply_edit_u8(lab[..., i], teig)
         return lab_to_bgr_u8_np(out)

@@ -62,9 +62,9 @@ def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
     s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
-                             interpret: bool = False):
+                             interpret: bool = False, tile: int = TILE_N):
     """x = guarded-reciprocal(phi @ t); s = phi^T x — one sweep of phi.
 
     phi_pad: (Npad, Mpad) float32, rows beyond the true N and columns beyond
@@ -74,7 +74,7 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
     t: (Mpad,) float32. Returns (x (Npad,), s (Mpad,)).
     """
     npad, mpad = phi_pad.shape
-    grid = (npad // TILE_N,)
+    grid = (npad // tile,)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     x, s_parts = pl.pallas_call(
         _kernel,
@@ -82,10 +82,10 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -103,11 +103,12 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
 
 
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
-                           eps: float, interpret: bool = False):
+                           eps: float, interpret: bool = False,
+                           tile: int = TILE_N):
     """Drop-in replacement for ops.sinkhorn.sinkhorn_vectors using the fused
     kernel: returns (r, c) each (N,) for phi (N, m), lam (m,) masked."""
     n, m = phi.shape
-    npad = _round_up(max(n, 1), TILE_N)
+    npad = _round_up(max(n, 1), tile)
     mpad = _round_up(max(m, 1), 128)
     phi_pad = jnp.pad(phi.astype(jnp.float32), ((0, npad - n), (0, mpad - m)))
     lam_pad = jnp.pad(lam.astype(jnp.float32), (0, mpad - m))
@@ -120,9 +121,9 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     def body(_, state):
         r, c, s = state
         c, s = sinkhorn_halfstep_pallas(phi_pad, lam_pad * s, eps,
-                                        interpret=interpret)
+                                        interpret=interpret, tile=tile)
         r, s = sinkhorn_halfstep_pallas(phi_pad, lam_pad * s, eps,
-                                        interpret=interpret)
+                                        interpret=interpret, tile=tile)
         return r, c, s
 
     r, c, _ = jax.lax.fori_loop(

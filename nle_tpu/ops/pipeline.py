@@ -375,3 +375,14 @@ def apply_filter(eigvecs: jax.Array, f_eigvals: jax.Array, channel: jax.Array):
         c = channel.reshape(-1).astype(eigvecs.dtype)
         filtered = eigvecs @ (f_eigvals * (eigvecs.T @ c))
         return filtered.reshape(shape)
+
+
+@jax.jit
+def apply_filter_u8(eigvecs: jax.Array, f_eigvals: jax.Array, y_u8: jax.Array):
+    """apply_filter specialized for 8-bit channels with the reference's
+    clamp-to-[0,255]-and-round epilogue (src/filter.cpp:434-436) fused in:
+    uint8 in, uint8 out — 4x less host<->device traffic per edit."""
+    with jax.default_matmul_precision("highest"):
+        c = y_u8.astype(eigvecs.dtype)
+        filtered = eigvecs @ (f_eigvals * (eigvecs.T @ c))
+        return jnp.clip(jnp.rint(filtered), 0, 255).astype(jnp.uint8)
