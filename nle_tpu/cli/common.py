@@ -3,6 +3,7 @@ positional contract, precision control, and debug outputs."""
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 
@@ -12,7 +13,9 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --no-pallas                   force the XLA path (no Pallas kernels)
   --save-filter=PATH            save trained filter (V, S) to .npz
   --debug-eigvecs=DIR           dump min-max-rescaled eigenvector images
-  --platform=cpu|tpu            select JAX platform"""
+  --platform=cpu|tpu            select JAX platform
+  --profile=DIR                 capture a jax.profiler trace of the run
+  --verbose                     stage progress + timings on stderr"""
 
 
 def add_common_flags() -> str:
@@ -47,6 +50,24 @@ def apply_common_flags(flags) -> None:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+    if flags.get("verbose"):
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG,
+                            format="%(name)s %(levelname)s %(message)s")
+
+
+@contextlib.contextmanager
+def profiled(flags):
+    """jax.profiler trace around the run when --profile=DIR is given."""
+    out_dir = flags.get("profile")
+    if not out_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(out_dir):
+        yield
 
 
 def make_filter(flags):

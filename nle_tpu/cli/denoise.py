@@ -16,6 +16,7 @@ from nle_tpu.cli.common import (
     apply_common_flags,
     make_filter,
     maybe_dump_eigvecs,
+    profiled,
     split_flags,
 )
 
@@ -51,12 +52,13 @@ def main(argv=None) -> int:
         return 0
 
     flt = make_filter(flags)
-    flt.train_for_denoise(
-        image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
-        n_eigen_vectors, int(sigma_color), int(sigma_space),
-    )
-    maybe_dump_eigvecs(flt, flags)
-    result = flt.denoise(image, shrink_factor, int(sigma_color), int(sigma_space))
+    with profiled(flags):
+        flt.train_for_denoise(
+            image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
+            n_eigen_vectors, int(sigma_color), int(sigma_space),
+        )
+        maybe_dump_eigvecs(flt, flags)
+        result = flt.denoise(image, shrink_factor, int(sigma_color), int(sigma_space))
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])

@@ -18,6 +18,7 @@ from nle_tpu.cli.common import (
     apply_common_flags,
     make_filter,
     maybe_dump_eigvecs,
+    profiled,
     split_flags,
 )
 
@@ -53,11 +54,13 @@ def main(argv=None) -> int:
         return 0
 
     flt = make_filter(flags)
-    flt.train_for_enhancement(
-        image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter, n_eigen_vectors
-    )
-    maybe_dump_eigvecs(flt, flags)
-    result = flt.enhance(image, weights)
+    with profiled(flags):
+        flt.train_for_enhancement(
+            image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
+            n_eigen_vectors,
+        )
+        maybe_dump_eigvecs(flt, flags)
+        result = flt.enhance(image, weights)
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])

@@ -1,0 +1,81 @@
+"""CLI contract tests: the reference's positional interface, usage/exit
+semantics, and the extension flags."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from nle_tpu.cli import denoise as denoise_cli
+from nle_tpu.cli import enhance as enhance_cli
+from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
+
+
+@pytest.fixture()
+def small_image(tmp_path, rng):
+    img = rng.integers(0, 256, (20, 24, 3), np.uint8)
+    path = str(tmp_path / "in.png")
+    imwrite_bgr(path, img)
+    return path, img
+
+
+def test_enhance_usage_exit0(capsys):
+    assert enhance_cli.main(["a", "b", "1"]) == 0
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_denoise_usage_exit0(capsys):
+    assert denoise_cli.main(["a"] * 5) == 0
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_enhance_missing_file(capsys):
+    rc = enhance_cli.main(
+        ["/nonexistent.png", "/tmp/x.png", "3", "4", "100", "30", "5", "5", "1", "2"]
+    )
+    assert rc == 0  # reference returns 0 (src/enhance.cpp:34-37)
+    assert "Failed to read file" in capsys.readouterr().err
+
+
+def test_enhance_end_to_end(tmp_path, small_image, capsys):
+    path, img = small_image
+    out = str(tmp_path / "out.png")
+    filt = str(tmp_path / "f.npz")
+    rc = enhance_cli.main(
+        [path, out, "3", "4", "100", "30", "5", "5", "2", "3", "4", "1",
+         f"--save-filter={filt}"]
+    )
+    assert rc == 0
+    assert "Done." in capsys.readouterr().out
+    assert imread_bgr(out).shape == img.shape
+    assert os.path.exists(filt)
+
+
+def test_enhance_variadic_weights(tmp_path, small_image):
+    path, img = small_image
+    out = str(tmp_path / "out.png")
+    rc = enhance_cli.main([path, out, "3", "4", "100", "30", "5", "5", "1.5"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_denoise_end_to_end(tmp_path, small_image):
+    path, img = small_image
+    out = str(tmp_path / "out.png")
+    rc = denoise_cli.main(
+        [path, out, "3", "4", "200", "30", "5", "5", "10", "10", "2"]
+    )
+    assert rc == 0
+    assert imread_bgr(out).shape == img.shape
+
+
+def test_debug_eigvecs_flag(tmp_path, small_image):
+    path, _ = small_image
+    out = str(tmp_path / "out.png")
+    dbg = str(tmp_path / "dbg")
+    rc = enhance_cli.main(
+        [path, out, "3", "4", "100", "30", "5", "5", "2", "3",
+         f"--debug-eigvecs={dbg}"]
+    )
+    assert rc == 0
+    assert len(os.listdir(dbg)) == 5
