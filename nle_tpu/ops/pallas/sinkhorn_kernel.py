@@ -102,6 +102,105 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
     return x[:, 0], jnp.sum(s_parts, axis=0)
 
 
+def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
+                   xsems, *, chunk: int, nchunks: int):
+    """Manually double-buffered halfstep: phi chunks are DMA'd HBM->VMEM in
+    two revolving slots while the previous chunk computes; x rows are DMA'd
+    back out through two revolving (1, chunk) slots. The automatic block
+    pipeline reaches only ~50% of HBM bandwidth for this streaming GEMV
+    shape; the manual pipeline does substantially better. The x vector is
+    handled in ROW layout ((1, chunk) tiles of an (nchunks, chunk) array) so
+    every DMA slice is lane-aligned."""
+
+    def phi_dma(slot, idx):
+        return pltpu.make_async_copy(
+            phi_hbm.at[pl.ds(idx * chunk, chunk), :], buf.at[slot], sems.at[slot]
+        )
+
+    def x_dma(slot, idx):
+        # xbuf slots are (8, chunk) for VMEM sublane alignment; only row 0
+        # carries data. 8x on the x write-back is ~1% of the phi read.
+        return pltpu.make_async_copy(
+            xbuf.at[slot], x_hbm.at[idx], xsems.at[slot]
+        )
+
+    s_ref[:] = jnp.zeros_like(s_ref)
+    phi_dma(0, 0).start()
+
+    def body(i, _):
+        slot = i % 2
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            phi_dma((i + 1) % 2, i + 1).start()
+
+        phi_dma(slot, i).wait()
+        phi = buf[slot]
+        # w as a ROW: contract t (1, M) with phi (chunk, M) over M -> (1, chunk)
+        w = jax.lax.dot_general(
+            t_ref[:], phi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        eps = eps_ref[0, 0]
+        valid = jnp.abs(w) >= eps
+        x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+
+        @pl.when(i >= 2)
+        def _():
+            x_dma(slot, i - 2).wait()
+
+        xbuf[slot, 0:1, :] = x
+        x_dma(slot, i).start()
+        # s partial: x (1, chunk) @ phi (chunk, M) -> (1, M)
+        part = jnp.dot(x, phi, preferred_element_type=jnp.float32)
+        row = i % 8
+        s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    # Drain the in-flight x write-backs.
+    @pl.when(nchunks >= 2)
+    def _():
+        x_dma((nchunks - 2) % 2, nchunks - 2).wait()
+
+    x_dma((nchunks - 1) % 2, nchunks - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
+                             chunk: int = 1024):
+    """Manual-DMA variant of sinkhorn_halfstep_pallas (same contract:
+    returns (x (npad,), s (mpad,)))."""
+    npad, mpad = phi_pad.shape
+    nchunks = npad // chunk
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+    x, s8 = pl.pallas_call(
+        functools.partial(_kernel_manual, chunk=chunk, nchunks=nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks, 8, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((8, mpad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, mpad), jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(eps2, t[None, :], phi_pad)
+    return x[:, 0, :].reshape(npad), jnp.sum(s8, axis=0)
+
+
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
                            eps: float, interpret: bool = False,
                            tile: int = TILE_N):
@@ -118,12 +217,21 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     # phi are zero), so s0 is exact.
     s0 = phi_pad.T @ r0
 
+    import os
+
+    kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual")
+    if interpret or kernel_kind == "auto":
+        def halfstep(p, t):
+            return sinkhorn_halfstep_pallas(p, t, eps, interpret=interpret,
+                                            tile=tile)
+    else:
+        def halfstep(p, t):
+            return sinkhorn_halfstep_manual(p, t, eps, chunk=tile)
+
     def body(_, state):
         r, c, s = state
-        c, s = sinkhorn_halfstep_pallas(phi_pad, lam_pad * s, eps,
-                                        interpret=interpret, tile=tile)
-        r, s = sinkhorn_halfstep_pallas(phi_pad, lam_pad * s, eps,
-                                        interpret=interpret, tile=tile)
+        c, s = halfstep(phi_pad, lam_pad * s)
+        r, s = halfstep(phi_pad, lam_pad * s)
         return r, c, s
 
     r, c, _ = jax.lax.fori_loop(

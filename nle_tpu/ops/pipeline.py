@@ -62,8 +62,10 @@ def _grid_device_arrays(grid: SampleGrid, dtype):
     """Device-resident (perm, rows, cols) for a SampleGrid, cached — these
     are static per (image shape, sample counts) and re-uploading ~12 MB/MP
     per call would dominate tunnel-attached-TPU latency."""
-    key = (grid.nrows, grid.ncols, grid.n_samples, int(grid.perm[0]),
-           jnp.dtype(dtype).name)
+    # The selected-pixel set fully determines the grid (p entries — hashing
+    # it is microseconds).
+    key = (grid.nrows, grid.ncols, grid.sel_rows.tobytes(),
+           grid.sel_cols.tobytes(), jnp.dtype(dtype).name)
     hit = _GRID_CACHE.get(key)
     if hit is None:
         perm = jnp.asarray(grid.perm)

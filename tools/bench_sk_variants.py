@@ -71,7 +71,61 @@ def make_halfstep(variant, tile, npad, mpad):
                                    preferred_element_type=jnp.float32)
         s_ref[0:1, :] = s_ref[0:1, :] + part
 
-    kern = {"mxu": kernel_mxu, "vpu": kernel_vpu, "mxu_row0": kernel_mxu_row0}[variant]
+    def kernel_xonly(eps_ref, t_ref, phi_ref, x_ref, s_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            s_ref[:] = jnp.zeros_like(s_ref)
+
+        w = jax.lax.dot_general(phi_ref[:], t_ref[:],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        eps = eps_ref[0, 0]
+        valid = jnp.abs(w) >= eps
+        x_ref[:] = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+
+    kern = {"mxu": kernel_mxu, "vpu": kernel_vpu, "mxu_row0": kernel_mxu_row0,
+            "xonly": kernel_xonly}[variant]
+
+    if variant == "parts3d":
+        def kernel_parts3d(eps_ref, t_ref, phi_ref, x_ref, p_ref):
+            w = jax.lax.dot_general(phi_ref[:], t_ref[:],
+                                    dimension_numbers=(((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            eps = eps_ref[0, 0]
+            valid = jnp.abs(w) >= eps
+            x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+            x_ref[:] = x
+            part = jax.lax.dot_general(x, phi_ref[:],
+                                       dimension_numbers=(((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            p_ref[:] = jnp.broadcast_to(part, p_ref.shape)
+
+        @functools.partial(jax.jit)
+        def halfstep3d(phi_pad, t, eps):
+            eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+            n_tiles = npad // tile
+            x, parts = pl.pallas_call(
+                kernel_parts3d,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 8, mpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((n_tiles, 8, mpad), jnp.float32),
+                ),
+            )(eps2, t[None, :], phi_pad)
+            return x[:, 0], jnp.sum(parts[:, 0, :], axis=0)
+
+        return halfstep3d
 
     @functools.partial(jax.jit)
     def halfstep(phi_pad, t, eps):
@@ -106,7 +160,7 @@ def main():
     t0v = jnp.asarray(rng.random(m).astype(np.float32))
     sweep_bytes = 4 * npad * m
 
-    for variant in ("mxu", "vpu", "mxu_row0"):
+    for variant in ("xonly", "parts3d"):
         for tile in (1024, 2048):
             hs = make_halfstep(variant, tile, npad, m)
 
