@@ -15,6 +15,7 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --debug-eigvecs=DIR           dump min-max-rescaled eigenvector images
   --platform=cpu|tpu            select JAX platform
   --profile=DIR                 capture a jax.profiler trace of the run
+  --check-nans                  abort on NaN in any device computation
   --verbose                     stage progress + timings on stderr"""
 
 
@@ -50,6 +51,12 @@ def apply_common_flags(flags) -> None:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+    if flags.get("check-nans"):
+        # Debug aid for the numerically fragile Nystrom chain
+        # (reference README.md:96-98 instability note).
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if flags.get("verbose"):
         import logging
 
