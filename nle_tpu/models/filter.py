@@ -89,6 +89,17 @@ class NLEFilter:
     def __init__(self, trained: TrainedFilter | None = None, **train_kwargs):
         self._trained = trained
         self._train_kwargs = train_kwargs  # eps/dtype/use_pallas overrides
+        self._lab_cache: tuple[bytes, np.ndarray] | None = None
+
+    def _to_lab(self, image: np.ndarray) -> np.ndarray:
+        """BGR->Lab with a one-entry cache: the train->edit flow converts
+        the same image twice (reference CLI semantics)."""
+        key = image.tobytes()
+        if self._lab_cache is not None and self._lab_cache[0] == key:
+            return self._lab_cache[1]
+        lab = bgr_to_lab_u8_np(image)
+        self._lab_cache = (key, lab)
+        return lab
 
     @property
     def trained(self) -> TrainedFilter:
@@ -120,7 +131,7 @@ class NLEFilter:
         the image lives there anyway, and device round trips on a
         tunnel-attached TPU cost more than the LUT math.
         """
-        lab = bgr_to_lab_u8_np(np.asarray(image_bgr_u8))
+        lab = self._to_lab(np.asarray(image_bgr_u8))
         L = lab[..., 0].astype(np.float32)
         return self._train(L, n_row_samples, n_col_samples, hx, hy,
                            n_sinkhorn_iter, n_eigen_vectors)
@@ -129,7 +140,7 @@ class NLEFilter:
                           hx, hy, n_sinkhorn_iter, n_eigen_vectors,
                           sigma_color=10, sigma_space=10):
         """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538)."""
-        lab = bgr_to_lab_u8_np(np.asarray(image_bgr_u8))
+        lab = self._to_lab(np.asarray(image_bgr_u8))
         denoised = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
                                        sigma_color, sigma_space)
         return self._train(np.asarray(denoised).astype(np.float32),
@@ -180,7 +191,7 @@ class NLEFilter:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
-        lab = bgr_to_lab_u8_np(np.asarray(image))
+        lab = self._to_lab(image)
         fS = transform_eigenvalues(t.eigvals, weights)
         out = lab.copy()
         out[..., 0] = self._apply_edit_u8(lab[..., 0], fS)
@@ -192,7 +203,7 @@ class NLEFilter:
         L, spectral filter with shrunk eigenvalues on the a/b chroma."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
-        lab = bgr_to_lab_u8_np(np.asarray(image))
+        lab = self._to_lab(image)
         L = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1, sigma_color,
                                 sigma_space)
         teig = shrink_eigenvalues(t.eigvals, shrink_factor)
