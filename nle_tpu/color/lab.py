@@ -169,23 +169,33 @@ def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
 def bgr_to_lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
     """Host NumPy twin of `bgr_to_lab_u8` (same tables, bit-exact vs
     OpenCV). Used by the model layer for images that live on the host
-    anyway (file I/O) to avoid device round trips."""
-    idx = bgr_u8.astype(np.int32)
-    b = _GAMMA_TAB[idx[..., 0]].astype(np.int64)
-    g = _GAMMA_TAB[idx[..., 1]].astype(np.int64)
-    r = _GAMMA_TAB[idx[..., 2]].astype(np.int64)
-    C = _XYZ_COEFFS.astype(np.int64)
+    anyway (file I/O) to avoid device round trips. int32 throughout — every
+    intermediate fits (max |value| < 2^25) and int64 temps double the
+    conversion time at megapixel sizes."""
+    b = np.take(_GAMMA_TAB, bgr_u8[..., 0])
+    g = np.take(_GAMMA_TAB, bgr_u8[..., 1])
+    r = np.take(_GAMMA_TAB, bgr_u8[..., 2])
+    C = _XYZ_COEFFS
+    half = np.int32(1 << (_LAB_SHIFT - 1))
+    half2 = np.int32(1 << (_LAB_SHIFT2 - 1))
 
-    def descale(x, n):
-        return (x + (1 << (n - 1))) >> n
-
-    fX = _CBRT_TAB[np.clip(descale(r * C[0, 0] + g * C[0, 1] + b * C[0, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
-    fY = _CBRT_TAB[np.clip(descale(r * C[1, 0] + g * C[1, 1] + b * C[1, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
-    fZ = _CBRT_TAB[np.clip(descale(r * C[2, 0] + g * C[2, 1] + b * C[2, 2], _LAB_SHIFT), 0, 3071)].astype(np.int64)
-    L = descale(_L_SCALE * fY + _L_SHIFT, _LAB_SHIFT2)
-    a = descale(500 * (fX - fY) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
-    bb = descale(200 * (fY - fZ) + 128 * (1 << _LAB_SHIFT2), _LAB_SHIFT2)
-    return np.clip(np.stack([L, a, bb], -1), 0, 255).astype(np.uint8)
+    ix = (r * C[0, 0] + g * C[0, 1] + b * C[0, 2] + half) >> _LAB_SHIFT
+    fX = np.take(_CBRT_TAB, np.clip(ix, 0, 3071))
+    ix = (r * C[1, 0] + g * C[1, 1] + b * C[1, 2] + half) >> _LAB_SHIFT
+    fY = np.take(_CBRT_TAB, np.clip(ix, 0, 3071))
+    ix = (r * C[2, 0] + g * C[2, 1] + b * C[2, 2] + half) >> _LAB_SHIFT
+    fZ = np.take(_CBRT_TAB, np.clip(ix, 0, 3071))
+    out = np.empty(bgr_u8.shape, np.uint8)
+    L = (np.int32(_L_SCALE) * fY + np.int32(_L_SHIFT) + half2) >> _LAB_SHIFT2
+    np.clip(L, 0, 255, out=L)
+    out[..., 0] = L
+    a = (np.int32(500) * (fX - fY) + np.int32(128 << _LAB_SHIFT2) + half2) >> _LAB_SHIFT2
+    np.clip(a, 0, 255, out=a)
+    out[..., 1] = a
+    bb = (np.int32(200) * (fY - fZ) + np.int32(128 << _LAB_SHIFT2) + half2) >> _LAB_SHIFT2
+    np.clip(bb, 0, 255, out=bb)
+    out[..., 2] = bb
+    return out
 
 
 # ---- Inverse (Lab -> BGR) fixed-point tables ----
