@@ -38,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from nle_tpu.config import default_eps
 from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
-from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal, safe_rsqrt
+from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.sampling import sample_grid
 
 
@@ -50,11 +50,15 @@ def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh
     return Mesh(devs, ("data", "pixel"))
 
 
-def _train_one(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter, k,
-               eps, sw, pw):
-    """Per-(batch element, pixel-shard) training body under shard_map with
-    `psum` over 'pixel'. Um (p, m), lam_m (m,), Uinv (p, m), fa (p, 3)
-    replicated across 'pixel'; fb_local (nb_local, 3); mask_local (nb_local,)."""
+def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
+              eps, sw, pw):
+    """Per-(batch element, pixel-shard) Nystrom + Sinkhorn body under
+    shard_map with `psum` over 'pixel'. Um (p, m), lam_m (m,), Uinv (p, m),
+    fa (p, 3) replicated across 'pixel'; fb_local (nb_local, 3);
+    mask_local (nb_local,). Returns the balancing vectors and the Sb
+    reduction (replicated) plus the sharded scaled factor; the
+    chaos-sensitive orthogonalization chain runs on the host in f64
+    (see ops/pipeline.py precision policy)."""
     phi_bl = affinity_matmul_xla(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
     phi_top = Um[:m]          # (m, m) — the balanced-block rows
     phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
@@ -64,7 +68,6 @@ def _train_one(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter, k,
         t = lam_m * s
         return phi_top @ t, phi_u @ t, phi_bl @ t
 
-    nbl = fb_local.shape[0]
     dt = fa.dtype
 
     def body(_, state):
@@ -95,25 +98,10 @@ def _train_one(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter, k,
     )
     rt, ru, rbl, ct, cu, cbl = jax.lax.fori_loop(0, n_iter, body, init)
 
-    Ga = phi_top * lam_m[None, :]
-    RGa = rt[:, None] * Ga
-    Wa = RGa @ (ct[:, None] * phi_top).T
-
-    Uw, lw = eigh_descending(Wa, eps)
-    inv_root_wa = (Uw * safe_rsqrt(lw, eps)[None, :]) @ Uw.T
     cphiu = cu[:, None] * phi_u
     cphib_l = cbl[:, None] * phi_bl
     Sb = cphiu.T @ cphiu + jax.lax.psum(cphib_l.T @ cphib_l, "pixel")
-    Q = Wa + inv_root_wa @ (RGa @ Sb @ RGa.T) @ inv_root_wa
-    Uq, lq = eigh_descending(Q, eps)
-    Vq = Uq[:, :k]
-    Sq = lq[:k]
-    T = inv_root_wa @ (Vq * safe_rsqrt(Sq, eps)[None, :])
-    GrT = Ga.T @ (rt[:, None] * T)
-    Vt = Wa @ T                    # (m, k)
-    Vu = cphiu @ GrT               # (p - m, k)
-    Vb_local = cphib_l @ GrT       # (nb_local, k)
-    return Vt, Vu, Vb_local, Sq
+    return rt, ct, cu, Sb, cphib_l
 
 
 def train_filter_sharded(
@@ -174,6 +162,8 @@ def train_filter_sharded(
     V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
     S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
+    from nle_tpu.ops.orthogonalize import host_chain64
+
     for m in np.unique(ms):
         idx = np.nonzero(ms == m)[0]
         m = int(m)
@@ -182,8 +172,7 @@ def train_filter_sharded(
         lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
         Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
         fn = functools.partial(
-            _train_one, p=p, m=m, n_iter=n_sinkhorn_iter, k=k, eps=eps,
-            sw=sw, pw=pw,
+            _train_2a, p=p, m=m, n_iter=n_sinkhorn_iter, eps=eps, sw=sw, pw=pw
         )
         vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))
         sharded = jax.shard_map(
@@ -191,16 +180,39 @@ def train_filter_sharded(
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"),
                       P("data", "pixel"), P("data", "pixel")),
-            out_specs=(P("data"), P("data"), P("data", "pixel"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data"),
+                       P("data", "pixel")),
         )
         with jax.default_matmul_precision("highest"):
-            Vt, Vu, Vb, S = jax.jit(sharded)(
+            rt, ct, cu, Sb, cphib = jax.jit(sharded)(
                 Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx]
             )
-        V_packed = jnp.concatenate([Vt, Vu, Vb[:, :nb]], axis=1)
-        inv = jnp.asarray(grid.unpack_indices())
-        V_out[idx] = np.asarray(V_packed[:, inv, :k_out])
-        S_out[idx] = np.asarray(S[:, :k_out])
+        rt64 = np.asarray(rt, np.float64)
+        ct64 = np.asarray(ct, np.float64)
+        cu64 = np.asarray(cu, np.float64)
+        Sb64 = np.asarray(Sb, np.float64)
+        grts = []
+        for j, i in enumerate(idx):
+            Um64 = stage1[i][0]
+            lam64 = stage1[i][1]
+            phi_top = Um64[:m]
+            Ga = phi_top * lam64[None, :]
+            RGa = rt64[j][:, None] * Ga
+            Wa = RGa @ (ct64[j][:, None] * phi_top).T
+            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j], Ga, rt64[j], k, eps)
+            Vu = (cu64[j][:, None] * Um64[m:]) @ GrT
+            grts.append(GrT)
+            top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
+            V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
+            S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
+        with jax.default_matmul_precision("highest"):
+            Vb = jnp.einsum(
+                "bnm,bmk->bnk", cphib,
+                jnp.asarray(np.stack(grts), dtype),
+            )
+        Vb_np = np.asarray(Vb[:, :nb, :])
+        for j, i in enumerate(idx):
+            V_out[i, grid.perm[p:], :] = Vb_np[j][:, :k_out]
     return jnp.asarray(V_out), jnp.asarray(S_out)
 
 

@@ -55,6 +55,24 @@ def test_sharded_matches_single_device(batch, n_data, n_pixel):
         assert np.abs(out_s - out_1).max() < 0.05
 
 
+def test_sharded_matches_single_with_truncation():
+    """Regression: when the Ka spectrum truncates (m < p), the sharded path
+    must use the same host-f64 orthogonalization chain as the single-device
+    path — the f32 device chain diverges by whole gray levels."""
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/data/bird.bmp")
+    L = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)[:120, :100, 0].astype(np.float32)
+    args = (6, 8, 1000.0, 20.0, 10, 10)
+    V1, S1 = train_filter(L, *args, use_pallas=False)
+    Vs, Ss = train_filter_sharded(L[None], *args, make_mesh(1, 8))
+    fS = transform_eigenvalues(S1, [1.0, 5.0, 5.0, 1.0])
+    o1 = np.asarray(apply_filter(V1, fS, jnp.asarray(L)))
+    os_ = np.asarray(
+        apply_filter(Vs[0][:, : np.asarray(S1).size], fS, jnp.asarray(L))
+    )
+    assert np.abs(o1 - os_).max() < 0.2
+
+
 def test_sharded_apply_matches(batch):
     mesh = make_mesh(1, 8)
     V, S = train_filter(batch[0], *ARGS, use_pallas=False)
