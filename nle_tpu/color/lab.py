@@ -166,12 +166,33 @@ def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
 
 
+_NATIVE = None
+
+
+def _native():
+    """The C host kernels (nle_tpu/native), or None."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from nle_tpu import native as nat
+
+            _NATIVE = nat if nat.load() is not None else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
+
 def bgr_to_lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
-    """Host NumPy twin of `bgr_to_lab_u8` (same tables, bit-exact vs
-    OpenCV). Used by the model layer for images that live on the host
-    anyway (file I/O) to avoid device round trips. int32 throughout — every
-    intermediate fits (max |value| < 2^25) and int64 temps double the
-    conversion time at megapixel sizes."""
+    """Host twin of `bgr_to_lab_u8` (same tables, bit-exact vs OpenCV).
+    Used by the model layer for images that live on the host anyway (file
+    I/O) to avoid device round trips. Dispatches to the C kernel
+    (nle_tpu/native/labcolor.c) when a compiler is available; the NumPy
+    fallback is int32 throughout — every intermediate fits (max |value| <
+    2^25) and int64 temps double the conversion time at megapixel sizes."""
+    nat = _native()
+    if nat is not None and bgr_u8.ndim == 3 and bgr_u8.shape[2] == 3:
+        return nat.bgr2lab_u8(bgr_u8, _GAMMA_TAB, _CBRT_TAB, _XYZ_COEFFS,
+                              _L_SCALE, _L_SHIFT)
     b = np.take(_GAMMA_TAB, bgr_u8[..., 0])
     g = np.take(_GAMMA_TAB, bgr_u8[..., 1])
     r = np.take(_GAMMA_TAB, bgr_u8[..., 2])
@@ -245,6 +266,10 @@ _IY_TAB, _IFY_TAB, _IAB_TAB, _IMIN_AB, _ICOEFFS, _IGAMMA_TAB = _build_inverse_ta
 
 def lab_to_bgr_u8_np(lab_u8: np.ndarray) -> np.ndarray:
     """Host NumPy twin of `lab_to_bgr_u8` (integer LUT pipeline)."""
+    nat = _native()
+    if nat is not None and lab_u8.ndim == 3 and lab_u8.shape[2] == 3:
+        return nat.lab2bgr_u8(lab_u8, _IY_TAB, _IFY_TAB, _IAB_TAB, _IMIN_AB,
+                              _ICOEFFS, _IGAMMA_TAB)
     L = lab_u8[..., 0].astype(np.int32)
     a = lab_u8[..., 1].astype(np.int32) - 128
     b = lab_u8[..., 2].astype(np.int32) - 128

@@ -1,0 +1,94 @@
+/* Host-side 8-bit BGR <-> Lab conversion, fixed-point integer pipeline.
+ *
+ * Same tables and arithmetic as nle_tpu/color/lab.py (bit-exact vs OpenCV's
+ * 8U forward conversion); C because these conversions sit on the host
+ * image-I/O path of every edit and the NumPy version costs ~50 ms/MP in
+ * temporaries — this runs in a few ms. Tables are passed in from Python so
+ * there is exactly one table-construction code path.
+ *
+ * Built as a plain shared library, loaded via ctypes (no pybind11 needed).
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+#define LAB_SHIFT 12
+#define LAB_SHIFT2 15
+
+static inline int32_t descale(int32_t x, int n) {
+    return (x + (1 << (n - 1))) >> n;
+}
+
+static inline uint8_t clamp255(int32_t v) {
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+/* bgr: N*3 interleaved uint8; lab out: N*3 interleaved uint8. */
+void bgr2lab_u8(const uint8_t *bgr, uint8_t *lab, size_t n,
+                const int32_t *gamma_tab,   /* 256 */
+                const int32_t *cbrt_tab,    /* 3072 */
+                const int32_t *coeffs,      /* 9, row-major XYZ */
+                int32_t l_scale, int32_t l_shift) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+        int32_t b = gamma_tab[bgr[3 * i + 0]];
+        int32_t g = gamma_tab[bgr[3 * i + 1]];
+        int32_t r = gamma_tab[bgr[3 * i + 2]];
+        int32_t ix = descale(r * coeffs[0] + g * coeffs[1] + b * coeffs[2], LAB_SHIFT);
+        int32_t iy = descale(r * coeffs[3] + g * coeffs[4] + b * coeffs[5], LAB_SHIFT);
+        int32_t iz = descale(r * coeffs[6] + g * coeffs[7] + b * coeffs[8], LAB_SHIFT);
+        int32_t fX = cbrt_tab[ix < 0 ? 0 : (ix > 3071 ? 3071 : ix)];
+        int32_t fY = cbrt_tab[iy < 0 ? 0 : (iy > 3071 ? 3071 : iy)];
+        int32_t fZ = cbrt_tab[iz < 0 ? 0 : (iz > 3071 ? 3071 : iz)];
+        int32_t L = descale(l_scale * fY + l_shift, LAB_SHIFT2);
+        int32_t A = descale(500 * (fX - fY) + (128 << LAB_SHIFT2), LAB_SHIFT2);
+        int32_t B = descale(200 * (fY - fZ) + (128 << LAB_SHIFT2), LAB_SHIFT2);
+        lab[3 * i + 0] = clamp255(L);
+        lab[3 * i + 1] = clamp255(A);
+        lab[3 * i + 2] = clamp255(B);
+    }
+}
+
+#define IBASE (1 << 14)
+
+/* lab: N*3 interleaved uint8; bgr out. */
+void lab2bgr_u8(const uint8_t *lab, uint8_t *bgr, size_t n,
+                const int32_t *y_tab,     /* 256 */
+                const int32_t *ify_tab,   /* 256 */
+                const int32_t *ab_tab,    /* ab_size, index offset -min_ab */
+                int32_t min_ab, int32_t ab_size,
+                const int64_t *coeffs,    /* 9, row-major RGB rows */
+                const uint8_t *gamma_tab  /* IBASE + 1 */) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+        int32_t L = lab[3 * i + 0];
+        int32_t a = (int32_t)lab[3 * i + 1] - 128;
+        int32_t b = (int32_t)lab[3 * i + 2] - 128;
+        int64_t y = y_tab[L];
+        int32_t ify = ify_tab[L];
+        /* round(a * IBASE/500), round(b * IBASE/200) in integer math:
+           IBASE/500 = 2048/62.5 -> a*16384*2/1000 ; use 64-bit rounding */
+        int32_t adiv = (int32_t)((2LL * a * IBASE + (a >= 0 ? 500 : -500)) / 1000);
+        int32_t bdiv = (int32_t)((2LL * b * IBASE + (b >= 0 ? 200 : -200)) / 400);
+        int32_t ifx = ify + adiv - min_ab;
+        int32_t ifz = ify - bdiv - min_ab;
+        int64_t x = ab_tab[ifx < 0 ? 0 : (ifx >= ab_size ? ab_size - 1 : ifx)];
+        int64_t z = ab_tab[ifz < 0 ? 0 : (ifz >= ab_size ? ab_size - 1 : ifz)];
+        int64_t ro = (coeffs[0] * x + coeffs[1] * y + coeffs[2] * z + (1 << 13)) >> 14;
+        int64_t go = (coeffs[3] * x + coeffs[4] * y + coeffs[5] * z + (1 << 13)) >> 14;
+        int64_t bo = (coeffs[6] * x + coeffs[7] * y + coeffs[8] * z + (1 << 13)) >> 14;
+        ro = ro < 0 ? 0 : (ro > IBASE ? IBASE : ro);
+        go = go < 0 ? 0 : (go > IBASE ? IBASE : go);
+        bo = bo < 0 ? 0 : (bo > IBASE ? IBASE : bo);
+        bgr[3 * i + 0] = gamma_tab[bo];
+        bgr[3 * i + 1] = gamma_tab[go];
+        bgr[3 * i + 2] = gamma_tab[ro];
+    }
+}
