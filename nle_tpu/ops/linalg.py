@@ -24,6 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def eigh64(M: np.ndarray):
+    """Host float64 symmetric eigendecomposition (ascending). scipy's evd
+    driver is the same LAPACK syevd numpy uses, minus some overhead."""
+    try:
+        import scipy.linalg as sla
+
+        return sla.eigh(M, driver="evd", check_finite=False)
+    except Exception:
+        return np.linalg.eigh(M)
+
+
 def safe_reciprocal(x: jax.Array, eps: float) -> jax.Array:
     valid = jnp.abs(x) >= eps
     return jnp.where(valid, 1.0 / jnp.where(valid, x, 1.0), 0.0)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nle_tpu.ops.linalg import eigh_descending, safe_rsqrt
+from nle_tpu.ops.linalg import eigh64 as _eigh64
 
 
 def orthogonalize(Wa: jax.Array, Wab: jax.Array, n_eig_vectors: int = 5,
@@ -107,7 +108,7 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float):
 
     def eigh_desc(M):
         low = np.tril(M)
-        lam, U = np.linalg.eigh(low + np.tril(M, -1).T)
+        lam, U = _eigh64(low + np.tril(M, -1).T)
         lam = lam[::-1].copy()
         U = U[:, ::-1].copy()
         return U, np.where(lam >= eps, lam, 0.0)

@@ -203,13 +203,23 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
 
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
                            eps: float, interpret: bool = False,
-                           tile: int = TILE_N):
+                           tile: int = TILE_N, n: int | None = None):
     """Drop-in replacement for ops.sinkhorn.sinkhorn_vectors using the fused
-    kernel: returns (r, c) each (N,) for phi (N, m), lam (m,) masked."""
-    n, m = phi.shape
-    npad = _round_up(max(n, 1), tile)
-    mpad = _round_up(max(m, 1), 128)
-    phi_pad = jnp.pad(phi.astype(jnp.float32), ((0, npad - n), (0, mpad - m)))
+    kernel: returns (r, c) each (n,) for phi (n, m), lam (m,) masked.
+
+    phi may be passed pre-padded (rows/cols beyond the true extent zero):
+    give the true row count via `n`; column padding is inferred from lam.
+    """
+    nrows, mcols = phi.shape
+    n = nrows if n is None else n
+    m = lam.shape[0]
+    npad = _round_up(max(nrows, 1), tile)
+    mpad = _round_up(max(mcols, 1), 128)
+    if (npad, mpad) == (nrows, mcols):
+        phi_pad = phi.astype(jnp.float32)
+    else:
+        phi_pad = jnp.pad(phi.astype(jnp.float32),
+                          ((0, npad - nrows), (0, mpad - mcols)))
     lam_pad = jnp.pad(lam.astype(jnp.float32), (0, mpad - m))
 
     r0 = jnp.ones((npad,), jnp.float32)

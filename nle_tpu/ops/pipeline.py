@@ -49,6 +49,7 @@ from nle_tpu.ops.affinity import (
     features,
 )
 from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal
+from nle_tpu.ops.linalg import eigh64 as _eigh64
 from nle_tpu.ops.orthogonalize import host_chain64, orthogonalize_factored
 from nle_tpu.ops.sampling import SampleGrid, sample_grid
 from nle_tpu.ops.sinkhorn import sinkhorn_vectors
@@ -111,7 +112,7 @@ def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
     d2s = (r[:, None] - r[None, :]) ** 2 + (c[:, None] - c[None, :]) ** 2
     d2i = (y[:, None] - y[None, :]) ** 2
     Ka = np.exp(-sw * d2s - pw * d2i)
-    lam, U = np.linalg.eigh(Ka)
+    lam, U = _eigh64(Ka)
     lam = lam[::-1]
     U = U[:, ::-1]
     m = int(np.count_nonzero(lam >= eps)) if lam.size else 0
@@ -197,16 +198,27 @@ def train_filter_stage2a(
         f = features(rows, cols, y)
         fa, fb = f[:p], f[p:]
         phi_b = affinity_matmul(fa, fb, Uinv, sw, pw, use_pallas=use_pallas)
-        phi = jnp.concatenate([Um, phi_b], axis=0)
+        n = y.shape[0]
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
-        if pallas_ok and phi.dtype == jnp.float32:
-            from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+        if pallas_ok and phi_b.dtype == jnp.float32:
+            from nle_tpu.ops.pallas.sinkhorn_kernel import (
+                TILE_N,
+                sinkhorn_vectors_fused,
+            )
 
-            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps)
+            # Assemble phi directly in the kernel's padded layout — saves a
+            # 4*N*m-byte copy per training run.
+            npad = -(-n // TILE_N) * TILE_N
+            mpad = -(-m // 128) * 128
+            phi = jnp.zeros((npad, mpad), jnp.float32)
+            phi = jax.lax.dynamic_update_slice(phi, Um, (0, 0))
+            phi = jax.lax.dynamic_update_slice(phi, phi_b, (p, 0))
+            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps, n=n)
         else:
+            phi = jnp.concatenate([Um, phi_b], axis=0)
             r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
-        cphi_rest = c[m:, None] * phi[m:]
+        cphi_rest = c[m:, None] * phi[m:n, :m]
         Sb = cphi_rest.T @ cphi_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
