@@ -34,7 +34,7 @@ def load_input(target_mp=1.0):
 
 def main():
     target_mp = float(os.environ.get("NLE_BENCH_MP", "1.0"))
-    repeats = int(os.environ.get("NLE_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("NLE_BENCH_REPEATS", "5"))
 
     from nle_tpu.models.filter import NLEFilter
 

@@ -29,10 +29,9 @@ def eigh64(M: np.ndarray):
     driver is the same LAPACK syevd numpy uses, minus some overhead."""
     try:
         import scipy.linalg as sla
-
-        return sla.eigh(M, driver="evd", check_finite=False)
-    except Exception:
+    except ImportError:
         return np.linalg.eigh(M)
+    return sla.eigh(M, driver="evd", check_finite=False)
 
 
 def safe_reciprocal(x: jax.Array, eps: float) -> jax.Array:
@@ -120,7 +119,7 @@ def _host_eigh64(M: jax.Array):
     dtype = M.dtype
 
     def cb(a):
-        lam64, u64 = np.linalg.eigh(np.asarray(a, dtype=np.float64))
+        lam64, u64 = eigh64(np.asarray(a, dtype=np.float64))
         return lam64.astype(dtype), u64.astype(dtype)
 
     out_shape = (

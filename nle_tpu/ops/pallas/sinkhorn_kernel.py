@@ -31,6 +31,12 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def padded_shape(n: int, m: int, tile: int = TILE_N) -> tuple[int, int]:
+    """The (rows, cols) layout the fused kernels expect phi in — callers
+    that pre-assemble phi padded must use exactly this rule."""
+    return _round_up(max(n, 1), tile), _round_up(max(m, 1), 128)
+
+
 def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
     i = pl.program_id(0)
 

@@ -201,16 +201,15 @@ def train_filter_stage2a(
         n = y.shape[0]
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
-        if pallas_ok and phi_b.dtype == jnp.float32:
+        if pallas_ok and phi_b.dtype == jnp.float32 and Um.dtype == jnp.float32:
             from nle_tpu.ops.pallas.sinkhorn_kernel import (
-                TILE_N,
+                padded_shape,
                 sinkhorn_vectors_fused,
             )
 
             # Assemble phi directly in the kernel's padded layout — saves a
             # 4*N*m-byte copy per training run.
-            npad = -(-n // TILE_N) * TILE_N
-            mpad = -(-m // 128) * 128
+            npad, mpad = padded_shape(n, m)
             phi = jnp.zeros((npad, mpad), jnp.float32)
             phi = jax.lax.dynamic_update_slice(phi, Um, (0, 0))
             phi = jax.lax.dynamic_update_slice(phi, phi_b, (p, 0))
