@@ -58,6 +58,14 @@ from nle_tpu.utils.logging import stage, warn_rank_deficient, warn_truncation
 
 _GRID_CACHE: dict = {}
 
+# Above this phi size the pipeline stops materializing the scaled
+# diag(c) phi product and fuses the scaling into the Pallas Sb/Vb kernels
+# instead — phi stays the only N-scale buffer, doubling the largest image a
+# chip can hold (at a few percent of throughput).
+import os as _os
+
+_CPHI_BYTES_LIMIT = int(_os.environ.get("NLE_CPHI_BYTES", str(3 << 30)))
+
 
 def _grid_device_arrays(grid: SampleGrid, dtype):
     """Device-resident (perm, rows, cols) for a SampleGrid, cached — these
@@ -190,10 +198,12 @@ def train_filter_stage2a(
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
     Sinkhorn, balanced-block pieces, and the Sb reduction. Returns the small
-    matrices for the host-f64 chain packed into ONE (4m+1, m) array (a
+    matrices for the host-f64 chain packed into ONE (m+2, m) array (a
     single device->host transfer — each transfer over a tunnel-attached TPU
-    costs ~30 ms of latency) plus the device-resident scaled factor
-    `cphi_rest` (N-m, m)."""
+    costs ~30 ms of latency) plus the device-resident factor `phi` and the
+    Sinkhorn column vector — the scaled cphi product is never materialized
+    (the scale is fused into the Sb/Vb kernels), so phi is the only N-scale
+    array alive on the device."""
     with jax.default_matmul_precision("highest"):
         f = features(rows, cols, y)
         fa, fb = f[:p], f[p:]
@@ -202,6 +212,7 @@ def train_filter_stage2a(
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
         if pallas_ok and phi_b.dtype == jnp.float32 and Um.dtype == jnp.float32:
+            from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_gram_pallas
             from nle_tpu.ops.pallas.sinkhorn_kernel import (
                 padded_shape,
                 sinkhorn_vectors_fused,
@@ -214,27 +225,57 @@ def train_filter_stage2a(
             phi = jax.lax.dynamic_update_slice(phi, Um, (0, 0))
             phi = jax.lax.dynamic_update_slice(phi, phi_b, (p, 0))
             r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps, n=n)
+            c_rest = jnp.pad(c, (0, npad - n)).at[:m].set(0.0)[:, None]
+            if 4 * npad * mpad <= _CPHI_BYTES_LIMIT:
+                # Small enough to afford the extra N x m buffer: XLA's dense
+                # matmuls on a materialized diag(c) phi are a few percent
+                # faster than the fused kernels.
+                cphi_rest = c_rest[m:n] * phi[m:n, :m]
+                Sb = cphi_rest.T @ cphi_rest
+                packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
+                return packed, cphi_rest, c_rest
+            # Large images: fuse the scaling into the Sb/Vb kernels so phi is
+            # the only N-scale buffer (doubles single-chip image capacity).
+            Sb = scaled_gram_pallas(phi, c_rest)[:m, :m]
         else:
             phi = jnp.concatenate([Um, phi_b], axis=0)
             r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
-        cphi_rest = c[m:, None] * phi[m:n, :m]
-        Sb = cphi_rest.T @ cphi_rest
+            c_rest = c.at[:m].set(0.0)[:, None]
+            cphi_rest = c_rest[m:] * phi[m:]
+            Sb = cphi_rest.T @ cphi_rest
+            packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
+            return packed, cphi_rest, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
         # precision).
         packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
-    return packed, cphi_rest
+    return packed, phi, c_rest
 
 
-@jax.jit
-def train_filter_stage2b(cphi_rest, va_grt):
-    """Device half 2: V_packed = [Va; cphi_rest @ GrT].
-    va_grt is the host chain's (m, 2k) [Va | GrT] packed upload."""
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, m: int):
+    """Device half 2: the eigenvector tail matmul + assembly.
+
+    `factor` is either the already-scaled cphi_rest ((n-m, m); small-image
+    path) or the full padded phi ((npad, mpad); large-image path, where the
+    c_rest scaling is fused into the Pallas matmul so cphi never
+    materializes). va_grt is the host chain's (m, 2k) [Va | GrT] upload."""
     with jax.default_matmul_precision("highest"):
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
-        Vb = cphi_rest @ GrT
+        if factor.shape[0] >= n:  # padded phi layout
+            from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_matmul_pallas
+
+            mpad = factor.shape[1]
+            kpad = -(-k // 128) * 128
+            grt_pad = jnp.zeros((mpad, kpad), jnp.float32)
+            grt_pad = jax.lax.dynamic_update_slice(
+                grt_pad, GrT.astype(jnp.float32), (0, 0))
+            Vb = scaled_matmul_pallas(factor, c_rest, grt_pad)[m:n, :k]
+            Vb = Vb.astype(va_grt.dtype)
+        else:                      # materialized cphi_rest (n - m, m)
+            Vb = factor @ GrT
         return jnp.concatenate([Va, Vb], axis=0)
 
 
@@ -335,7 +376,7 @@ def train_filter(
 
     if eigh_method == "host64-chain":
         with stage("Nystrom approximation + Sinkhorn"):
-            packed, cphi_rest = train_filter_stage2a(
+            packed, phi_store, c_rest = train_filter_stage2a(
                 y, rr, cc, Um, lam_m, Uinv, sw, pw,
                 p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                 use_pallas=use_pallas,
@@ -357,7 +398,9 @@ def train_filter(
             va_grt = jnp.asarray(
                 np.concatenate([Va, GrT], axis=1), dtype
             )                                  # one host->device transfer
-            V_packed = train_filter_stage2b(cphi_rest, va_grt)
+            V_packed = train_filter_stage2b(
+                phi_store, c_rest, va_grt, n=grid.n_pixels, m=m
+            )
         S = jnp.asarray(Sq, dtype)
     else:
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
