@@ -85,9 +85,6 @@ def make_halfstep(variant, tile, npad, mpad):
         valid = jnp.abs(w) >= eps
         x_ref[:] = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
 
-    kern = {"mxu": kernel_mxu, "vpu": kernel_vpu, "mxu_row0": kernel_mxu_row0,
-            "xonly": kernel_xonly}[variant]
-
     if variant == "parts3d":
         def kernel_parts3d(eps_ref, t_ref, phi_ref, x_ref, p_ref):
             w = jax.lax.dot_general(phi_ref[:], t_ref[:],
@@ -126,6 +123,9 @@ def make_halfstep(variant, tile, npad, mpad):
             return x[:, 0], jnp.sum(parts[:, 0, :], axis=0)
 
         return halfstep3d
+
+    kern = {"mxu": kernel_mxu, "vpu": kernel_vpu, "mxu_row0": kernel_mxu_row0,
+            "xonly": kernel_xonly}[variant]
 
     @functools.partial(jax.jit)
     def halfstep(phi_pad, t, eps):
