@@ -12,7 +12,6 @@ the amplified Lambda^{-1} factors by Lambda, cancelling the amplification.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 # Reference absolute cutoff (include/filter.hpp:14), used for all dtypes.
 EPS = 1e-10
@@ -23,11 +22,3 @@ def default_eps(dtype) -> float:
     del dtype
     return EPS
 
-
-def default_dtype():
-    """float64 when JAX x64 is enabled (CPU validation), else float32 (TPU)."""
-    return jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
-
-
-def is_x64_enabled() -> bool:
-    return bool(np.dtype(jnp.result_type(float)) == np.float64)

@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nle_tpu.config import default_eps
-from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
+from nle_tpu.ops.affinity import affinity_matmul, bandwidth_weights, features
 from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.sampling import sample_grid
 
@@ -59,7 +59,7 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     reduction (replicated) plus the sharded scaled factor; the
     chaos-sensitive orthogonalization chain runs on the host in f64
     (see ops/pipeline.py precision policy)."""
-    phi_bl = affinity_matmul_xla(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
+    phi_bl = affinity_matmul(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
     phi_top = Um[:m]          # (m, m) — the balanced-block rows
     phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
 
