@@ -172,10 +172,13 @@ class NLEFilter:
             out = unpacked
         return out.reshape(shape)
 
-    def _apply_edit_u8(self, channel_u8: np.ndarray, scale_vals) -> np.ndarray:
-        """Filter + clamp an 8-bit channel; uint8 transfers both ways."""
+    def _apply_edit_u8(self, channels_u8: np.ndarray, scale_vals) -> np.ndarray:
+        """Filter + clamp 8-bit channel(s); uint8 transfers both ways.
+        channels_u8: (H, W) or (H, W, C) — multiple channels share one
+        device dispatch."""
         t = self.trained
-        flat = channel_u8.reshape(-1)
+        shape = channels_u8.shape
+        flat = channels_u8.reshape(t.eigvecs.shape[0], -1)
         if t.perm is not None:
             flat = flat[t.perm]
         out = np.asarray(
@@ -185,7 +188,7 @@ class NLEFilter:
             unpacked = np.empty_like(out)
             unpacked[t.perm] = out
             out = unpacked
-        return out.reshape(channel_u8.shape)
+        return out.reshape(shape)
 
     def enhance(self, image_bgr_u8, weights) -> np.ndarray:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
@@ -209,6 +212,7 @@ class NLEFilter:
         teig = shrink_eigenvalues(t.eigvals, shrink_factor)
         out = lab.copy()
         out[..., 0] = np.asarray(L)
-        for i in (1, 2):
-            out[..., i] = self._apply_edit_u8(lab[..., i], teig)
+        # Both chroma planes through one filter application
+        # (src/filter.cpp:388-389), batched into a single dispatch.
+        out[..., 1:] = self._apply_edit_u8(np.ascontiguousarray(lab[..., 1:]), teig)
         return lab_to_bgr_u8_np(out)

@@ -437,8 +437,16 @@ def apply_filter(eigvecs: jax.Array, f_eigvals: jax.Array, channel: jax.Array):
 def apply_filter_u8(eigvecs: jax.Array, f_eigvals: jax.Array, y_u8: jax.Array):
     """apply_filter specialized for 8-bit channels with the reference's
     clamp-to-[0,255]-and-round epilogue (src/filter.cpp:434-436) fused in:
-    uint8 in, uint8 out — 4x less host<->device traffic per edit."""
+    uint8 in, uint8 out — 4x less host<->device traffic per edit.
+
+    y_u8 may be (N,) or (N, C): multiple channels (the denoise path filters
+    both chroma planes with one filter, src/filter.cpp:388-389) go through
+    a single pair of MXU matmuls and one device round trip."""
     with jax.default_matmul_precision("highest"):
         c = y_u8.astype(eigvecs.dtype)
-        filtered = eigvecs @ (f_eigvals * (eigvecs.T @ c))
-        return jnp.clip(jnp.rint(filtered), 0, 255).astype(jnp.uint8)
+        one_d = c.ndim == 1
+        if one_d:
+            c = c[:, None]
+        filtered = eigvecs @ (f_eigvals[:, None] * (eigvecs.T @ c))
+        out = jnp.clip(jnp.rint(filtered), 0, 255).astype(jnp.uint8)
+        return out[:, 0] if one_d else out
