@@ -39,8 +39,9 @@ def _gram_kernel(c_ref, phi_ref, out_ref):
     )
 
 
-@jax.jit
-def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array,
+                       interpret: bool = False) -> jax.Array:
     """(diag(c) phi)^T (diag(c) phi) with the scaling fused; phi_pad
     (Npad, Mpad) and c_pad (Npad, 1) — rows to exclude must have c = 0."""
     npad, mpad = phi_pad.shape
@@ -63,6 +64,7 @@ def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array) -> jax.Array:
             bytes_accessed=4 * (npad * mpad + npad + mpad * mpad),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(c_pad, phi_pad)
     return out
 
@@ -72,9 +74,9 @@ def _matmul_kernel(c_ref, phi_ref, b_ref, out_ref):
     out_ref[:] = jnp.dot(cphi, b_ref[:], preferred_element_type=jnp.float32)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def scaled_matmul_pallas(phi_pad: jax.Array, c_pad: jax.Array,
-                         B: jax.Array) -> jax.Array:
+                         B: jax.Array, interpret: bool = False) -> jax.Array:
     """(diag(c) phi) @ B with the scaling fused; B (Mpad, kpad128)."""
     npad, mpad = phi_pad.shape
     kpad = B.shape[1]
@@ -94,5 +96,6 @@ def scaled_matmul_pallas(phi_pad: jax.Array, c_pad: jax.Array,
             bytes_accessed=4 * (npad * mpad + npad + mpad * kpad + npad * kpad),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(c_pad, phi_pad, B)
     return out

@@ -1,0 +1,49 @@
+"""Interpreter-mode coverage for the Pallas kernels that otherwise only
+execute on real TPU hardware (the large-image capacity path and the manual
+Sinkhorn kernel's wrapper plumbing)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nle_tpu.ops.pallas.scaled_matmul_kernel import (
+    scaled_gram_pallas,
+    scaled_matmul_pallas,
+)
+from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
+
+
+@pytest.fixture()
+def padded_factor(rng):
+    n, m = 1500, 37
+    npad, mpad = padded_shape(n, m, tile=1024)
+    phi = np.zeros((npad, mpad), np.float32)
+    phi[:n, :m] = rng.standard_normal((n, m)).astype(np.float32)
+    c = np.zeros((npad, 1), np.float32)
+    c[5:n, 0] = rng.random(n - 5).astype(np.float32)
+    return jnp.asarray(phi), jnp.asarray(c), n, m
+
+
+def test_scaled_gram_matches_dense(padded_factor):
+    phi, c, n, m = padded_factor
+    got = np.asarray(scaled_gram_pallas(phi, c, interpret=True))[:m, :m]
+    cphi = np.asarray(c) * np.asarray(phi)
+    want = (cphi.T @ cphi)[:m, :m]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_scaled_matmul_matches_dense(padded_factor, rng):
+    phi, c, n, m = padded_factor
+    kpad = 128
+    B = np.zeros((phi.shape[1], kpad), np.float32)
+    B[:m, :7] = rng.standard_normal((m, 7)).astype(np.float32)
+    got = np.asarray(scaled_matmul_pallas(phi, c, jnp.asarray(B), interpret=True))
+    want = (np.asarray(c) * np.asarray(phi)) @ B
+    np.testing.assert_allclose(got[:n, :7], want[:n, :7], rtol=2e-5, atol=1e-5)
+
+
+def test_padded_shape_rule():
+    assert padded_shape(1, 1) == (1024, 128)
+    assert padded_shape(1024, 128) == (1024, 128)
+    assert padded_shape(1025, 129) == (2048, 256)
