@@ -101,20 +101,17 @@ def maybe_dump_eigvecs(flt, flags) -> None:
     import numpy as np
 
     from nle_tpu.utils.imageio import imwrite_bgr
+    from nle_tpu.utils.visualize import eigvec_images
 
     os.makedirs(out_dir, exist_ok=True)
     t = flt.trained
-    V = np.asarray(t.eigvecs)
+    V = t.eigvecs_pixel_order()
     S = np.asarray(t.eigvals)
-    for i in range(min(V.shape[1], 5)):
+    for i, img in enumerate(eigvec_images(t)):
         v = V[:, i]
         print(
             f"Eigvec {i} eigval: {S[i]} minCoeff: {v.min()} maxCoeff: {v.max()}",
             file=sys.stderr,
         )
-        rng = v.max() - v.min()
-        img = (v - v.min()) / (rng if rng else 1.0) * 255.0
-        img = np.rint(img).clip(0, 255).astype(np.uint8)
-        img = img.reshape(t.nrows, t.ncols)
         imwrite_bgr(os.path.join(out_dir, f"eigvec_{i}.png"),
                     np.repeat(img[..., None], 3, axis=-1))

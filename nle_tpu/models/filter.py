@@ -89,16 +89,24 @@ class NLEFilter:
     def __init__(self, trained: TrainedFilter | None = None, **train_kwargs):
         self._trained = trained
         self._train_kwargs = train_kwargs  # eps/dtype/use_pallas overrides
-        self._lab_cache: tuple[bytes, np.ndarray] | None = None
+        self._lab_cache: tuple[np.ndarray, np.ndarray] | None = None
 
     def _to_lab(self, image: np.ndarray) -> np.ndarray:
         """BGR->Lab with a one-entry cache: the train->edit flow converts
-        the same image twice (reference CLI semantics)."""
-        key = image.tobytes()
-        if self._lab_cache is not None and self._lab_cache[0] == key:
-            return self._lab_cache[1]
+        the same image twice (reference CLI semantics). The cache holds a
+        reference to the source array and re-validates by content compare
+        (cheap memcmp-style loop; catches in-place mutation), avoiding the
+        full tobytes() copy a byte-key would cost per call."""
+        if self._lab_cache is not None:
+            cached_img, cached_lab = self._lab_cache
+            if cached_img is image or (
+                cached_img.shape == image.shape
+                and cached_img.dtype == image.dtype
+                and np.array_equal(cached_img, image)
+            ):
+                return cached_lab
         lab = bgr_to_lab_u8_np(image)
-        self._lab_cache = (key, lab)
+        self._lab_cache = (image, lab)
         return lab
 
     @property

@@ -16,6 +16,9 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "labcolor.c")
 _SO = os.path.join(_DIR, "_labcolor.so")
+# Local-build marker: the .so is compiled with -march=native, so a binary
+# copied from another machine (or shipped in a wheel) must not be trusted.
+_MARKER = os.path.join(_DIR, "_labcolor.built")
 
 _lib = None
 
@@ -50,10 +53,18 @@ def load():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        import platform
+
+        marker = f"{platform.node()}:{os.path.getmtime(_SRC)}"
+        stale = True
+        if os.path.exists(_SO) and os.path.exists(_MARKER):
+            with open(_MARKER) as fh:
+                stale = fh.read().strip() != marker
+        if stale:
             if not _build():
                 return None
+            with open(_MARKER, "w") as fh:
+                fh.write(marker)
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None

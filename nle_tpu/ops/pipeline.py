@@ -53,7 +53,12 @@ from nle_tpu.ops.linalg import eigh64 as _eigh64
 from nle_tpu.ops.orthogonalize import host_chain64, orthogonalize_factored
 from nle_tpu.ops.sampling import SampleGrid, sample_grid
 from nle_tpu.ops.sinkhorn import sinkhorn_vectors
-from nle_tpu.utils.logging import stage, warn_rank_deficient, warn_truncation
+from nle_tpu.utils.logging import (
+    logger,
+    stage,
+    warn_rank_deficient,
+    warn_truncation,
+)
 
 
 _GRID_CACHE: dict = {}
@@ -324,6 +329,15 @@ def train_filter(
         dtype = (channel_np.dtype if np.issubdtype(channel_np.dtype, np.floating)
                  else np.float32)
     dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        # Without x64, "float64" arrays silently become f32 on device — and
+        # the float64 branch skips the host-f64 chain the f32 path needs for
+        # fidelity. Fall back to the real f32 pipeline instead.
+        logger.warning(
+            "float64 requested but jax_enable_x64 is off; using the float32 "
+            "pipeline (host-f64 eigensolver chain) instead."
+        )
+        dtype = jnp.dtype(jnp.float32)
     if eps is None:
         eps = default_eps(dtype)
     if eigh_method is None:

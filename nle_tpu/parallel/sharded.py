@@ -42,6 +42,43 @@ from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.sampling import sample_grid
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_2a_step(mesh: Mesh, p: int, m: int, n_iter: int, eps: float):
+    """Jitted shard_map training step, cached per (mesh, shape config) —
+    rebuilding the closure per call would retrace and recompile every time
+    (minutes on a remote-compile TPU)."""
+    def fn(Um, lam_m, Uinv, fa, fb_local, mask_local, sw, pw):
+        return _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local,
+                         p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw)
+
+    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    sharded = jax.shard_map(
+        vfn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"),
+                  P("data", "pixel"), P("data", "pixel"), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"),
+                   P("data", "pixel")),
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_apply(mesh: Mesh):
+    def body(v_l, c_l, fs):
+        proj = jax.lax.psum(v_l.T @ c_l, "pixel")
+        return v_l @ (fs * proj)
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("pixel"), P("pixel"), P()),
+            out_specs=P("pixel"),
+        )
+    )
+
+
 def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh:
     devices = list(jax.devices() if devices is None else devices)
     if n_pixel is None:
@@ -171,21 +208,10 @@ def train_filter_sharded(
         Um = jnp.asarray(np.stack([stage1[i][0] for i in idx]), dtype)
         lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
         Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
-        fn = functools.partial(
-            _train_2a, p=p, m=m, n_iter=n_sinkhorn_iter, eps=eps, sw=sw, pw=pw
-        )
-        vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))
-        sharded = jax.shard_map(
-            vfn,
-            mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data"), P("data"),
-                      P("data", "pixel"), P("data", "pixel")),
-            out_specs=(P("data"), P("data"), P("data"), P("data"),
-                       P("data", "pixel")),
-        )
+        step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps)
         with jax.default_matmul_precision("highest"):
-            rt, ct, cu, Sb, cphib = jax.jit(sharded)(
-                Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx]
+            rt, ct, cu, Sb, cphib = step(
+                Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx], sw, pw
             )
         rt64 = np.asarray(rt, np.float64)
         ct64 = np.asarray(ct, np.float64)
@@ -224,16 +250,5 @@ def apply_filter_sharded(eigvecs, f_eigvals, channel, mesh: Mesh):
     V = jnp.pad(eigvecs, ((0, n_pad - n), (0, 0)))
     c = jnp.pad(channel.reshape(-1).astype(eigvecs.dtype), (0, n_pad - n))
 
-    def body(v_l, c_l, fs):
-        proj = jax.lax.psum(v_l.T @ c_l, "pixel")
-        return v_l @ (fs * proj)
-
-    out = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P("pixel"), P("pixel"), P()),
-            out_specs=P("pixel"),
-        )
-    )(V, c, f_eigvals.astype(eigvecs.dtype))
+    out = _sharded_apply(mesh)(V, c, f_eigvals.astype(eigvecs.dtype))
     return out[:n].reshape(channel.shape)

@@ -43,8 +43,12 @@ def plot_sampled_points(image_bgr_u8, n_row_samples: int, n_col_samples: int,
 
 def eigvec_images(trained) -> list[np.ndarray]:
     """Min-max-rescaled images of the filter eigenvectors (the reference's
-    debug imshow of the first <= 5 eigenvectors, src/filter.cpp:504-511)."""
-    V = np.asarray(trained.eigvecs)
+    debug imshow of the first <= 5 eigenvectors, src/filter.cpp:504-511).
+
+    Rows are brought to pixel order first — TrainedFilter stores them in
+    packed [selected; rest] order.
+    """
+    V = trained.eigvecs_pixel_order()
     out = []
     for i in range(min(V.shape[1], 5)):
         out.append(
