@@ -72,6 +72,12 @@ def test_eigvec_images(rng):
     imgs = eigvec_images(f.trained)
     assert len(imgs) == 5
     assert imgs[0].shape == (16, 20)
+    # Content check: the rendering must be of PIXEL-order rows (the model
+    # stores eigenvectors packed; a raw reshape would be scrambled).
+    want = rescale_for_visualization(
+        f.trained.eigvecs_pixel_order()[:, 0]
+    ).reshape(16, 20)
+    np.testing.assert_array_equal(imgs[0], want)
 
 
 def test_imageio_roundtrip(tmp_path, rng):
