@@ -18,6 +18,7 @@ throughput at the HBM-bandwidth limit.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -219,8 +220,12 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     nrows, mcols = phi.shape
     n = nrows if n is None else n
     m = lam.shape[0]
-    npad = _round_up(max(nrows, 1), tile)
     mpad = _round_up(max(mcols, 1), 128)
+    # Two phi chunk buffers must fit VMEM alongside the outputs: shrink the
+    # chunk for wide factors (dense sampling grids, p > ~768).
+    while tile > 256 and 2 * tile * mpad * 4 > 12 * 2**20:
+        tile //= 2
+    npad = _round_up(max(nrows, 1), tile)
     if (npad, mpad) == (nrows, mcols):
         phi_pad = phi.astype(jnp.float32)
     else:
@@ -232,8 +237,6 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     # Zero pad rows: phi_pad^T @ r counts only true rows anyway (pad rows of
     # phi are zero), so s0 is exact.
     s0 = phi_pad.T @ r0
-
-    import os
 
     kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual")
     if interpret or kernel_kind == "auto":

@@ -36,6 +36,7 @@ images — see tests/test_golden.py):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +68,7 @@ _GRID_CACHE: dict = {}
 # diag(c) phi product and fuses the scaling into the Pallas Sb/Vb kernels
 # instead — phi stays the only N-scale buffer, doubling the largest image a
 # chip can hold (at a few percent of throughput).
-import os as _os
-
-_CPHI_BYTES_LIMIT = int(_os.environ.get("NLE_CPHI_BYTES", str(3 << 30)))
+_CPHI_BYTES_LIMIT = int(os.environ.get("NLE_CPHI_BYTES", str(3 << 30)))
 
 
 def _grid_device_arrays(grid: SampleGrid, dtype):
