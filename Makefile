@@ -1,0 +1,19 @@
+# Convenience targets (see CLAUDE.md for environment notes)
+
+test:
+	python -m pytest tests/ -q
+
+test-full:
+	NLE_RUN_FULL_GOLDEN=1 python -m pytest tests/ -q
+
+golden-cpu:
+	python tools/golden_sweep.py --platform=cpu
+
+golden-tpu:
+	python tools/golden_sweep.py --platform=axon
+
+bench:
+	python bench.py
+
+install:
+	pip install -e . --no-deps --no-build-isolation

@@ -34,7 +34,7 @@ def load_input(target_mp=1.0):
 
 def main():
     target_mp = float(os.environ.get("NLE_BENCH_MP", "1.0"))
-    repeats = int(os.environ.get("NLE_BENCH_REPEATS", "5"))
+    repeats = int(os.environ.get("NLE_BENCH_REPEATS", "8"))
 
     from nle_tpu.models.filter import NLEFilter
 
