@@ -25,6 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Q = 512
 # B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
 MAX_PALLAS_P = 1024
+# The p-tiled variant streams B slices; its VMEM bound is the (TILE_Q, Mpad)
+# output block + two buffered (512, Mpad) B slices.
+MAX_PALLAS_P_TILED = 1792
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,6 +45,25 @@ def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     out_ref[:] = jnp.dot(k, b_ref[:], preferred_element_type=jnp.float32)
 
 
+def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
+    """As _kernel, but the sample (p) dimension is a second grid axis with
+    the output block revisited and accumulated — supports p beyond what a
+    whole (p, m) B block in VMEM allows."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sw = sw_ref[0, 0]
+    pw = pw_ref[0, 0]
+    dr = fb_ref[:, 0:1] - fa_ref[0:1, :]
+    dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
+    dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
+    k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
+    out_ref[:] += jnp.dot(k, b_ref[:], preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
                            sw, pw, interpret: bool = False) -> jax.Array:
@@ -55,8 +77,6 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     p = fa.shape[0]
     q = fb.shape[0]
     m = B.shape[1]
-    if p > MAX_PALLAS_P:
-        raise ValueError(f"affinity_matmul_pallas supports p <= {MAX_PALLAS_P}, got {p}")
 
     ppad = _round_up(p, 128)
     mpad = _round_up(m, 128)
@@ -68,25 +88,52 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
 
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * qpad * ppad * (mpad + 4),
+        bytes_accessed=4 * (qpad * 3 + 3 * ppad + ppad * mpad + qpad * mpad),
+        transcendentals=qpad * ppad,
+    )
 
-    grid = (qpad // TILE_Q,)
+    if ppad <= MAX_PALLAS_P:
+        out = pl.pallas_call(
+            _kernel,
+            grid=(qpad // TILE_Q,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ppad, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((qpad, mpad), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(sw2, pw2, fb_cols, fa_rows, bp)
+        return out[:q, :m]
+
+    # Dense sampling grids (p > MAX_PALLAS_P): tile the sample dimension as
+    # a second (inner, sequential) grid axis and accumulate into revisited
+    # output blocks; B streams in (PTILE, Mpad) slices.
+    PTILE = 512
+    ppad = _round_up(p, PTILE)
+    fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
+    bp = jnp.pad(B, ((0, ppad - p), (0, mpad - m)))
     out = pl.pallas_call(
-        _kernel,
-        grid=grid,
+        _kernel_ptiled,
+        grid=(qpad // TILE_Q, ppad // PTILE),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ppad, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PTILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PTILE, mpad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qpad, mpad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * qpad * ppad * (mpad + 4),
-            bytes_accessed=4 * (qpad * 3 + 3 * ppad + ppad * mpad + qpad * mpad),
-            transcendentals=qpad * ppad,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(sw2, pw2, fb_cols, fa_rows, bp)
     return out[:q, :m]

@@ -47,3 +47,23 @@ def test_padded_shape_rule():
     assert padded_shape(1, 1) == (1024, 128)
     assert padded_shape(1024, 128) == (1024, 128)
     assert padded_shape(1025, 129) == (2048, 256)
+
+
+def test_affinity_ptiled_matches_xla(rng):
+    """p > MAX_PALLAS_P takes the p-tiled accumulating kernel."""
+    from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
+    from nle_tpu.ops.pallas.affinity_kernel import (
+        MAX_PALLAS_P,
+        affinity_matmul_pallas,
+    )
+
+    p, q, m = MAX_PALLAS_P + 176, 1400, 260
+    rows = jnp.asarray(rng.integers(0, 200, p + q), jnp.float32)
+    cols = jnp.asarray(rng.integers(0, 200, p + q), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 256, p + q), jnp.float32)
+    f = features(rows, cols, y)
+    sw, pw = bandwidth_weights(500.0, 20.0)
+    B = jnp.asarray(rng.standard_normal((p, m)).astype(np.float32) * 0.1)
+    want = np.asarray(affinity_matmul_xla(f[:p], f[p:], B, sw, pw))
+    got = np.asarray(affinity_matmul_pallas(f[:p], f[p:], B, sw, pw, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
