@@ -16,14 +16,24 @@ import jax
 import jax.numpy as jnp
 
 
-def transform_eigenvalues(eigvals: jax.Array, weights) -> jax.Array:
-    weights = jnp.asarray(weights, dtype=eigvals.dtype)
+@jax.jit
+def _transform(eigvals: jax.Array, weights: jax.Array) -> jax.Array:
     fS = jnp.full_like(eigvals, weights[0])
     for k in range(1, weights.shape[0]):
         fS = fS + (weights[k] - weights[k - 1]) * eigvals**k
     return fS
 
 
+def transform_eigenvalues(eigvals: jax.Array, weights) -> jax.Array:
+    # Jitted: the eager op-by-op version costs ~10 device dispatches per
+    # edit, which dominates on a tunnel-attached chip.
+    return _transform(eigvals, jnp.asarray(weights, dtype=eigvals.dtype))
+
+
+@jax.jit
+def _shrink(eigvals: jax.Array, k: jax.Array) -> jax.Array:
+    return jnp.minimum(eigvals, 1.0) ** k
+
+
 def shrink_eigenvalues(eigvals: jax.Array, k) -> jax.Array:
-    clipped = jnp.minimum(eigvals, 1.0)
-    return clipped ** jnp.asarray(k, dtype=eigvals.dtype)
+    return _shrink(eigvals, jnp.asarray(k, dtype=eigvals.dtype))
