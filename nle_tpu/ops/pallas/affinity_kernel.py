@@ -34,6 +34,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _out_struct(shape, *operands):
+    """ShapeDtypeStruct for a pallas output, vma-annotated when the inputs
+    are varying (i.e. we are inside a shard_map with check_vma=True)."""
+    try:
+        vma = frozenset().union(*(jax.typeof(o).vma for o in operands))
+    except Exception:
+        vma = frozenset()
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]
@@ -107,7 +119,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
             ],
             out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((qpad, mpad), jnp.float32),
+            out_shape=_out_struct((qpad, mpad), fb_cols, fa_rows, bp),
             cost_estimate=cost,
             interpret=interpret,
         )(sw2, pw2, fb_cols, fa_rows, bp)
@@ -132,7 +144,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
         ],
         out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qpad, mpad), jnp.float32),
+        out_shape=_out_struct((qpad, mpad), fb_cols, fa_rows, bp),
         cost_estimate=cost,
         interpret=interpret,
     )(sw2, pw2, fb_cols, fa_rows, bp)

@@ -96,11 +96,12 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     reduction (replicated) plus the sharded scaled factor; the
     chaos-sensitive orthogonalization chain runs on the host in f64
     (see ops/pipeline.py precision policy)."""
-    # XLA path on purpose: pallas_call under shard_map(check_vma=True)
-    # requires vma-annotated out_shapes (jax 0.9) — wiring that up for the
-    # fused kernels is a ROADMAP item; the XLA builder is still tiled and
-    # never materializes K_AB whole.
-    phi_bl = affinity_matmul_xla(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
+    # The affinity kernel vma-annotates its outputs, so the fused Pallas
+    # path works inside shard_map(check_vma=True) on TPU; elsewhere this
+    # dispatches to the tiled XLA builder.
+    from nle_tpu.ops.affinity import affinity_matmul
+
+    phi_bl = affinity_matmul(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
     phi_top = Um[:m]          # (m, m) — the balanced-block rows
     phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
 
