@@ -15,10 +15,13 @@ Bit-exactness is load-bearing: filter training is chaotically sensitive to
 the L channel (a +-1 LSB difference on ~15% of pixels costs ~25 dB of
 golden-image PSNR — see tests/test_golden.py).
 
-The inverse (`lab_to_bgr_u8`) and the float-formula forward
-(`bgr_to_lab_u8_float`) follow the standard float pipeline and agree with
-cv2 within +-2 LSB; the inverse only shapes the *output* image (it never
-feeds training), where +-1 costs only ~1 dB against the 45 dB gate.
+The inverse (`lab_to_bgr_u8`) reimplements OpenCV's Lab2RGBinteger
+fixed-point pipeline (BASE = 2^14 L->y/f(y) tables, integer a/b scaling,
+f-inverse table, 12-bit XYZ->RGB matrix, 4096-entry inverse-gamma LUT) and
+is bit-exact against cv2 on the FULL 256^3 Lab cube (all 50,331,648 output
+channel values verified equal; tests/test_color.py samples this, the
+NLE_RUN_FULL_GOLDEN suite checks the whole cube). The float-formula forward
+(`bgr_to_lab_u8_float`) agrees with cv2 within +-2 LSB.
 
 All functions are jittable and operate on uint8 arrays (HWC, BGR order,
 matching cv::imread).
@@ -120,10 +123,6 @@ def _f(t):
     return jnp.where(t > _T0, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
 
 
-def _f_inv(t):
-    return jnp.where(t > _CBRT_T, t**3, (t - 16.0 / 116.0) / 7.787)
-
-
 @jax.jit
 def bgr_to_lab_u8_float(bgr_u8: jax.Array) -> jax.Array:
     """Float-formula forward conversion (within 1-2 LSB of OpenCV)."""
@@ -146,24 +145,29 @@ def bgr_to_lab_u8_float(bgr_u8: jax.Array) -> jax.Array:
 
 @jax.jit
 def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
-    """(H, W, 3) uint8 Lab (OpenCV 8-bit scaling) -> (H, W, 3) uint8 BGR."""
-    lab = lab_u8.astype(jnp.float32)
-    L = lab[..., 0] * (100.0 / 255.0)
-    a = lab[..., 1] - 128.0
-    b = lab[..., 2] - 128.0
-    fY = (L + 16.0) / 116.0
-    fX = fY + a / 500.0
-    fZ = fY - b / 200.0
-    Y = jnp.where(L > _KAPPA * _T0, fY**3, L / _KAPPA)
-    X = _f_inv(fX) * _XN
-    Z = _f_inv(fZ) * _ZN
-    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
-    g = -0.969256 * X + 1.875992 * Y + 0.041556 * Z
-    bl = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
-    out = jnp.stack(
-        [_linear_to_srgb(bl), _linear_to_srgb(g), _linear_to_srgb(r)], axis=-1
+    """(H, W, 3) uint8 Lab (OpenCV 8-bit scaling) -> (H, W, 3) uint8 BGR.
+
+    Integer LUT pipeline, bit-exact vs cv2 (same tables as the host twin
+    `lab_to_bgr_u8_np`). All intermediates fit int32: |C @ (x,y,z)| < 2^30.
+    """
+    idx = lab_u8.astype(jnp.int32)
+    y = jnp.take(jnp.asarray(_IY_TAB), idx[..., 0])
+    ify = jnp.take(jnp.asarray(_IFY_TAB), idx[..., 0])
+    adiv = jnp.take(jnp.asarray(_IADIV_TAB), idx[..., 1])
+    bdiv = jnp.take(jnp.asarray(_IBDIV_TAB), idx[..., 2])
+    ab = jnp.asarray(_IAB_TAB)
+    x = jnp.take(ab, ify + adiv - _IMIN_AB)
+    z = jnp.take(ab, ify - bdiv - _IMIN_AB)
+    C = _ICOEFFS.astype(np.int32)
+    half = 1 << (_ISHIFT - 1)
+    hi = (1 << _IGAMMA_BITS) - 1
+    gamma = jnp.asarray(_IGAMMA_TAB)
+    ro = jnp.clip((C[0, 0] * x + C[0, 1] * y + C[0, 2] * z + half) >> _ISHIFT, 0, hi)
+    go = jnp.clip((C[1, 0] * x + C[1, 1] * y + C[1, 2] * z + half) >> _ISHIFT, 0, hi)
+    bo = jnp.clip((C[2, 0] * x + C[2, 1] * y + C[2, 2] * z + half) >> _ISHIFT, 0, hi)
+    return jnp.stack(
+        [jnp.take(gamma, bo), jnp.take(gamma, go), jnp.take(gamma, ro)], axis=-1
     )
-    return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
 
 
 _NATIVE = None
@@ -220,70 +224,90 @@ def bgr_to_lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
 
 
 # ---- Inverse (Lab -> BGR) fixed-point tables ----
-# Integer LUT pipeline analogous to OpenCV's Lab2RGBinteger at BASE = 2^14:
-# agrees with cv2 within +-1 LSB on ~3% of pixels (the float formula has the
-# same agreement rate; OpenCV's own interior quantization is the remaining
-# difference) and is ~10x faster on the host than pow()-based float math.
+# OpenCV's Lab2RGBinteger pipeline at BASE = 2^14, bit-exact vs cv2 on the
+# full 256^3 Lab cube (verified exhaustively; reconstructed empirically by
+# coordinate-descent fitting of each table against cv2 5.0 outputs — every
+# table reduced to the closed forms below). ~10x faster on the host than
+# pow()-based float math, and the integer form is what the C kernel and the
+# jitted TPU path share.
 _IBASE = 1 << 14
+_IMIN_AB = -8145          # covers min(ify - bdiv) = -8144 exactly
+_IGAMMA_BITS = 12         # inverse-gamma LUT index width
+_ISHIFT = 14              # descale: (BASE * 2^12 matrix) -> 2^12 index
 
 
 def _build_inverse_tables():
-    i = np.arange(256, dtype=np.float32)
-    li = i * np.float32(100.0 / 255.0)
-    lthresh = np.float32(_T0 * _KAPPA)
-    y_lo = li / np.float32(_KAPPA)
-    ify_lo = y_lo * np.float32(7.787) + np.float32(16.0 / 116.0)
-    ify_hi = (li + np.float32(16.0)) / np.float32(116.0)
-    y = np.where(li <= lthresh, y_lo, ify_hi.astype(np.float64) ** 3)
-    ify = np.where(li <= lthresh, ify_lo, ify_hi)
-    y_tab = np.round(np.float64(y) * _IBASE).astype(np.int32)
-    ify_tab = np.round(np.float64(ify) * _IBASE).astype(np.int32)
+    # L -> (y, f(y)) at BASE scale. Constructed in float32 (like OpenCV's
+    # softfloat tables) — the rounding domain matters for a few entries.
+    f32 = np.float32
+    li = (f32(np.arange(256)) * f32(100) / f32(255)).astype(f32)
+    kappa = f32(np.float32(24389) / np.float32(27))  # 903.3 (exact CIE)
+    y_lin = li / kappa
+    ify_lin = f32(f32(841) / f32(108)) * y_lin + f32(f32(16) / f32(116))
+    ify_cub = (li + f32(16)) / f32(116)
+    y_cub = ify_cub * ify_cub * ify_cub
+    lin = li <= f32(8.0)  # L* threshold: kappa * (6/29)^3 == 8 exactly
+    y_tab = np.rint(np.where(lin, y_lin, y_cub) * f32(_IBASE)).astype(np.int32)
+    ify_tab = np.rint(np.where(lin, ify_lin, ify_cub) * f32(_IBASE)).astype(np.int32)
 
-    min_ab = -2 * _IBASE
-    idx = np.arange(min_ab, 3 * _IBASE)
-    v = idx.astype(np.float64) / _IBASE
-    fxz = np.where(v <= _CBRT_T, (v - 16.0 / 116.0) / 7.787, v**3)
-    ab_tab = np.round(fxz * _IBASE).astype(np.int32)
+    # f-inverse table over the full reachable f-value range, pure integer
+    # construction with C-style truncation toward zero (matches OpenCV):
+    # linear branch (f <= 6/29): (v - 16/116) * 108/841; else v^3.
+    idx = np.arange(_IMIN_AB, _IBASE * 9 // 4 + _IMIN_AB, dtype=np.int64)
+    c2 = (_IBASE * 16 // 116) * 108 // 841
+    q = np.abs(idx * 108) // 841
+    lin_v = np.where(idx < 0, -q, q) - c2
+    cube_v = ((idx * idx) // _IBASE) * idx // _IBASE
+    ab_tab = np.where(idx <= 3389, lin_v, cube_v).astype(np.int32)
 
     inv_m = np.array(
         [
             [3.240479, -1.537150, -0.498535],
             [-0.969256, 1.875992, 0.041556],
             [0.055648, -0.204043, 1.057311],
-        ]
+        ],
+        dtype=np.float32,
     )
-    white = np.array([_XN, 1.0, _ZN])
-    coeffs = np.round(_IBASE * inv_m * white[None, :]).astype(np.int64)
+    white = np.array([_XN, 1.0, _ZN], dtype=np.float32)
+    coeffs = np.rint(
+        np.float64(inv_m * white[None, :]) * (1 << _LAB_SHIFT)
+    ).astype(np.int64)
 
-    g = np.arange(_IBASE + 1, dtype=np.float64) / _IBASE
+    g = np.arange(1 << _IGAMMA_BITS, dtype=np.float64) / (1 << _IGAMMA_BITS)
     srgb = np.where(g > _SRGB_INV_T, 1.055 * g ** (1.0 / 2.4) - 0.055, 12.92 * g)
-    gamma_tab = np.clip(np.round(srgb * 255.0), 0, 255).astype(np.uint8)
-    return y_tab, ify_tab, ab_tab, min_ab, coeffs, gamma_tab
+    gamma_tab = np.clip(np.rint(srgb * 255.0), 0, 255).astype(np.uint8)
+
+    # a/b (raw uint8) -> fixed-point a*BASE/500 - 128*BASE/500 (resp. /200);
+    # OpenCV's mult-shift approximations, reproduced exactly.
+    u = np.arange(256, dtype=np.int64)
+    adiv_tab = (((5 * u * 53687 + (1 << 7)) >> 13) - 128 * _IBASE // 500).astype(np.int32)
+    bdiv_tab = (((u * 41943 + (1 << 4)) >> 9) - 128 * _IBASE // 200 + 1).astype(np.int32)
+    return y_tab, ify_tab, ab_tab, coeffs, gamma_tab, adiv_tab, bdiv_tab
 
 
-_IY_TAB, _IFY_TAB, _IAB_TAB, _IMIN_AB, _ICOEFFS, _IGAMMA_TAB = _build_inverse_tables()
+(_IY_TAB, _IFY_TAB, _IAB_TAB, _ICOEFFS, _IGAMMA_TAB,
+ _IADIV_TAB, _IBDIV_TAB) = _build_inverse_tables()
 
 
 def lab_to_bgr_u8_np(lab_u8: np.ndarray) -> np.ndarray:
-    """Host NumPy twin of `lab_to_bgr_u8` (integer LUT pipeline)."""
+    """Host NumPy twin of `lab_to_bgr_u8` (bit-exact vs cv2, see header)."""
     nat = _native()
     if nat is not None and lab_u8.ndim == 3 and lab_u8.shape[2] == 3:
         return nat.lab2bgr_u8(lab_u8, _IY_TAB, _IFY_TAB, _IAB_TAB, _IMIN_AB,
-                              _ICOEFFS, _IGAMMA_TAB)
+                              _ICOEFFS, _IGAMMA_TAB, _IADIV_TAB, _IBDIV_TAB)
     L = lab_u8[..., 0].astype(np.int32)
-    a = lab_u8[..., 1].astype(np.int32) - 128
-    b = lab_u8[..., 2].astype(np.int32) - 128
     y = _IY_TAB[L].astype(np.int64)
     ify = _IFY_TAB[L]
-    adiv = np.round(a * (_IBASE / 500.0)).astype(np.int32)
-    bdiv = np.round(b * (_IBASE / 200.0)).astype(np.int32)
-    x = _IAB_TAB[np.clip(ify + adiv - _IMIN_AB, 0, _IAB_TAB.size - 1)].astype(np.int64)
-    z = _IAB_TAB[np.clip(ify - bdiv - _IMIN_AB, 0, _IAB_TAB.size - 1)].astype(np.int64)
+    adiv = _IADIV_TAB[lab_u8[..., 1]]
+    bdiv = _IBDIV_TAB[lab_u8[..., 2]]
+    x = _IAB_TAB[ify + adiv - _IMIN_AB].astype(np.int64)
+    z = _IAB_TAB[ify - bdiv - _IMIN_AB].astype(np.int64)
     C = _ICOEFFS
-    half = 1 << 13
-    ro = np.clip((C[0, 0] * x + C[0, 1] * y + C[0, 2] * z + half) >> 14, 0, _IBASE)
-    go = np.clip((C[1, 0] * x + C[1, 1] * y + C[1, 2] * z + half) >> 14, 0, _IBASE)
-    bo = np.clip((C[2, 0] * x + C[2, 1] * y + C[2, 2] * z + half) >> 14, 0, _IBASE)
+    half = 1 << (_ISHIFT - 1)
+    hi = (1 << _IGAMMA_BITS) - 1
+    ro = np.clip((C[0, 0] * x + C[0, 1] * y + C[0, 2] * z + half) >> _ISHIFT, 0, hi)
+    go = np.clip((C[1, 0] * x + C[1, 1] * y + C[1, 2] * z + half) >> _ISHIFT, 0, hi)
+    bo = np.clip((C[2, 0] * x + C[2, 1] * y + C[2, 2] * z + half) >> _ISHIFT, 0, hi)
     return np.stack(
         [_IGAMMA_TAB[bo], _IGAMMA_TAB[go], _IGAMMA_TAB[ro]], axis=-1
     )

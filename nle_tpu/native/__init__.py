@@ -75,7 +75,8 @@ def load():
                                ctypes.c_int32, ctypes.c_int32]
     lib.bgr2lab_u8.restype = None
     lib.lab2bgr_u8.argtypes = [u8p, u8p, ctypes.c_size_t, i32p, i32p, i32p,
-                               ctypes.c_int32, ctypes.c_int32, i64p, u8p]
+                               ctypes.c_int32, ctypes.c_int32, i64p, u8p,
+                               i32p, i32p]
     lib.lab2bgr_u8.restype = None
     _lib = lib
     return lib
@@ -101,7 +102,7 @@ def bgr2lab_u8(bgr: np.ndarray, gamma_tab, cbrt_tab, coeffs, l_scale, l_shift):
 
 
 def lab2bgr_u8(lab: np.ndarray, y_tab, ify_tab, ab_tab, min_ab, coeffs,
-               gamma_tab):
+               gamma_tab, adiv_tab, bdiv_tab):
     lib = load()
     assert lib is not None
     lab = np.ascontiguousarray(lab, np.uint8)
@@ -112,5 +113,6 @@ def lab2bgr_u8(lab: np.ndarray, y_tab, ify_tab, ab_tab, min_ab, coeffs,
         _ptr(y_tab, ctypes.c_int32), _ptr(ify_tab, ctypes.c_int32),
         _ptr(ab_tab, ctypes.c_int32), int(min_ab), int(ab_tab.size),
         _ptr(coeffs, ctypes.c_int64), _ptr(gamma_tab, ctypes.c_uint8),
+        _ptr(adiv_tab, ctypes.c_int32), _ptr(bdiv_tab, ctypes.c_int32),
     )
     return out

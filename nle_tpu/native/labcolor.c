@@ -55,38 +55,39 @@ void bgr2lab_u8(const uint8_t *bgr, uint8_t *lab, size_t n,
 }
 
 #define IBASE (1 << 14)
+#define IGAMMA_MAX 4095  /* inverse-gamma LUT has 4096 entries */
 
-/* lab: N*3 interleaved uint8; bgr out. */
+/* lab: N*3 interleaved uint8; bgr out. Bit-exact vs cv2's Lab2RGBinteger
+ * (tables built in nle_tpu/color/lab.py; verified on the full 256^3 cube).
+ * All |coeff * x| < 2^30, so the accumulators fit int32; int64 coeffs are
+ * kept for pointer-compat with the Python table dtypes. */
 void lab2bgr_u8(const uint8_t *lab, uint8_t *bgr, size_t n,
                 const int32_t *y_tab,     /* 256 */
                 const int32_t *ify_tab,   /* 256 */
                 const int32_t *ab_tab,    /* ab_size, index offset -min_ab */
                 int32_t min_ab, int32_t ab_size,
                 const int64_t *coeffs,    /* 9, row-major RGB rows */
-                const uint8_t *gamma_tab  /* IBASE + 1 */) {
+                const uint8_t *gamma_tab, /* 4096 */
+                const int32_t *adiv_tab,  /* 256 */
+                const int32_t *bdiv_tab   /* 256 */) {
+    int32_t C[9];
+    for (int k = 0; k < 9; k++) C[k] = (int32_t)coeffs[k];
+    (void)ab_size; /* index ranges are provably in-bounds for uint8 input */
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
     for (size_t i = 0; i < n; i++) {
         int32_t L = lab[3 * i + 0];
-        int32_t a = (int32_t)lab[3 * i + 1] - 128;
-        int32_t b = (int32_t)lab[3 * i + 2] - 128;
-        int64_t y = y_tab[L];
+        int32_t y = y_tab[L];
         int32_t ify = ify_tab[L];
-        /* round(a * IBASE/500), round(b * IBASE/200) in integer math:
-           IBASE/500 = 2048/62.5 -> a*16384*2/1000 ; use 64-bit rounding */
-        int32_t adiv = (int32_t)((2LL * a * IBASE + (a >= 0 ? 500 : -500)) / 1000);
-        int32_t bdiv = (int32_t)((2LL * b * IBASE + (b >= 0 ? 200 : -200)) / 400);
-        int32_t ifx = ify + adiv - min_ab;
-        int32_t ifz = ify - bdiv - min_ab;
-        int64_t x = ab_tab[ifx < 0 ? 0 : (ifx >= ab_size ? ab_size - 1 : ifx)];
-        int64_t z = ab_tab[ifz < 0 ? 0 : (ifz >= ab_size ? ab_size - 1 : ifz)];
-        int64_t ro = (coeffs[0] * x + coeffs[1] * y + coeffs[2] * z + (1 << 13)) >> 14;
-        int64_t go = (coeffs[3] * x + coeffs[4] * y + coeffs[5] * z + (1 << 13)) >> 14;
-        int64_t bo = (coeffs[6] * x + coeffs[7] * y + coeffs[8] * z + (1 << 13)) >> 14;
-        ro = ro < 0 ? 0 : (ro > IBASE ? IBASE : ro);
-        go = go < 0 ? 0 : (go > IBASE ? IBASE : go);
-        bo = bo < 0 ? 0 : (bo > IBASE ? IBASE : bo);
+        int32_t x = ab_tab[ify + adiv_tab[lab[3 * i + 1]] - min_ab];
+        int32_t z = ab_tab[ify - bdiv_tab[lab[3 * i + 2]] - min_ab];
+        int32_t ro = (C[0] * x + C[1] * y + C[2] * z + (1 << 13)) >> 14;
+        int32_t go = (C[3] * x + C[4] * y + C[5] * z + (1 << 13)) >> 14;
+        int32_t bo = (C[6] * x + C[7] * y + C[8] * z + (1 << 13)) >> 14;
+        ro = ro < 0 ? 0 : (ro > IGAMMA_MAX ? IGAMMA_MAX : ro);
+        go = go < 0 ? 0 : (go > IGAMMA_MAX ? IGAMMA_MAX : go);
+        bo = bo < 0 ? 0 : (bo > IGAMMA_MAX ? IGAMMA_MAX : bo);
         bgr[3 * i + 0] = gamma_tab[bo];
         bgr[3 * i + 1] = gamma_tab[go];
         bgr[3 * i + 2] = gamma_tab[ro];

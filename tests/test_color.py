@@ -2,6 +2,8 @@
 color backend). OpenCV's 8-bit paths use fixed-point LUTs; the float
 reimplementation is required to agree within 1-2 LSB."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -28,9 +30,47 @@ def test_bgr_to_lab_vs_opencv(rng):
 def test_lab_to_bgr_vs_opencv(rng):
     img = _rand_img(rng)
     lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
-    want = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR).astype(np.int32)
-    got = np.asarray(lab_to_bgr_u8(jnp.asarray(lab))).astype(np.int32)
-    assert np.abs(got - want).max() <= 2
+    want = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+    got = np.asarray(lab_to_bgr_u8(jnp.asarray(lab)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lab_to_bgr_bit_exact_all_paths(rng):
+    """jit, NumPy, and native-C inverse paths all equal cv2 exactly,
+    including the Lab-cube extremes (corners + axes + random interior)."""
+    from nle_tpu.color.lab import _native, lab_to_bgr_u8_np
+
+    corners = np.stack(np.meshgrid([0, 255], [0, 255], [0, 255],
+                                   indexing="ij"), -1).reshape(-1, 3)
+    axes = np.stack([np.arange(256)] * 3, -1)
+    rand = rng.integers(0, 256, (4096, 3))
+    lab = np.concatenate([corners, axes, rand]).astype(np.uint8)
+    lab = lab[: (lab.shape[0] // 4) * 4].reshape(-1, 4, 3)
+    want = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+    np.testing.assert_array_equal(np.asarray(lab_to_bgr_u8(jnp.asarray(lab))), want)
+    np.testing.assert_array_equal(lab_to_bgr_u8_np(lab), want)
+    if _native() is not None:
+        from nle_tpu import native as nat
+        from nle_tpu.color import lab as labmod
+
+        got = nat.lab2bgr_u8(lab, labmod._IY_TAB, labmod._IFY_TAB,
+                             labmod._IAB_TAB, labmod._IMIN_AB,
+                             labmod._ICOEFFS, labmod._IGAMMA_TAB,
+                             labmod._IADIV_TAB, labmod._IBDIV_TAB)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(os.environ.get("NLE_RUN_FULL_GOLDEN") != "1",
+                    reason="full 256^3 cube check is slow; NLE_RUN_FULL_GOLDEN=1")
+def test_lab_to_bgr_bit_exact_full_cube():
+    from nle_tpu.color.lab import lab_to_bgr_u8_np
+
+    L, A, B = np.meshgrid(np.arange(256, dtype=np.uint8),
+                          np.arange(256, dtype=np.uint8),
+                          np.arange(256, dtype=np.uint8), indexing="ij")
+    lab = np.stack([L, A, B], axis=-1).reshape(4096, 4096, 3)
+    want = cv2.cvtColor(lab, cv2.COLOR_Lab2BGR)
+    np.testing.assert_array_equal(lab_to_bgr_u8_np(lab), want)
 
 
 def test_luminance_channel_is_8bit_L(rng):
