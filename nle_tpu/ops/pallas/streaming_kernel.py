@@ -1,0 +1,250 @@
+"""Streaming (phi-free) stage-2 Pallas kernels for very large images.
+
+The dense pipeline materializes the Nystrom factor phi (N, m) in HBM and
+streams it through every Sinkhorn half-step — at m ~ 600 that is ~2.4 kB of
+HBM per pixel, which caps a 16 GB v5e chip at ~5 MP. These kernels instead
+RECOMPUTE the affinity tiles from the raw pixel features (12 B per pixel)
+inside every pass, using the factor identities
+
+    phi_rest @ t      = K_AB^T @ (Uinv @ t)          (one affinity matvec)
+    phi_rest^T @ x    = Uinv^T @ (K_AB @ x)          (same tiles, transposed)
+    Sb  = (c phi)^T (c phi)  accumulated per tile
+    Vb  = c * (K_AB^T @ (Uinv @ GrT))                (plain affinity matmul)
+
+so NO N x m array ever exists: per-pixel state is features + the balancing
+vectors + the final V (N, k). Memory becomes O(N), lifting the single-chip
+limit from ~5 MP to HBM/~250 B per pixel (~50 MP at k = 50).
+
+Cost: one exp per (pixel, sample) per pass — measured ~7 ms per MP at
+p = 600 on v5e (VPU-bound), vs ~5.6 ms for the HBM-bound dense half-step;
+the pipeline auto-selects streaming only when phi would not fit (see
+ops/pipeline.py NLE_STREAM_BYTES).
+
+Numerics: the affinity entries are bit-identical to the ones the dense path
+stored in phi (same kernel arithmetic); only the contraction association
+differs ((K^T Uinv) t vs K^T (Uinv t)), an ~1e-7 relative difference of the
+same class as the accepted f32-vs-f64 deviations (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref):
+    sw = sw_ref[0, 0]
+    pw = pw_ref[0, 0]
+    dr = fb_ref[:, 0:1] - fa_ref[0:1, :]
+    dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
+    dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
+    # Raw integer differences are exact in f32; scale only after squaring
+    # (the precision rule from ops/affinity.py).
+    return jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
+
+
+def _halfstep_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
+                     fa_ref, x_ref, ap_ref, *, unit_x: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ap_ref[:] = jnp.zeros_like(ap_ref)
+
+    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, Ppad)
+    if unit_x:
+        # s0 pass: x = r0 = 1 on real rows (phi^T @ ones).
+        x = mask_ref[:]
+    else:
+        w = jax.lax.dot_general(
+            A, u_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (T, 1)
+        eps = eps_ref[0, 0]
+        valid = jnp.abs(w) >= eps
+        x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+        x = x * mask_ref[:]   # pad rows: affinity is real, kill them here
+    x_ref[:] = x
+    part = jax.lax.dot_general(
+        x, A,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (1, Ppad)
+    row = i % 8
+    ap_ref[pl.ds(row, 1), :] = ap_ref[pl.ds(row, 1), :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("unit_x", "interpret"))
+def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+                              mask: jax.Array, u_pad: jax.Array, sw, pw, eps,
+                              unit_x: bool = False, interpret: bool = False):
+    """One phi-free Sinkhorn half-step over the rest-block pixels.
+
+    fa_rows: (3, Ppad) sample features, transposed+padded (pad columns give
+      garbage affinities annihilated by u's zero pad entries — and their
+      garbage ap columns are sliced off by the caller).
+    fb_pad: (Qpad, 3) rest-pixel features, Qpad a TILE_Q multiple.
+    mask: (Qpad, 1) 1.0 on real rows, 0.0 on pads.
+    u_pad: (Ppad,) = Uinv @ t zero-padded.
+    Returns (x (Qpad,), ap (Ppad,)) where x = mask * guarded-reciprocal
+    (K_AB^T u) and ap = K_AB @ x. With unit_x=True, x = mask instead (the
+    s0 = phi^T @ ones pass); u is ignored.
+    """
+    qpad = fb_pad.shape[0]
+    ppad = fa_rows.shape[1]
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * qpad * ppad * 6,
+        bytes_accessed=4 * (qpad * 4 + 3 * ppad + qpad + 2 * ppad),
+        transcendentals=qpad * ppad,
+    )
+    x, ap8 = pl.pallas_call(
+        functools.partial(_halfstep_kernel, unit_x=unit_x),
+        grid=(qpad // TILE_Q,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((8, ppad), jnp.float32),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(sw2, pw2, eps2, u_pad[None, :], fb_pad, mask, fa_rows)
+    return x[:, 0], jnp.sum(ap8, axis=0)
+
+
+def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        sb_ref[:] = jnp.zeros_like(sb_ref)
+
+    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)        # (T, Ppad)
+    cphi = c_ref[:] * jnp.dot(A, uinv_ref[:],
+                              preferred_element_type=jnp.float32)  # (T, Mpad)
+    sb_ref[:] += jax.lax.dot_general(
+        cphi, cphi,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+                                 c_pad: jax.Array, uinv_pad: jax.Array,
+                                 sw, pw, interpret: bool = False):
+    """Sb = (c * phi_rest)^T (c * phi_rest) over the streamed rest block,
+    with phi_rest = K_AB^T @ Uinv recomputed tile by tile.
+
+    c_pad: (Qpad, 1), zero on pad rows (zeroed rows contribute nothing).
+    uinv_pad: (Ppad, Mpad). Returns (Mpad, Mpad); caller slices [:m, :m].
+    """
+    qpad = fb_pad.shape[0]
+    ppad, mpad = uinv_pad.shape
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * qpad * ppad * (mpad + 4) + 2 * qpad * mpad * mpad,
+        bytes_accessed=4 * (qpad * 4 + 3 * ppad + ppad * mpad + mpad * mpad),
+        transcendentals=qpad * ppad,
+    )
+    sb = pl.pallas_call(
+        _gram_kernel,
+        grid=(qpad // TILE_Q,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ppad, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mpad, mpad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mpad, mpad), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows)
+    return sb
+
+
+def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
+                               lam_m: jax.Array, Uinv: jax.Array,
+                               max_iter: int, eps: float, sw, pw,
+                               interpret: bool = False):
+    """Sinkhorn balancing without materializing phi: returns (r, c) each
+    (N,) in packed [selected; rest] order for N = p + fb.shape[0].
+
+    The p sampled rows of phi are Um (tiny, handled in XLA); the rest-block
+    rows are recomputed from affinities every half-step by
+    `streaming_halfstep_pallas`.
+    """
+    p, m = Um.shape
+    q = fb.shape[0]
+    qpad = _round_up(max(q, 1), TILE_Q)
+    ppad = _round_up(p, 128)
+
+    fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))          # (3, Ppad)
+    fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))             # (Qpad, 3)
+    mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[:, None]
+    lam = lam_m.astype(jnp.float32)
+    Um32 = Um.astype(jnp.float32)
+    Uinv32 = Uinv.astype(jnp.float32)
+
+    def halfstep(t):
+        u = Uinv32 @ t                                        # (p,)
+        u_pad = jnp.pad(u, (0, ppad - p))
+        w_top = Um32 @ t                                      # (p,)
+        valid = jnp.abs(w_top) >= eps
+        x_top = jnp.where(valid, 1.0 / jnp.where(valid, w_top, 1.0), 0.0)
+        x_rest, ap = streaming_halfstep_pallas(
+            fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
+        s = Um32.T @ x_top + Uinv32.T @ ap[:p]
+        return x_top, x_rest, s
+
+    # s0 = phi^T @ ones: Um columns + one unit_x streaming pass.
+    _, ap0 = streaming_halfstep_pallas(
+        fa_rows, fb_pad, mask, jnp.zeros((ppad,), jnp.float32), sw, pw, eps,
+        unit_x=True, interpret=interpret)
+    s0 = jnp.sum(Um32, axis=0) + Uinv32.T @ ap0[:p]
+
+    zero_top = jnp.zeros((p,), jnp.float32)
+    zero_rest = jnp.zeros((qpad,), jnp.float32)
+
+    def body(_, state):
+        _, _, _, _, s = state
+        c_top, c_rest, s = halfstep(lam * s)
+        r_top, r_rest, s = halfstep(lam * s)
+        return r_top, r_rest, c_top, c_rest, s
+
+    r_top, r_rest, c_top, c_rest, _ = jax.lax.fori_loop(
+        0, max_iter, body, (jnp.ones((p,), jnp.float32), zero_rest + 1.0,
+                            zero_top, zero_rest, s0))
+    r = jnp.concatenate([r_top, r_rest[:q]])
+    c = jnp.concatenate([c_top, c_rest[:q]])
+    return r, c

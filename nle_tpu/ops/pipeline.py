@@ -70,6 +70,14 @@ _GRID_CACHE: dict = {}
 # chip can hold (at a few percent of throughput).
 _CPHI_BYTES_LIMIT = int(os.environ.get("NLE_CPHI_BYTES", str(3 << 30)))
 
+# Above this phi size even the un-scaled phi no longer fits comfortably in
+# HBM (16 GB on v5e): switch to the phi-FREE streaming stage 2, which
+# recomputes affinity tiles from the 12 B/pixel features inside every
+# Sinkhorn pass (ops/pallas/streaming_kernel.py). Memory becomes O(N),
+# lifting the single-chip ceiling from ~5 MP to ~50 MP; each pass costs
+# ~7 ms/MP (VPU exp-bound) vs ~5.6 ms for the HBM-bound dense half-step.
+_STREAM_BYTES_LIMIT = int(os.environ.get("NLE_STREAM_BYTES", str(8 << 30)))
+
 
 def _grid_device_arrays(grid: SampleGrid, dtype):
     """Device-resident (perm, rows, cols) for a SampleGrid, cached — these
@@ -283,6 +291,78 @@ def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, m: int):
         return jnp.concatenate([Va, Vb], axis=0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "interpret"),
+)
+def train_filter_stage2a_streaming(
+    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+    *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
+    interpret: bool = False,
+):
+    """phi-free device half 1 for images whose phi would not fit in HBM:
+    Sinkhorn and the Sb gram recompute affinity tiles on the fly
+    (ops/pallas/streaming_kernel.py) — per-pixel HBM state is just the
+    features and the balancing vectors. Returns (packed (m+2, m), c (N,))."""
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        streaming_scaled_gram_pallas,
+        streaming_sinkhorn_vectors,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        f = features(rr, cc, y)
+        fa, fb = f[:p], f[p:]
+        r, c = streaming_sinkhorn_vectors(
+            fa, fb, Um, lam_m, Uinv, n_sinkhorn_iter, eps, sw, pw,
+            interpret=interpret)
+        # Sb over the packed rows below the balanced-block boundary m:
+        # rows m..p come from the stored Um block (tiny, XLA); rows p..N
+        # are streamed.
+        cu = c[m:p, None] * Um[m:]
+        Sb_top = cu.T @ cu
+        q = fb.shape[0]
+        qpad = -(-max(q, 1) // 512) * 512
+        ppad = -(-p // 128) * 128
+        mpad = -(-m // 128) * 128
+        fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
+        fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))
+        c_pad = jnp.pad(c[p:], (0, qpad - q))[:, None]
+        uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
+                           ((0, ppad - p), (0, mpad - m)))
+        Sb = Sb_top + streaming_scaled_gram_pallas(
+            fa_rows, fb_pad, c_pad, uinv_pad, sw, pw,
+            interpret=interpret)[:m, :m]
+        packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
+    return packed, c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "m", "interpret"),
+)
+def train_filter_stage2b_streaming(
+    y, rr, cc, Um, Uinv, sw, pw, c, va_grt,
+    *, p: int, m: int, interpret: bool = False,
+):
+    """phi-free device half 2: the eigenvector tail.
+
+    Vb rows m..p come from the Um block; rows p..N collapse to one fused
+    affinity matmul with the SMALL right factor Uinv @ GrT (p, k) — the
+    (N, m) phi never exists, only the (N, k) result."""
+    from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
+
+    with jax.default_matmul_precision("highest"):
+        k = va_grt.shape[1] // 2
+        Va = va_grt[:, :k]
+        GrT = va_grt[:, k:]
+        f = features(rr, cc, y)
+        fa, fb = f[:p], f[p:]
+        Vu = (c[m:p, None] * Um[m:]) @ GrT
+        B = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)     # (p, k)
+        Vb = c[p:, None] * affinity_matmul_pallas(
+            fa, fb, B, sw, pw, interpret=interpret)
+        return jnp.concatenate([Va, Vu, Vb.astype(va_grt.dtype)], axis=0)
+
+
 @jax.jit
 def _scatter_rows(V_packed, perm):
     return jnp.zeros_like(V_packed).at[perm].set(V_packed)
@@ -309,6 +389,7 @@ def train_filter(
     eigh_method: str | None = None,
     stage1: str = "host64",
     pixel_order: bool = True,
+    streaming: bool | None = None,
 ):
     """Train the nonlocal filter on a single channel (H, W).
 
@@ -388,12 +469,32 @@ def train_filter(
     warn_truncation(p, m, float(eps))
 
     if eigh_method == "host64-chain":
+        if dtype != jnp.float32:
+            streaming = False  # the streaming kernels are f32-only
+        elif streaming is None:
+            from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
+
+            npad_, mpad_ = padded_shape(grid.n_pixels, m)
+            pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
+                         else use_pallas)
+            streaming = pallas_ok and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT
+        interpret_stream = jax.default_backend() != "tpu"
         with stage("Nystrom approximation + Sinkhorn"):
-            packed, phi_store, c_rest = train_filter_stage2a(
-                y, rr, cc, Um, lam_m, Uinv, sw, pw,
-                p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
-                use_pallas=use_pallas,
-            )
+            if streaming:
+                logger.info(
+                    "phi (%d x %d) exceeds NLE_STREAM_BYTES: using the "
+                    "phi-free streaming stage 2.", grid.n_pixels, m)
+                packed, c_full = train_filter_stage2a_streaming(
+                    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                    p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter,
+                    eps=float(eps), interpret=interpret_stream,
+                )
+            else:
+                packed, phi_store, c_rest = train_filter_stage2a(
+                    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                    p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
+                    use_pallas=use_pallas,
+                )
             arr = np.asarray(packed, np.float64)  # one device->host transfer
         rt, ct, Sb = arr[0], arr[1], arr[2:]
         k = min(n_eig_vectors, m)
@@ -411,9 +512,15 @@ def train_filter(
             va_grt = jnp.asarray(
                 np.concatenate([Va, GrT], axis=1), dtype
             )                                  # one host->device transfer
-            V_packed = train_filter_stage2b(
-                phi_store, c_rest, va_grt, n=grid.n_pixels, m=m
-            )
+            if streaming:
+                V_packed = train_filter_stage2b_streaming(
+                    y, rr, cc, Um, Uinv, sw, pw, c_full, va_grt,
+                    p=p, m=m, interpret=interpret_stream,
+                )
+            else:
+                V_packed = train_filter_stage2b(
+                    phi_store, c_rest, va_grt, n=grid.n_pixels, m=m
+                )
         S = jnp.asarray(Sq, dtype)
     else:
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):

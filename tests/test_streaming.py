@@ -1,0 +1,123 @@
+"""The phi-free streaming stage 2 (ops/pallas/streaming_kernel.py) must
+reproduce the dense pipeline: same affinity arithmetic, different contraction
+association only (~f32 rounding differences)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nle_tpu.ops.affinity import bandwidth_weights, features
+from nle_tpu.ops.pipeline import ka_eigh_host64, train_filter
+from nle_tpu.ops.sampling import sample_grid
+from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+
+@pytest.fixture(scope="module")
+def small_image():
+    rng = np.random.default_rng(42)
+    H, W = 40, 52
+    chan = rng.integers(0, 256, (H, W)).astype(np.float32)
+    return chan
+
+
+def _packed_setup(chan, nr=5, nc=5, hx=30.0, hy=10.0, eps=1e-10):
+    grid = sample_grid(*chan.shape, nr, nc)
+    flat = chan.reshape(-1)[grid.perm]
+    rr = (grid.perm // chan.shape[1]).astype(np.float32)
+    cc = (grid.perm % chan.shape[1]).astype(np.float32)
+    Um64, lam64, Uinv64 = ka_eigh_host64(
+        chan[grid.sel_rows, grid.sel_cols], grid.sel_rows, grid.sel_cols,
+        hx, hy, eps)
+    sw, pw = bandwidth_weights(hx, hy)
+    return grid, flat, rr, cc, Um64, lam64, Uinv64, sw, pw
+
+
+def test_streaming_sinkhorn_matches_dense(small_image):
+    from nle_tpu.ops.pallas.streaming_kernel import streaming_sinkhorn_vectors
+
+    grid, flat, rr, cc, Um64, lam64, Uinv64, sw, pw = _packed_setup(small_image)
+    p = grid.n_samples
+    m = lam64.shape[0]
+    f = features(jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(flat))
+    Um = jnp.asarray(Um64, jnp.float32)
+    lam = jnp.asarray(lam64, jnp.float32)
+    Uinv = jnp.asarray(Uinv64, jnp.float32)
+
+    # Dense reference: phi assembled explicitly.
+    from nle_tpu.ops.affinity import affinity_matmul_xla
+
+    phi_b = affinity_matmul_xla(f[:p], f[p:], Uinv, sw, pw)
+    phi = jnp.concatenate([Um, phi_b], axis=0)
+    r_ref, c_ref = sinkhorn_vectors(phi, lam, 10, 1e-10)
+
+    r, c = streaming_sinkhorn_vectors(
+        f[:p], f[p:], Um, lam, Uinv, 10, 1e-10, sw, pw, interpret=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_streaming_gram_matches_dense(small_image):
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        streaming_scaled_gram_pallas,
+    )
+
+    grid, flat, rr, cc, Um64, lam64, Uinv64, sw, pw = _packed_setup(small_image)
+    p = grid.n_samples
+    m = lam64.shape[0]
+    f = features(jnp.asarray(rr), jnp.asarray(cc), jnp.asarray(flat))
+    Uinv = jnp.asarray(Uinv64, jnp.float32)
+    rng = np.random.default_rng(3)
+    q = grid.n_pixels - p
+    cvec = jnp.asarray(rng.random(q).astype(np.float32))
+
+    from nle_tpu.ops.affinity import affinity_matmul_xla
+
+    phi_b = affinity_matmul_xla(f[:p], f[p:], Uinv, sw, pw)
+    cphi = cvec[:, None] * phi_b
+    want = np.asarray(cphi.T @ cphi)[:m, :m]
+
+    qpad = -(-q // 512) * 512
+    ppad = -(-p // 128) * 128
+    mpad = -(-m // 128) * 128
+    fa_rows = jnp.pad(f[:p].T, ((0, 0), (0, ppad - p)))
+    fb_pad = jnp.pad(f[p:], ((0, qpad - q), (0, 0)))
+    c_pad = jnp.pad(cvec, (0, qpad - q))[:, None]
+    uinv_pad = jnp.pad(Uinv, ((0, ppad - p), (0, mpad - m)))
+    got = np.asarray(streaming_scaled_gram_pallas(
+        fa_rows, fb_pad, c_pad, uinv_pad, sw, pw, interpret=True))[:m, :m]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_train_filter_matches_dense(small_image):
+    """End-to-end: train_filter with streaming forced vs the dense path.
+    Eigenvector sign freedom is factored out per column."""
+    kwargs = dict(hx=30.0, hy=10.0, n_sinkhorn_iter=10, n_eig_vectors=4)
+    V_d, S_d = train_filter(small_image, 5, 5, streaming=False, **kwargs)
+    V_s, S_s = train_filter(small_image, 5, 5, streaming=True, **kwargs)
+    V_d, V_s = np.asarray(V_d), np.asarray(V_s)
+    np.testing.assert_allclose(np.asarray(S_s), np.asarray(S_d),
+                               rtol=1e-4, atol=1e-7)
+    for j in range(V_d.shape[1]):
+        sign = np.sign(np.dot(V_d[:, j], V_s[:, j])) or 1.0
+        np.testing.assert_allclose(sign * V_s[:, j], V_d[:, j],
+                                   rtol=5e-3, atol=2e-4)
+
+
+def test_streaming_filtered_output_close(small_image):
+    """The edit result (the user-visible artifact) from the streaming path
+    matches the dense path to sub-LSB accuracy."""
+    from nle_tpu.ops.pipeline import apply_filter
+    from nle_tpu.ops.transform import transform_eigenvalues
+
+    weights = [1.0, 1.6, 1.3, 1.1]
+    out = {}
+    for mode in (False, True):
+        V, S = train_filter(small_image, 5, 5, hx=30.0, hy=10.0,
+                            n_sinkhorn_iter=10, n_eig_vectors=4,
+                            streaming=mode)
+        fS = transform_eigenvalues(S, jnp.asarray(weights, jnp.float32))
+        out[mode] = np.asarray(apply_filter(V, fS, jnp.asarray(small_image)))
+    assert np.abs(out[True] - out[False]).max() < 0.5
