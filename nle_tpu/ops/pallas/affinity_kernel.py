@@ -46,6 +46,27 @@ def _out_struct(shape, *operands):
     return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
+def _unify_vma(*operands):
+    """pcast every operand to the union of their varying manual axes.
+
+    Under shard_map(check_vma=True) a pallas kernel body may not mix
+    operands with different varying-axis sets (e.g. per-'pixel'-shard
+    features against 'pixel'-replicated sample features); broadcasting the
+    replicated side to varying is free and makes the kernel vma-uniform."""
+    try:
+        vmas = [jax.typeof(o).vma for o in operands]
+    except Exception:
+        return operands
+    union = frozenset().union(*vmas)
+    if not union:
+        return operands
+    out = []
+    for o, v in zip(operands, vmas):
+        missing = tuple(sorted(union - v))
+        out.append(jax.lax.pcast(o, missing, to="varying") if missing else o)
+    return tuple(out)
+
+
 def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]

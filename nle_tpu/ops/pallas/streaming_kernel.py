@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nle_tpu.ops.pallas.affinity_kernel import _out_struct, _unify_vma
+
 TILE_Q = 512
 
 
@@ -111,6 +113,8 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         bytes_accessed=4 * (qpad * 4 + 3 * ppad + qpad + 2 * ppad),
         transcendentals=qpad * ppad,
     )
+    sw2, pw2, eps2, fa_rows, fb_pad, mask, u_row = _unify_vma(
+        sw2, pw2, eps2, fa_rows, fb_pad, mask, u_pad[None, :])
     x, ap8 = pl.pallas_call(
         functools.partial(_halfstep_kernel, unit_x=unit_x),
         grid=(qpad // TILE_Q,),
@@ -128,12 +132,12 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
             pl.BlockSpec((8, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((qpad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((8, ppad), jnp.float32),
+            _out_struct((qpad, 1), u_row, fb_pad, mask, fa_rows),
+            _out_struct((8, ppad), u_row, fb_pad, mask, fa_rows),
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, eps2, u_pad[None, :], fb_pad, mask, fa_rows)
+    )(sw2, pw2, eps2, u_row, fb_pad, mask, fa_rows)
     return x[:, 0], jnp.sum(ap8, axis=0)
 
 
@@ -173,6 +177,8 @@ def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         bytes_accessed=4 * (qpad * 4 + 3 * ppad + ppad * mpad + mpad * mpad),
         transcendentals=qpad * ppad,
     )
+    sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows = _unify_vma(
+        sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows)
     sb = pl.pallas_call(
         _gram_kernel,
         grid=(qpad // TILE_Q,),
@@ -186,7 +192,7 @@ def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         ],
         out_specs=pl.BlockSpec((mpad, mpad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mpad, mpad), jnp.float32),
+        out_shape=_out_struct((mpad, mpad), uinv_pad, fb_pad, c_pad, fa_rows),
         cost_estimate=cost,
         interpret=interpret,
     )(sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows)

@@ -64,6 +64,56 @@ def _sharded_2a_step(mesh: Mesh, p: int, m: int, n_iter: int, eps: float):
 
 
 @functools.lru_cache(maxsize=32)
+def _sharded_2a_step_streaming(mesh: Mesh, p: int, m: int, n_iter: int,
+                               eps: float, interpret: bool):
+    """Streaming (phi-free) variant of _sharded_2a_step: each pixel shard
+    recomputes its affinity tiles per half-step; outputs are the same except
+    the sharded factor is replaced by the sharded c vector (Vb is built by
+    _sharded_2b_streaming)."""
+    def fn(Um, lam_m, Uinv, fa, fb_local, mask_local, sw, pw):
+        return _train_2a_streaming(
+            Um, lam_m, Uinv, fa, fb_local, mask_local,
+            p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
+            interpret=interpret)
+
+    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    sharded = jax.shard_map(
+        vfn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"),
+                  P("data", "pixel"), P("data", "pixel"), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"),
+                   P("data", "pixel")),
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_2b_streaming(mesh: Mesh, interpret: bool):
+    """Vb = c * (K_AB^T @ (Uinv @ GrT)) per pixel shard (streaming path)."""
+    def fn(fa, fb_local, cbl_local, B, sw, pw):
+        from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
+
+        if interpret or jax.default_backend() != "tpu":
+            from nle_tpu.ops.affinity import affinity_matmul_xla
+
+            vb = affinity_matmul_xla(fa, fb_local, B, sw, pw)
+        else:
+            vb = affinity_matmul_pallas(fa, fb_local, B, sw, pw)
+        return cbl_local[:, None] * vb
+
+    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))
+    sharded = jax.shard_map(
+        vfn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data", "pixel"), P("data", "pixel"),
+                  P("data"), P(), P()),
+        out_specs=P("data", "pixel"),
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
 def _sharded_apply(mesh: Mesh):
     def body(v_l, c_l, fs):
         proj = jax.lax.psum(v_l.T @ c_l, "pixel")
@@ -146,6 +196,106 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     return rt, ct, cu, Sb, cphib_l
 
 
+def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
+                        n_iter, eps, sw, pw, interpret):
+    """Per-(batch element, pixel-shard) phi-FREE Nystrom + Sinkhorn body:
+    the local rest-block rows of phi are recomputed from affinity tiles
+    every half-step (ops/pallas/streaming_kernel.py), so no (nb_local, m)
+    factor ever exists — per-shard memory is O(nb_local). Combined with the
+    pixel mesh this scales capacity AND streaming sweep rate by the number
+    of chips (the sweep is VPU-bound and embarrassingly row-parallel; only
+    m-sized psums cross ICI)."""
+    phi_top = Um[:m]
+    phi_u = Um[m:]
+    Uinv32 = Uinv
+    nb_local = fb_local.shape[0]
+    qpad = -(-max(nb_local, 1) // 512) * 512
+    ppad = -(-p // 128) * 128
+    mpad = -(-m // 128) * 128
+
+    if interpret:
+        # Non-TPU (CPU-mesh tests): same association and reduction structure
+        # as the Pallas kernels, via the tiled XLA affinity builder —
+        # interpret-mode pallas under shard_map trips check_vma on the
+        # replicated SMEM scalars.
+        def stream_halfstep(u, unit_x=False):
+            if unit_x:
+                x_bl = mask_local
+            else:
+                w = affinity_matmul_xla(fa, fb_local, u[:, None], sw, pw)[:, 0]
+                x_bl = safe_reciprocal(w, eps) * mask_local
+            ap = affinity_matmul_xla(fb_local, fa, x_bl[:, None], sw, pw)[:, 0]
+            return x_bl, ap
+
+        def stream_gram(cbl):
+            cphi = cbl[:, None] * affinity_matmul_xla(
+                fa, fb_local, Uinv32, sw, pw)
+            return cphi.T @ cphi
+    else:
+        from nle_tpu.ops.pallas.streaming_kernel import (
+            streaming_halfstep_pallas,
+            streaming_scaled_gram_pallas,
+        )
+
+        fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
+        fb_pad = jnp.pad(fb_local, ((0, qpad - nb_local), (0, 0)))
+        mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[:, None]
+
+        def stream_halfstep(u, unit_x=False):
+            u_pad = jnp.pad(u, (0, ppad - p))
+            x_bl, ap = streaming_halfstep_pallas(
+                fa_rows, fb_pad, mask_pad, u_pad, sw, pw, eps,
+                unit_x=unit_x)
+            return x_bl[:nb_local], ap[:p]
+
+        def stream_gram(cbl):
+            uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - m)))
+            c_pad = jnp.pad(cbl, (0, qpad - nb_local))[:, None]
+            return streaming_scaled_gram_pallas(
+                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:m, :m]
+
+    def halfstep(s):
+        t = lam_m * s
+        u = Uinv32 @ t
+        xt = safe_reciprocal(phi_top @ t, eps)
+        xu = safe_reciprocal(phi_u @ t, eps)
+        x_bl, ap = stream_halfstep(u)
+        s_new = (phi_top.T @ xt + phi_u.T @ xu
+                 + jax.lax.psum(Uinv32.T @ ap, "pixel"))
+        return xt, xu, x_bl, s_new
+
+    # s0 = phi^T @ ones
+    _, ap0 = stream_halfstep(jnp.zeros((p,), fa.dtype), unit_x=True)
+    s0 = (jnp.sum(phi_top, axis=0) + jnp.sum(phi_u, axis=0)
+          + jax.lax.psum(Uinv32.T @ ap0, "pixel"))
+
+    data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
+    dt = fa.dtype
+    init = (
+        data_varying(jnp.zeros((m,), dt)),
+        data_varying(jnp.zeros((p - m,), dt)),
+        jnp.zeros_like(mask_local),
+        s0,
+    )
+
+    # Both r and c are needed at the end but only s carries between
+    # iterations: run n_iter-1 fused iterations, then unroll the final one
+    # to capture (c, r) from its two half-steps.
+    def full_body(_, state):
+        ct, cu, cbl, s = state
+        ct, cu, cbl, s = halfstep(s)
+        _, _, _, s = halfstep(s)
+        return ct, cu, cbl, s
+
+    ct, cu, cbl, s = jax.lax.fori_loop(0, n_iter - 1, full_body, init)
+    ct, cu, cbl, s = halfstep(s)
+    rt, ru, rbl, s = halfstep(s)
+
+    cphiu = cu[:, None] * phi_u
+    Sb = cphiu.T @ cphiu + jax.lax.psum(stream_gram(cbl), "pixel")
+    return rt, ct, cu, Sb, cbl
+
+
 def train_filter_sharded(
     channels,
     n_row_samples: int,
@@ -158,12 +308,18 @@ def train_filter_sharded(
     *,
     eps: float | None = None,
     dtype=jnp.float32,
+    streaming: bool = False,
 ):
     """Train filters for a batch of channels (B, H, W) over the mesh.
 
     Returns (V (B, N, k) pixel-order, S (B, k)). B must divide by the
     'data' axis size. Batch elements whose kept-eigenvalue counts m differ
     are processed in same-m groups (shapes are static per compile).
+
+    streaming=True uses the phi-free stage 2 per shard (affinity tiles
+    recomputed every sweep): per-shard memory drops from O(nb_local * m) to
+    O(nb_local), so capacity AND the VPU-bound sweep rate scale with the
+    pixel-axis size — the multi-chip route past the single-chip ~50 MP.
     """
     channels = np.asarray(channels)
     b, nrows, ncols = channels.shape
@@ -213,7 +369,12 @@ def train_filter_sharded(
         Um = jnp.asarray(np.stack([stage1[i][0] for i in idx]), dtype)
         lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
         Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
-        step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps)
+        interpret = jax.default_backend() != "tpu"
+        if streaming:
+            step = _sharded_2a_step_streaming(
+                mesh, p, m, n_sinkhorn_iter, eps, interpret)
+        else:
+            step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps)
         with jax.default_matmul_precision("highest"):
             rt, ct, cu, Sb, cphib = step(
                 Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx], sw, pw
@@ -237,10 +398,15 @@ def train_filter_sharded(
             V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
             S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
         with jax.default_matmul_precision("highest"):
-            Vb = jnp.einsum(
-                "bnm,bmk->bnk", cphib,
-                jnp.asarray(np.stack(grts), dtype),
-            )
+            grt_dev = jnp.asarray(np.stack(grts), dtype)
+            if streaming:
+                # cphib holds the sharded c vector; Vb is one fused
+                # affinity matmul per shard with the small (p, k) factor.
+                B = jnp.einsum("bpm,bmk->bpk", Uinv, grt_dev)
+                step2b = _sharded_2b_streaming(mesh, interpret)
+                Vb = step2b(fa[idx], fb[idx], cphib, B, sw, pw)
+            else:
+                Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
         Vb_np = np.asarray(Vb[:, :nb, :])
         for j, i in enumerate(idx):
             V_out[i, grid.perm[p:], :] = Vb_np[j][:, :k_out]

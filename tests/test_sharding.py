@@ -80,3 +80,22 @@ def test_sharded_apply_matches(batch):
     out_1 = np.asarray(apply_filter(V, fS, jnp.asarray(batch[0])))
     out_s = np.asarray(apply_filter_sharded(V, fS, jnp.asarray(batch[0]), mesh))
     np.testing.assert_allclose(out_s, out_1, atol=1e-3)
+
+
+@pytest.mark.parametrize("n_data,n_pixel", [(1, 8), (2, 4)])
+def test_sharded_streaming_matches_single_device(batch, n_data, n_pixel):
+    """The phi-free streaming sharded trainer (affinity recomputed per
+    sweep, interpret-mode kernels on CPU) agrees with the single-device
+    dense pipeline."""
+    mesh = make_mesh(n_data, n_pixel)
+    V_s, S_s = train_filter_sharded(batch, *ARGS, mesh, streaming=True)
+    V_1, S_1 = _single(batch)
+    np.testing.assert_allclose(np.asarray(S_s), S_1, rtol=2e-4, atol=1e-5)
+    w = [2.0, 3.0, 4.0, 1.0]
+    for i in range(batch.shape[0]):
+        fS = transform_eigenvalues(jnp.asarray(S_1[i]), w)
+        out_1 = np.asarray(
+            apply_filter(jnp.asarray(V_1[i]), fS, jnp.asarray(batch[i])))
+        out_s = np.asarray(
+            apply_filter(jnp.asarray(V_s[i]), fS, jnp.asarray(batch[i])))
+        assert np.abs(out_s - out_1).max() < 0.05
