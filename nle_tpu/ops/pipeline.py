@@ -469,6 +469,14 @@ def train_filter(
     warn_truncation(p, m, float(eps))
 
     if eigh_method == "host64-chain":
+        # The streaming kernels hold a (512, Ppad) affinity tile, Uinv and
+        # the Sb accumulator in VMEM: dense sampling grids past ~p = 2048
+        # need a p-tiled variant (ROADMAP).
+        ppad_ = -(-p // 128) * 128
+        mpad_s = -(-m // 128) * 128
+        stream_fits = (ppad_ <= 2048 and
+                       4 * (512 * ppad_ + ppad_ * mpad_s + mpad_s * mpad_s
+                            + 512 * mpad_s) <= 10 * 2**20)
         if dtype != jnp.float32:
             streaming = False  # the streaming kernels are f32-only
         elif streaming is None:
@@ -477,7 +485,13 @@ def train_filter(
             npad_, mpad_ = padded_shape(grid.n_pixels, m)
             pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                          else use_pallas)
-            streaming = pallas_ok and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT
+            streaming = (pallas_ok and stream_fits
+                         and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
+        elif streaming and not stream_fits:
+            raise ValueError(
+                f"streaming stage 2 supports sampling grids up to p ~ 2048 "
+                f"(got p = {p}, m = {m}): the (512, Ppad) affinity tile + "
+                "Uinv + Sb no longer fit VMEM.")
         interpret_stream = jax.default_backend() != "tpu"
         with stage("Nystrom approximation + Sinkhorn"):
             if streaming:

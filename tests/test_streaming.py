@@ -121,3 +121,12 @@ def test_streaming_filtered_output_close(small_image):
         fS = transform_eigenvalues(S, jnp.asarray(weights, jnp.float32))
         out[mode] = np.asarray(apply_filter(V, fS, jnp.asarray(small_image)))
     assert np.abs(out[True] - out[False]).max() < 0.5
+
+
+def test_streaming_rejects_oversized_sampling_grid(small_image):
+    """Forced streaming with a sampling grid beyond the VMEM budget must
+    fail loudly instead of a Mosaic VMEM error at compile time."""
+    big = np.random.default_rng(0).integers(0, 256, (80, 80)).astype(np.float32)
+    with pytest.raises(ValueError, match="p ~ 2048"):
+        train_filter(big, 47, 47, hx=100.0, hy=30.0, n_sinkhorn_iter=2,
+                     n_eig_vectors=2, streaming=True)
