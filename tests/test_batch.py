@@ -1,0 +1,28 @@
+"""Pipelined multi-image training must reproduce per-image train_filter."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nle_tpu.models.batch import train_filters_pipelined
+from nle_tpu.ops.pipeline import apply_filter, train_filter
+from nle_tpu.ops.transform import transform_eigenvalues
+
+
+def test_pipelined_matches_single():
+    rng = np.random.default_rng(5)
+    chans = [rng.integers(0, 256, (30, 40)).astype(np.float32)
+             for _ in range(3)]
+    flts = train_filters_pipelined(chans, 4, 5, 40.0, 20.0, 8, 4)
+    w = [1.0, 2.0, 1.5, 1.2]
+    for chan, flt in zip(chans, flts):
+        V1, S1 = train_filter(chan, 4, 5, hx=40.0, hy=20.0,
+                              n_sinkhorn_iter=8, n_eig_vectors=4)
+        np.testing.assert_allclose(np.asarray(flt.eigvals), np.asarray(S1),
+                                   rtol=1e-5, atol=1e-8)
+        # compare the filter action (eigvec sign freedom)
+        Vp = flt.eigvecs_pixel_order()
+        fS = transform_eigenvalues(jnp.asarray(S1), w)
+        out_p = np.asarray(apply_filter(jnp.asarray(Vp), fS, jnp.asarray(chan)))
+        out_1 = np.asarray(apply_filter(V1, fS, jnp.asarray(chan)))
+        assert np.abs(out_p - out_1).max() < 1e-3
