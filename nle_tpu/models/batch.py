@@ -32,6 +32,7 @@ from nle_tpu.ops.pipeline import (
     _cast_channel,
     _grid_device_arrays,
     ka_eigh_host64,
+    pack_stage1,
     train_filter_stage2a,
     train_filter_stage2b,
 )
@@ -83,9 +84,7 @@ def train_filters_pipelined(
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
         packed, phi_store, c_rest = train_filter_stage2a(
-            y, rr, cc,
-            jnp.asarray(Um64, jnp.float32), jnp.asarray(lam64, jnp.float32),
-            jnp.asarray(Uinv64, jnp.float32), sw, pw,
+            y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, Uinv64)), sw, pw,
             p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
         )
         return (packed, phi_store, c_rest, Um64, lam64, m)

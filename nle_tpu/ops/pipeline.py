@@ -199,12 +199,24 @@ def train_filter_stage2(
     return V, S
 
 
+def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32):
+    """One (2p+1, m) host array holding [Um; lam; Uinv] — stage 1's device
+    inputs ride ONE host->device transfer instead of three (each transfer
+    over the tunnel-attached TPU costs ~30-60 ms of latency)."""
+    return np.concatenate(
+        [Um64, lam64[None, :], Uinv64], axis=0).astype(dtype)
+
+
+def _unpack_stage1(stage1_packed, p):
+    return (stage1_packed[:p], stage1_packed[p], stage1_packed[p + 1:])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "use_pallas"),
 )
 def train_filter_stage2a(
-    y, rows, cols, Um, lam_m, Uinv, sw, pw,
+    y, rows, cols, stage1_packed, sw, pw,
     *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
     use_pallas: bool | None = None,
 ):
@@ -217,6 +229,7 @@ def train_filter_stage2a(
     (the scale is fused into the Sb/Vb kernels), so phi is the only N-scale
     array alive on the device."""
     with jax.default_matmul_precision("highest"):
+        Um, lam_m, Uinv = _unpack_stage1(stage1_packed, p)
         f = features(rows, cols, y)
         fa, fb = f[:p], f[p:]
         phi_b = affinity_matmul(fa, fb, Uinv, sw, pw, use_pallas=use_pallas)
@@ -296,7 +309,7 @@ def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, m: int):
     static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "interpret"),
 )
 def train_filter_stage2a_streaming(
-    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+    y, rr, cc, stage1_packed, sw, pw,
     *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
     interpret: bool = False,
 ):
@@ -310,6 +323,7 @@ def train_filter_stage2a_streaming(
     )
 
     with jax.default_matmul_precision("highest"):
+        Um, lam_m, Uinv = _unpack_stage1(stage1_packed, p)
         f = features(rr, cc, y)
         fa, fb = f[:p], f[p:]
         r, c = streaming_sinkhorn_vectors(
@@ -340,7 +354,7 @@ def train_filter_stage2a_streaming(
     jax.jit, static_argnames=("p", "m", "interpret"),
 )
 def train_filter_stage2b_streaming(
-    y, rr, cc, Um, Uinv, sw, pw, c, va_grt,
+    y, rr, cc, stage1_packed, sw, pw, c, va_grt,
     *, p: int, m: int, interpret: bool = False,
 ):
     """phi-free device half 2: the eigenvector tail.
@@ -351,6 +365,7 @@ def train_filter_stage2b_streaming(
     from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
 
     with jax.default_matmul_precision("highest"):
+        Um, _, Uinv = _unpack_stage1(stage1_packed, p)
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
@@ -451,9 +466,8 @@ def train_filter(
                 grid.sel_rows, grid.sel_cols, hx, hy, float(eps),
             )
             m = lam64.shape[0]
-            Um = jnp.asarray(Um64, dtype)
-            lam_m = jnp.asarray(lam64, dtype)
-            Uinv = jnp.asarray(Uinv64, dtype)
+            stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
+                                                 np.dtype(dtype)))
         else:
             U, lam = ka_eigh_stage(
                 y, rr, cc, sw, pw, p=p, eps=float(eps), eigh_method=eigh_method
@@ -462,6 +476,7 @@ def train_filter(
             Um = U[:, :m]
             lam_m = lam[:m]
             Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
+            stage1_dev = jnp.concatenate([Um, lam_m[None, :], Uinv], axis=0)
             Um64 = np.asarray(Um, np.float64)
             lam64 = np.asarray(lam_m, np.float64)
     if m == 0:
@@ -499,13 +514,13 @@ def train_filter(
                     "phi (%d x %d) exceeds NLE_STREAM_BYTES: using the "
                     "phi-free streaming stage 2.", grid.n_pixels, m)
                 packed, c_full = train_filter_stage2a_streaming(
-                    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                    y, rr, cc, stage1_dev, sw, pw,
                     p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter,
                     eps=float(eps), interpret=interpret_stream,
                 )
             else:
                 packed, phi_store, c_rest = train_filter_stage2a(
-                    y, rr, cc, Um, lam_m, Uinv, sw, pw,
+                    y, rr, cc, stage1_dev, sw, pw,
                     p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                     use_pallas=use_pallas,
                 )
@@ -528,7 +543,7 @@ def train_filter(
             )                                  # one host->device transfer
             if streaming:
                 V_packed = train_filter_stage2b_streaming(
-                    y, rr, cc, Um, Uinv, sw, pw, c_full, va_grt,
+                    y, rr, cc, stage1_dev, sw, pw, c_full, va_grt,
                     p=p, m=m, interpret=interpret_stream,
                 )
             else:
@@ -538,6 +553,7 @@ def train_filter(
         S = jnp.asarray(Sq, dtype)
     else:
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
+            Um, lam_m, Uinv = _unpack_stage1(stage1_dev, p)
             V_packed, S = train_filter_stage2(
                 y, rr, cc, Um, lam_m, Uinv, sw, pw,
                 p=p,
