@@ -90,6 +90,7 @@ class NLEFilter:
         self._trained = trained
         self._train_kwargs = train_kwargs  # eps/dtype/use_pallas overrides
         self._lab_cache: tuple[np.ndarray, np.ndarray] | None = None
+        self._packed_y_cache: tuple[np.ndarray, jax.Array] | None = None
 
     def _to_lab(self, image: np.ndarray) -> np.ndarray:
         """BGR->Lab with a one-entry cache: the train->edit flow converts
@@ -123,9 +124,21 @@ class NLEFilter:
 
         nrows, ncols = channel.shape
         grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
+        # Upload the packed channel once and keep the device buffer: the
+        # train->edit flow filters the very same channel, so `apply` can
+        # skip its upload (one tunnel round trip per edit).
+        packed_np = channel.reshape(-1)[grid.perm]
+        y_dev = None
+        self._packed_y_cache = None
+        if (packed_np.min() >= 0 and packed_np.max() <= 255
+                and np.array_equal(packed_np, np.rint(packed_np))):
+            packed_u8 = packed_np.astype(np.uint8)
+            y_dev = jnp.asarray(packed_u8)
+            self._packed_y_cache = (packed_u8, y_dev)
         V, S = train_filter(
             channel, n_row_samples, n_col_samples, hx, hy,
             n_sinkhorn_iter, n_eigen_vectors, grid=grid, pixel_order=False,
+            packed_y_dev=y_dev,
             **self._train_kwargs,
         )
         self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm)
@@ -189,8 +202,18 @@ class NLEFilter:
         flat = channels_u8.reshape(t.eigvecs.shape[0], -1)
         if t.perm is not None:
             flat = flat[t.perm]
+        # Train->edit flow: the single filtered channel is usually the very
+        # channel training uploaded — reuse that device buffer.
+        flat_dev = None
+        if (self._packed_y_cache is not None and flat.shape[1] == 1
+                and flat.dtype == np.uint8):
+            cached_np, cached_dev = self._packed_y_cache
+            if np.array_equal(flat[:, 0], cached_np):
+                flat_dev = cached_dev
+        if flat_dev is None:
+            flat_dev = jnp.asarray(flat)
         out = np.asarray(
-            apply_filter_u8(t.eigvecs, jnp.asarray(scale_vals), jnp.asarray(flat))
+            apply_filter_u8(t.eigvecs, jnp.asarray(scale_vals), flat_dev)
         )
         if t.perm is not None:
             unpacked = np.empty_like(out)

@@ -405,6 +405,7 @@ def train_filter(
     stage1: str = "host64",
     pixel_order: bool = True,
     streaming: bool | None = None,
+    packed_y_dev: jax.Array | None = None,
 ):
     """Train the nonlocal filter on a single channel (H, W).
 
@@ -447,15 +448,21 @@ def train_filter(
 
     perm, rr, cc = _grid_device_arrays(grid, dtype)
     # Pack on the host and ship integer-valued channels as uint8 (4x less
-    # transfer; L channels are always 8-bit-valued).
-    flat_np = channel_np.reshape(-1)
-    packed_np = flat_np[grid.perm]
-    if (packed_np.dtype == np.uint8
-            or (packed_np.min() >= 0 and packed_np.max() <= 255
-                and np.array_equal(packed_np, np.rint(packed_np)))):
-        y = _cast_channel(jnp.asarray(packed_np.astype(np.uint8)), dtype)
+    # transfer; L channels are always 8-bit-valued). A caller that already
+    # holds the packed channel on the device (the model layer's train->edit
+    # flow) passes it via packed_y_dev and skips the upload entirely.
+    if packed_y_dev is not None:
+        y = (_cast_channel(packed_y_dev, dtype)
+             if packed_y_dev.dtype != dtype else packed_y_dev)
     else:
-        y = jnp.asarray(packed_np.astype(dtype))
+        flat_np = channel_np.reshape(-1)
+        packed_np = flat_np[grid.perm]
+        if (packed_np.dtype == np.uint8
+                or (packed_np.min() >= 0 and packed_np.max() <= 255
+                    and np.array_equal(packed_np, np.rint(packed_np)))):
+            y = _cast_channel(jnp.asarray(packed_np.astype(np.uint8)), dtype)
+        else:
+            y = jnp.asarray(packed_np.astype(dtype))
     sw, pw = bandwidth_weights(hx, hy, dtype)
     p = grid.n_samples
 
