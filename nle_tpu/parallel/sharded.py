@@ -43,13 +43,15 @@ from nle_tpu.ops.sampling import sample_grid
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_2a_step(mesh: Mesh, p: int, m: int, n_iter: int, eps: float):
+def _sharded_2a_step(mesh: Mesh, p: int, m: int, n_iter: int, eps: float,
+                     use_pallas: bool):
     """Jitted shard_map training step, cached per (mesh, shape config) —
     rebuilding the closure per call would retrace and recompile every time
     (minutes on a remote-compile TPU)."""
     def fn(Um, lam_m, Uinv, fa, fb_local, mask_local, sw, pw):
         return _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local,
-                         p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw)
+                         p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
+                         use_pallas=use_pallas)
 
     vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
     sharded = jax.shard_map(
@@ -92,13 +94,15 @@ def _sharded_2a_step_streaming(mesh: Mesh, p: int, m: int, n_iter: int,
 def _sharded_2b_streaming(mesh: Mesh, interpret: bool):
     """Vb = c * (K_AB^T @ (Uinv @ GrT)) per pixel shard (streaming path)."""
     def fn(fa, fb_local, cbl_local, B, sw, pw):
-        from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
-
-        if interpret or jax.default_backend() != "tpu":
+        if interpret:
             from nle_tpu.ops.affinity import affinity_matmul_xla
 
             vb = affinity_matmul_xla(fa, fb_local, B, sw, pw)
         else:
+            from nle_tpu.ops.pallas.affinity_kernel import (
+                affinity_matmul_pallas,
+            )
+
             vb = affinity_matmul_pallas(fa, fb_local, B, sw, pw)
         return cbl_local[:, None] * vb
 
@@ -138,7 +142,7 @@ def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh
 
 
 def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
-              eps, sw, pw):
+              eps, sw, pw, use_pallas=None):
     """Per-(batch element, pixel-shard) Nystrom + Sinkhorn body under
     shard_map with `psum` over 'pixel'. Um (p, m), lam_m (m,), Uinv (p, m),
     fa (p, 3) replicated across 'pixel'; fb_local (nb_local, 3);
@@ -151,7 +155,9 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     # dispatches to the tiled XLA builder.
     from nle_tpu.ops.affinity import affinity_matmul
 
-    phi_bl = affinity_matmul(fa, fb_local, Uinv, sw, pw) * mask_local[:, None]
+    phi_bl = (affinity_matmul(fa, fb_local, Uinv, sw, pw,
+                              use_pallas=use_pallas)
+              * mask_local[:, None])
     phi_top = Um[:m]          # (m, m) — the balanced-block rows
     phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
 
@@ -369,12 +375,16 @@ def train_filter_sharded(
         Um = jnp.asarray(np.stack([stage1[i][0] for i in idx]), dtype)
         lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
         Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
-        interpret = jax.default_backend() != "tpu"
+        # Decide by the MESH devices' platform, not the process default
+        # backend: under the pinned axon platform a virtual CPU mesh still
+        # sees default_backend() == "tpu".
+        on_tpu = mesh.devices.flat[0].platform == "tpu"
+        interpret = not on_tpu
         if streaming:
             step = _sharded_2a_step_streaming(
                 mesh, p, m, n_sinkhorn_iter, eps, interpret)
         else:
-            step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps)
+            step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps, on_tpu)
         with jax.default_matmul_precision("highest"):
             rt, ct, cu, Sb, cphib = step(
                 Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx], sw, pw
