@@ -231,7 +231,8 @@ def bgr_to_lab_u8_np(bgr_u8: np.ndarray) -> np.ndarray:
 # pow()-based float math, and the integer form is what the C kernel and the
 # jitted TPU path share.
 _IBASE = 1 << 14
-_IMIN_AB = -8145          # covers min(ify - bdiv) = -8144 exactly
+_IMIN_AB = -8145          # == min(ify - bdiv): offset 0 lands EXACTLY on
+                          # the table start (zero margin — keep clamps)
 _IGAMMA_BITS = 12         # inverse-gamma LUT index width
 _ISHIFT = 14              # descale: (BASE * 2^12 matrix) -> 2^12 index
 

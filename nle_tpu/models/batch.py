@@ -11,9 +11,14 @@ dispatch provides the queueing; the only blocking point per image is the
 Per-image cost approaches max(device_time, host_time) instead of their sum
 (measured ~1.3-1.5x throughput on 1 MP streams, tools/bench_batch.py).
 
-Caveat: stage 2 is compiled per (p, m) and m is data-dependent (the eps
-truncation), so a stream with many distinct m values pays a compile per new
-m — same-scene/same-config serving streams reuse the cache.
+Caveats:
+- stage 2 is compiled per (p, m) and m is data-dependent (the eps
+  truncation), so a stream with many distinct m values pays a compile per
+  new m — same-scene/same-config serving streams reuse the cache.
+- the one-image lookahead keeps TWO (N, m) phi buffers alive on the device
+  (image i's for stage 2b while image i+1 sweeps Sinkhorn), so the largest
+  image this driver handles is ~half the single-image dense ceiling
+  (~2.5 MP at m = 600 on a 16 GB chip).
 
 No reference counterpart (the reference trains one filter per process run);
 this is the serving-path extension of NLEFilter (models/filter.py).
@@ -32,6 +37,7 @@ from nle_tpu.ops.pipeline import (
     _cast_channel,
     _grid_device_arrays,
     ka_eigh_host64,
+    pack_channel,
     pack_stage1,
     train_filter_stage2a,
     train_filter_stage2b,
@@ -76,11 +82,9 @@ def train_filters_pipelined(
         )
         m = lam64.shape[0]
         warn_truncation(p, m, eps)
-        packed_np = chan.reshape(-1)[grid.perm]
-        if packed_np.min() >= 0 and packed_np.max() <= 255 and np.array_equal(
-                packed_np, np.rint(packed_np)):
-            y = _cast_channel(jnp.asarray(packed_np.astype(np.uint8)),
-                              jnp.float32)
+        packed_np, is_8bit = pack_channel(chan, grid.perm)
+        if is_8bit:
+            y = _cast_channel(jnp.asarray(packed_np), jnp.float32)
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
         packed, phi_store, c_rest = train_filter_stage2a(

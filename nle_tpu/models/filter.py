@@ -127,14 +127,14 @@ class NLEFilter:
         # Upload the packed channel once and keep the device buffer: the
         # train->edit flow filters the very same channel, so `apply` can
         # skip its upload (one tunnel round trip per edit).
-        packed_np = channel.reshape(-1)[grid.perm]
+        from nle_tpu.ops.pipeline import pack_channel
+
+        packed_np, is_8bit = pack_channel(channel, grid.perm)
         y_dev = None
         self._packed_y_cache = None
-        if (packed_np.min() >= 0 and packed_np.max() <= 255
-                and np.array_equal(packed_np, np.rint(packed_np))):
-            packed_u8 = packed_np.astype(np.uint8)
-            y_dev = jnp.asarray(packed_u8)
-            self._packed_y_cache = (packed_u8, y_dev)
+        if is_8bit:
+            y_dev = jnp.asarray(packed_np)
+            self._packed_y_cache = (packed_np, y_dev)
         V, S = train_filter(
             channel, n_row_samples, n_col_samples, hx, hy,
             n_sinkhorn_iter, n_eigen_vectors, grid=grid, pixel_order=False,

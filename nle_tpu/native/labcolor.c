@@ -72,7 +72,10 @@ void lab2bgr_u8(const uint8_t *lab, uint8_t *bgr, size_t n,
                 const int32_t *bdiv_tab   /* 256 */) {
     int32_t C[9];
     for (int k = 0; k < 9; k++) C[k] = (int32_t)coeffs[k];
-    (void)ab_size; /* index ranges are provably in-bounds for uint8 input */
+    /* Index ranges are in-bounds for uint8 input with the CURRENT tables —
+     * but the minimum lands exactly on offset 0 (zero margin), so keep the
+     * clamp: it is branch-predicted free and protects against any future
+     * 1-LSB table-rounding change. */
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -80,8 +83,12 @@ void lab2bgr_u8(const uint8_t *lab, uint8_t *bgr, size_t n,
         int32_t L = lab[3 * i + 0];
         int32_t y = y_tab[L];
         int32_t ify = ify_tab[L];
-        int32_t x = ab_tab[ify + adiv_tab[lab[3 * i + 1]] - min_ab];
-        int32_t z = ab_tab[ify - bdiv_tab[lab[3 * i + 2]] - min_ab];
+        int32_t ix = ify + adiv_tab[lab[3 * i + 1]] - min_ab;
+        int32_t iz = ify - bdiv_tab[lab[3 * i + 2]] - min_ab;
+        ix = ix < 0 ? 0 : (ix >= ab_size ? ab_size - 1 : ix);
+        iz = iz < 0 ? 0 : (iz >= ab_size ? ab_size - 1 : iz);
+        int32_t x = ab_tab[ix];
+        int32_t z = ab_tab[iz];
         int32_t ro = (C[0] * x + C[1] * y + C[2] * z + (1 << 13)) >> 14;
         int32_t go = (C[3] * x + C[4] * y + C[5] * z + (1 << 13)) >> 14;
         int32_t bo = (C[6] * x + C[7] * y + C[8] * z + (1 << 13)) >> 14;

@@ -249,7 +249,12 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
     if env == "all":
         return max_iter
     if env not in ("auto", "on", "1", "true"):
-        return max(0, min(max_iter, int(env)))
+        try:
+            return max(0, min(max_iter, int(env)))
+        except ValueError:
+            raise ValueError(
+                f"NLE_SINKHORN_BF16={env!r}: expected off/auto/all or an "
+                "integer iteration count") from None
     if bf16_iters is not None:
         return max(0, min(max_iter, bf16_iters))
     lead = max_iter - 2

@@ -44,6 +44,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pad_stream_operands(fa: jax.Array, fb: jax.Array):
+    """The ONE padding rule all streaming kernels share: sample features
+    transposed to (3, Ppad), rest features to (Qpad, 3) with a (Qpad, 1)
+    validity mask. Qpad is a TILE_Q multiple, Ppad a 128 multiple. Every
+    caller must use this helper so the kernels see identical layouts (XLA
+    CSE dedupes the repeated pads within one jit)."""
+    p = fa.shape[0]
+    q = fb.shape[0]
+    qpad = _round_up(max(q, 1), TILE_Q)
+    ppad = _round_up(p, 128)
+    fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
+    fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))
+    mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[:, None]
+    return fa_rows, fb_pad, mask
+
+
 def _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref):
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]
@@ -212,12 +228,9 @@ def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
     """
     p, m = Um.shape
     q = fb.shape[0]
-    qpad = _round_up(max(q, 1), TILE_Q)
-    ppad = _round_up(p, 128)
-
-    fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))          # (3, Ppad)
-    fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))             # (Qpad, 3)
-    mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[:, None]
+    fa_rows, fb_pad, mask = pad_stream_operands(fa, fb)
+    qpad = fb_pad.shape[0]
+    ppad = fa_rows.shape[1]
     lam = lam_m.astype(jnp.float32)
     Um32 = Um.astype(jnp.float32)
     Uinv32 = Uinv.astype(jnp.float32)

@@ -199,6 +199,32 @@ def train_filter_stage2(
     return V, S
 
 
+def stream_grid_fits(p: int, m: int) -> bool:
+    """Whether the phi-free streaming kernels support this sampling grid:
+    the (512, Ppad) affinity tile + Uinv + Sb must fit VMEM and stage 2b's
+    fused Vb matmul is capped at the p-tiled affinity kernel's limit."""
+    from nle_tpu.ops.pallas.affinity_kernel import MAX_PALLAS_P_TILED
+
+    ppad = -(-p // 128) * 128
+    mpad = -(-m // 128) * 128
+    return (ppad <= MAX_PALLAS_P_TILED and
+            4 * (512 * ppad + ppad * mpad + mpad * mpad
+                 + 512 * mpad) <= 10 * 2**20)
+
+
+def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
+    """Pack a channel into [selected; rest] order; returns (packed array,
+    is_8bit) where is_8bit means the values are integers in [0, 255] and the
+    packed array is uint8 (4x less host->device transfer)."""
+    packed = channel_np.reshape(-1)[perm]
+    if packed.dtype == np.uint8:
+        return packed, True
+    if (packed.min() >= 0 and packed.max() <= 255
+            and np.array_equal(packed, np.rint(packed))):
+        return packed.astype(np.uint8), True
+    return packed, False
+
+
 def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32):
     """One (2p+1, m) host array holding [Um; lam; Uinv] — stage 1's device
     inputs ride ONE host->device transfer instead of three (each transfer
@@ -318,6 +344,7 @@ def train_filter_stage2a_streaming(
     (ops/pallas/streaming_kernel.py) — per-pixel HBM state is just the
     features and the balancing vectors. Returns (packed (m+2, m), c (N,))."""
     from nle_tpu.ops.pallas.streaming_kernel import (
+        pad_stream_operands,
         streaming_scaled_gram_pallas,
         streaming_sinkhorn_vectors,
     )
@@ -335,11 +362,10 @@ def train_filter_stage2a_streaming(
         cu = c[m:p, None] * Um[m:]
         Sb_top = cu.T @ cu
         q = fb.shape[0]
-        qpad = -(-max(q, 1) // 512) * 512
-        ppad = -(-p // 128) * 128
+        fa_rows, fb_pad, _ = pad_stream_operands(fa, fb)
+        qpad = fb_pad.shape[0]
+        ppad = fa_rows.shape[1]
         mpad = -(-m // 128) * 128
-        fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
-        fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))
         c_pad = jnp.pad(c[p:], (0, qpad - q))[:, None]
         uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
                            ((0, ppad - p), (0, mpad - m)))
@@ -455,12 +481,9 @@ def train_filter(
         y = (_cast_channel(packed_y_dev, dtype)
              if packed_y_dev.dtype != dtype else packed_y_dev)
     else:
-        flat_np = channel_np.reshape(-1)
-        packed_np = flat_np[grid.perm]
-        if (packed_np.dtype == np.uint8
-                or (packed_np.min() >= 0 and packed_np.max() <= 255
-                    and np.array_equal(packed_np, np.rint(packed_np)))):
-            y = _cast_channel(jnp.asarray(packed_np.astype(np.uint8)), dtype)
+        packed_np, is_8bit = pack_channel(channel_np, grid.perm)
+        if is_8bit:
+            y = _cast_channel(jnp.asarray(packed_np), dtype)
         else:
             y = jnp.asarray(packed_np.astype(dtype))
     sw, pw = bandwidth_weights(hx, hy, dtype)
@@ -492,15 +515,16 @@ def train_filter(
 
     if eigh_method == "host64-chain":
         # The streaming kernels hold a (512, Ppad) affinity tile, Uinv and
-        # the Sb accumulator in VMEM: dense sampling grids past ~p = 2048
-        # need a p-tiled variant (ROADMAP).
-        ppad_ = -(-p // 128) * 128
-        mpad_s = -(-m // 128) * 128
-        stream_fits = (ppad_ <= 2048 and
-                       4 * (512 * ppad_ + ppad_ * mpad_s + mpad_s * mpad_s
-                            + 512 * mpad_s) <= 10 * 2**20)
+        # the Sb accumulator in VMEM, and stage 2b rides the p-tiled
+        # affinity kernel: dense sampling grids past its cap need a p-tiled
+        # streaming variant (ROADMAP).
+        stream_fits = stream_grid_fits(p, m)
         if dtype != jnp.float32:
-            streaming = False  # the streaming kernels are f32-only
+            if streaming:
+                raise ValueError(
+                    "streaming stage 2 is float32-only (the Pallas kernels "
+                    f"compute in f32); got dtype {jnp.dtype(dtype).name}.")
+            streaming = False
         elif streaming is None:
             from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
 
@@ -511,9 +535,9 @@ def train_filter(
                          and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
         elif streaming and not stream_fits:
             raise ValueError(
-                f"streaming stage 2 supports sampling grids up to p ~ 2048 "
+                f"streaming stage 2 supports sampling grids up to p ~ 1792 "
                 f"(got p = {p}, m = {m}): the (512, Ppad) affinity tile + "
-                "Uinv + Sb no longer fit VMEM.")
+                "Uinv + Sb no longer fit VMEM / the p-tiled Vb kernel cap.")
         interpret_stream = jax.default_backend() != "tpu"
         with stage("Nystrom approximation + Sinkhorn"):
             if streaming:
@@ -559,6 +583,10 @@ def train_filter(
                 )
         S = jnp.asarray(Sq, dtype)
     else:
+        if streaming:
+            raise ValueError(
+                "streaming stage 2 requires the default host64-chain "
+                f"pipeline; got eigh_method={eigh_method!r}.")
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
             Um, lam_m, Uinv = _unpack_stage1(stage1_dev, p)
             V_packed, S = train_filter_stage2(

@@ -239,12 +239,14 @@ def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
             return cphi.T @ cphi
     else:
         from nle_tpu.ops.pallas.streaming_kernel import (
+            pad_stream_operands,
             streaming_halfstep_pallas,
             streaming_scaled_gram_pallas,
         )
 
-        fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
-        fb_pad = jnp.pad(fb_local, ((0, qpad - nb_local), (0, 0)))
+        fa_rows, fb_pad, _ = pad_stream_operands(fa, fb_local)
+        # The shard's own validity mask, not the helper's (global pad rows
+        # inside this shard are marked invalid by mask_local).
         mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[:, None]
 
         def stream_halfstep(u, unit_x=False):
@@ -283,6 +285,14 @@ def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
         jnp.zeros_like(mask_local),
         s0,
     )
+
+    if n_iter == 0:
+        # Match the dense body's init state (r = ones, c = zeros, Sb = 0).
+        rt = data_varying(jnp.ones((m,), dt))
+        ct, cu, cbl = init[:3]
+        cphiu = cu[:, None] * phi_u
+        Sb = cphiu.T @ cphiu + jax.lax.psum(stream_gram(cbl), "pixel")
+        return rt, ct, cu, Sb, cbl
 
     # Both r and c are needed at the end but only s carries between
     # iterations: run n_iter-1 fused iterations, then unroll the final one
@@ -381,6 +391,13 @@ def train_filter_sharded(
         on_tpu = mesh.devices.flat[0].platform == "tpu"
         interpret = not on_tpu
         if streaming:
+            from nle_tpu.ops.pipeline import stream_grid_fits
+
+            if not interpret and not stream_grid_fits(p, m):
+                raise ValueError(
+                    f"streaming stage 2 supports sampling grids up to "
+                    f"p ~ 1792 (got p = {p}, m = {m}); see "
+                    "ops/pipeline.py stream_grid_fits.")
             step = _sharded_2a_step_streaming(
                 mesh, p, m, n_sinkhorn_iter, eps, interpret)
         else:

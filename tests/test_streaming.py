@@ -127,6 +127,6 @@ def test_streaming_rejects_oversized_sampling_grid(small_image):
     """Forced streaming with a sampling grid beyond the VMEM budget must
     fail loudly instead of a Mosaic VMEM error at compile time."""
     big = np.random.default_rng(0).integers(0, 256, (80, 80)).astype(np.float32)
-    with pytest.raises(ValueError, match="p ~ 2048"):
+    with pytest.raises(ValueError, match="p ~ 1792"):
         train_filter(big, 47, 47, hx=100.0, hy=30.0, n_sinkhorn_iter=2,
                      n_eig_vectors=2, streaming=True)
