@@ -17,3 +17,9 @@ bench:
 
 install:
 	pip install -e . --no-deps --no-build-isolation
+
+bench-capacity:
+	python tools/bench_capacity.py
+
+bench-batch:
+	python tools/bench_batch.py
