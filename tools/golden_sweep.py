@@ -27,6 +27,16 @@ CONFIGS = [
     ("red-cherries", "red-cherries-10.bmp", "red-cherries-filtered.png", (20, 10, 400, 30, 50, 20), [2, 2, 2, 1]),
 ]
 
+# Denoise end-to-end regression: the reference ships no denoised golden
+# output (README.md:27 "result ... is not good"), so the golden is OUR OWN
+# float64 CPU pipeline (which matches the fp64 oracle to 1e-15) — the gate
+# checks the f32/TPU path against it. Params from the reference denoise CLI
+# contract: nr nc hx hy iters k sigmaColor sigmaSpace shrink.
+DENOISE_CONFIG = ("taj-denoise", "taj-rgb-noise.jpg",
+                  (10, 10, 200, 30, 10, 10), (10, 10, 2.0))
+DENOISE_GOLDEN = os.path.join(os.path.dirname(__file__), "golden_cache",
+                              "taj-denoise-f64.png")
+
 DATA = "/root/reference/data"
 
 
@@ -41,6 +51,8 @@ def main():
             precision = a.split("=", 1)[1]
         elif a.startswith("--configs="):
             only = set(a.split("=", 1)[1].split(","))
+    if "--denoise-golden-only" in sys.argv:
+        only = {"taj-denoise"}
 
     import jax
 
@@ -67,6 +79,42 @@ def main():
         f.train_for_enhancement(img, nr, nc, hx, hy, iters, k)
         out = f.enhance(img, weights)
         dt = time.time() - t0
+        ps = O.psnr(out, gold)
+        mp = img.shape[0] * img.shape[1] / 1e6
+        row = dict(name=name, psnr=round(float(ps), 2), sec=round(dt, 2),
+                   mpix=round(mp, 3), mp_per_s=round(mp / dt, 3))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    name, inp, params, dparams = DENOISE_CONFIG
+    if not only or name in only:
+        img = cv2.imread(os.path.join(DATA, inp))
+        nr, nc, hx, hy, iters, k = params
+        sigma_color, sigma_space, shrink = dparams
+        golden_only = "--denoise-golden-only" in sys.argv
+        if not golden_only and not os.path.exists(DENOISE_GOLDEN):
+            # Generate the f64 golden once (requires a fresh x64 process).
+            import subprocess
+
+            print(json.dumps(dict(note=f"generating {DENOISE_GOLDEN}")),
+                  flush=True)
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--platform=cpu", "--precision=float64",
+                 "--denoise-golden-only"],
+                check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        t0 = time.time()
+        f = NLEFilter(dtype=dtype)
+        f.train_for_denoise(img, nr, nc, hx, hy, iters, k,
+                            sigma_color, sigma_space)
+        out = f.denoise(img, shrink, sigma_color, sigma_space)
+        dt = time.time() - t0
+        if "--denoise-golden-only" in sys.argv:
+            os.makedirs(os.path.dirname(DENOISE_GOLDEN), exist_ok=True)
+            cv2.imwrite(DENOISE_GOLDEN, out)
+            print(json.dumps(dict(note=f"wrote {DENOISE_GOLDEN}")), flush=True)
+            return
+        gold = cv2.imread(DENOISE_GOLDEN)
         ps = O.psnr(out, gold)
         mp = img.shape[0] * img.shape[1] / 1e6
         row = dict(name=name, psnr=round(float(ps), 2), sec=round(dt, 2),
