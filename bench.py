@@ -36,8 +36,10 @@ def main():
     target_mp = float(os.environ.get("NLE_BENCH_MP", "1.0"))
     repeats = int(os.environ.get("NLE_BENCH_REPEATS", "8"))
 
+    from nle_tpu.config import enable_persistent_cache
     from nle_tpu.models.filter import NLEFilter
 
+    enable_persistent_cache()
     img = load_input(target_mp)
     mp = img.shape[0] * img.shape[1] / 1e6
     params = (20, 30, 500.0, 10.0, 50, 50)

@@ -41,6 +41,9 @@ def split_flags(argv):
 
 def apply_common_flags(flags) -> None:
     """Process flags that must act before JAX computes anything."""
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
     if "platform" in flags:
         import jax
 

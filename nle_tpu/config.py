@@ -22,3 +22,29 @@ def default_eps(dtype) -> float:
     del dtype
     return EPS
 
+
+def enable_persistent_cache() -> str | None:
+    """Point JAX at an on-disk compilation cache (idempotent).
+
+    Stage 2 is compiled per (image shape, p, m) and the remote-compile TPU
+    service takes minutes per new program; the persistent cache removes
+    that cost for every shape seen before (measured: 400 s -> seconds on a
+    fresh process). Directory from NLE_JAX_CACHE_DIR (default
+    ~/.cache/nle_tpu/jax; "off" disables). Returns the directory or None.
+    """
+    import os
+
+    path = os.environ.get("NLE_JAX_CACHE_DIR",
+                          os.path.expanduser("~/.cache/nle_tpu/jax"))
+    if path.lower() in ("off", "0", "none", ""):
+        return None
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a failure
+        return None
+    return path
+
