@@ -130,3 +130,26 @@ def test_streaming_rejects_oversized_sampling_grid(small_image):
     with pytest.raises(ValueError, match="p ~ 1792"):
         train_filter(big, 47, 47, hx=100.0, hy=30.0, n_sinkhorn_iter=2,
                      n_eig_vectors=2, streaming=True)
+
+
+def test_streaming_tiny_and_fullgrid_edges():
+    """q < TILE_Q and the full-grid (p == N, empty rest block) edge both
+    work through the streaming stage 2."""
+    rng = np.random.default_rng(9)
+    small = rng.integers(0, 256, (12, 14)).astype(np.float32)
+    V_s, S_s = train_filter(small, 3, 3, hx=20.0, hy=20.0, n_sinkhorn_iter=5,
+                            n_eig_vectors=3, streaming=True)
+    V_d, S_d = train_filter(small, 3, 3, hx=20.0, hy=20.0, n_sinkhorn_iter=5,
+                            n_eig_vectors=3, streaming=False)
+    np.testing.assert_allclose(np.asarray(S_s), np.asarray(S_d),
+                               rtol=1e-4, atol=1e-7)
+    # full grid: every pixel sampled -> empty rest block
+    tiny = rng.integers(0, 256, (4, 5)).astype(np.float32)
+    V_s, S_s = train_filter(tiny, 4, 5, hx=20.0, hy=20.0, n_sinkhorn_iter=5,
+                            n_eig_vectors=2, streaming=True)
+    V_d, S_d = train_filter(tiny, 4, 5, hx=20.0, hy=20.0, n_sinkhorn_iter=5,
+                            n_eig_vectors=2, streaming=False)
+    np.testing.assert_allclose(np.asarray(S_s), np.asarray(S_d),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.abs(np.asarray(V_s)), np.abs(np.asarray(V_d)),
+                               rtol=1e-3, atol=1e-5)
