@@ -1,0 +1,63 @@
+"""Serving a stream of images: pipelined training + reusable filters.
+
+Simulates an edit service: a stream of same-sized frames is trained with
+`train_filters_pipelined` (host f64 work overlaps the device Sinkhorn of
+neighboring frames — measured 1.64x vs sequential at 1 MP), then each frame
+is edited with its own filter at apply cost only.
+
+    python examples/serving_stream.py [--n=4]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    n_frames = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--n="):
+            n_frames = int(a.split("=", 1)[1])
+
+    from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
+    from nle_tpu.config import enable_persistent_cache
+    from nle_tpu.models.batch import train_filters_pipelined
+    from nle_tpu.models.filter import NLEFilter
+    from nle_tpu.ops.transform import transform_eigenvalues
+    from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
+
+    enable_persistent_cache()
+    img = imread_bgr("/root/reference/data/flower-50.bmp")
+    lab = bgr_to_lab_u8_np(img)
+    rng = np.random.default_rng(0)
+    # a burst: same scene with small exposure wiggle
+    frames = [np.clip(lab[..., 0].astype(np.int32) + int(d), 0, 255)
+              .astype(np.float32) for d in rng.integers(-3, 4, n_frames)]
+
+    t0 = time.time()
+    filters = train_filters_pipelined(frames, 10, 20, hx=100, hy=30,
+                                      n_sinkhorn_iter=50, n_eig_vectors=30)
+    t1 = time.time()
+    print(f"trained {n_frames} filters in {t1-t0:.1f}s "
+          f"({(t1-t0)/n_frames:.2f}s/frame pipelined)", flush=True)
+
+    outdir = "/tmp/nle_serving"
+    os.makedirs(outdir, exist_ok=True)
+    weights = [2, 3, 4, 1]
+    for i, (frame, flt) in enumerate(zip(frames, filters)):
+        f = NLEFilter(trained=flt)
+        fS = transform_eigenvalues(flt.eigvals, weights)
+        out_l = f.apply(frame, fS)
+        out = lab.copy()
+        out[..., 0] = np.clip(np.rint(out_l), 0, 255).astype(np.uint8)
+        imwrite_bgr(os.path.join(outdir, f"frame{i}.png"),
+                    lab_to_bgr_u8_np(out))
+    print(f"edited {n_frames} frames -> {outdir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
