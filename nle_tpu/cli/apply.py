@@ -1,0 +1,59 @@
+"""`nle-apply` CLI — edit an image with a PREVIOUSLY trained filter.
+
+    nle-apply <filter.npz> <image> <output> <w1> [w2 ...]
+
+New capability beyond the reference (which retrains per edit,
+include/filter.hpp:52-53): a filter saved by `nle-enhance --save-filter=`
+or `TrainedFilter.save` re-weights detail layers at apply cost only — two
+skinny MXU matmuls + the Lab round trip. The image must match the training
+image's size (same guard as NLEFilter::enhance, src/filter.cpp:414-420).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from nle_tpu.cli.common import (
+    add_common_flags,
+    apply_common_flags,
+    split_flags,
+)
+
+USAGE = "Usage: {prog} <filter.npz> <image> <output> <weight 1> [weight 2 ...]"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    pos, flags = split_flags(argv)
+    if len(pos) < 4:
+        print(USAGE.format(prog="nle-apply"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0
+
+    filter_path, image_path, output_path = pos[0], pos[1], pos[2]
+    weights = [float(w) for w in pos[3:]]
+
+    apply_common_flags(flags)
+    from nle_tpu.models.filter import NLEFilter, TrainedFilter
+    from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
+
+    try:
+        trained = TrainedFilter.load(filter_path)
+    except FileNotFoundError:
+        print(f"Failed to read filter from {filter_path}", file=sys.stderr)
+        return 0
+    try:
+        image = imread_bgr(image_path)
+    except FileNotFoundError:
+        print(f"Failed to read file from {image_path}", file=sys.stderr)
+        return 0
+
+    flt = NLEFilter(trained=trained)
+    result = flt.enhance(image, weights)
+    imwrite_bgr(output_path, result)
+    print("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,3 +79,33 @@ def test_debug_eigvecs_flag(tmp_path, small_image):
     )
     assert rc == 0
     assert len(os.listdir(dbg)) == 5
+
+
+def test_apply_cli_roundtrip(tmp_path, small_image):
+    """nle-apply edits with a saved filter and matches the in-process
+    train+enhance result exactly."""
+    from nle_tpu.cli.apply import main as apply_main
+    from nle_tpu.cli.enhance import main as enhance_main
+
+    img_path, _ = small_image
+    out1 = tmp_path / "direct.png"
+    fpath = tmp_path / "filter.npz"
+    rc = enhance_main([img_path, str(out1), "4", "5", "100", "30", "5", "4",
+                       "2", "3", "4", "1", f"--save-filter={fpath}"])
+    assert rc == 0 and out1.exists() and fpath.exists()
+    out2 = tmp_path / "applied.png"
+    rc = apply_main([str(fpath), img_path, str(out2), "2", "3", "4", "1"])
+    assert rc == 0 and out2.exists()
+    import cv2
+
+    np.testing.assert_array_equal(cv2.imread(str(out2)), cv2.imread(str(out1)))
+
+
+def test_apply_cli_usage_and_missing_inputs(tmp_path, capsys, small_image):
+    from nle_tpu.cli.apply import main as apply_main
+
+    img_path, _ = small_image
+    assert apply_main([]) == 0
+    assert "Usage" in capsys.readouterr().err
+    assert apply_main(["/nope.npz", img_path, str(tmp_path / "o.png"), "1"]) == 0
+    assert "Failed to read filter" in capsys.readouterr().err
