@@ -28,9 +28,12 @@ def padded_factor(rng):
 def test_scaled_gram_matches_dense(padded_factor):
     phi, c, n, m = padded_factor
     got = np.asarray(scaled_gram_pallas(phi, c, interpret=True))[:m, :m]
-    cphi = np.asarray(c) * np.asarray(phi)
+    # f64 reference: both `got` and a dense f32 numpy product carry their own
+    # summation-order noise over n=1500 terms, so comparing the two f32 results
+    # at ~eps tolerance is flaky (fails for some session-rng draw orders).
+    cphi = np.asarray(c).astype(np.float64) * np.asarray(phi).astype(np.float64)
     want = (cphi.T @ cphi)[:m, :m]
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
 
 
 def test_scaled_matmul_matches_dense(padded_factor, rng):
@@ -39,8 +42,9 @@ def test_scaled_matmul_matches_dense(padded_factor, rng):
     B = np.zeros((phi.shape[1], kpad), np.float32)
     B[:m, :7] = rng.standard_normal((m, 7)).astype(np.float32)
     got = np.asarray(scaled_matmul_pallas(phi, c, jnp.asarray(B), interpret=True))
-    want = (np.asarray(c) * np.asarray(phi)) @ B
-    np.testing.assert_allclose(got[:n, :7], want[:n, :7], rtol=2e-5, atol=1e-5)
+    want = ((np.asarray(c).astype(np.float64) * np.asarray(phi).astype(np.float64))
+            @ B.astype(np.float64))
+    np.testing.assert_allclose(got[:n, :7], want[:n, :7], rtol=2e-4, atol=1e-4)
 
 
 def test_padded_shape_rule():
