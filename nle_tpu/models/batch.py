@@ -12,9 +12,9 @@ Per-image cost approaches max(device_time, host_time) instead of their sum
 (measured ~1.3-1.5x throughput on 1 MP streams, tools/bench_batch.py).
 
 Caveats:
-- stage 2 is compiled per (p, m) and m is data-dependent (the eps
-  truncation), so a stream with many distinct m values pays a compile per
-  new m — same-scene/same-config serving streams reuse the cache.
+- stage 2 is compiled per (p, mb) where mb is the 128-bucketed kept rank
+  (ops/pipeline.py bucket_m) — a stream with varied per-image ranks shares
+  one program per bucket instead of one per exact m.
 - the one-image lookahead keeps TWO (N, m) phi buffers alive on the device
   (image i's for stage 2b while image i+1 sweeps Sinkhorn), so the largest
   image this driver handles is ~half the single-image dense ceiling
@@ -36,9 +36,11 @@ from nle_tpu.ops.orthogonalize import host_chain64
 from nle_tpu.ops.pipeline import (
     _cast_channel,
     _grid_device_arrays,
+    bucket_m,
     ka_eigh_host64,
     pack_channel,
     pack_stage1,
+    stage2_dense_small,
     train_filter_stage2a,
     train_filter_stage2b,
 )
@@ -81,6 +83,7 @@ def train_filters_pipelined(
             grid.sel_rows, grid.sel_cols, hx, hy, eps,
         )
         m = lam64.shape[0]
+        mb = bucket_m(m, p)
         warn_truncation(p, m, eps)
         packed_np, is_8bit = pack_channel(chan, grid.perm)
         if is_8bit:
@@ -88,16 +91,17 @@ def train_filters_pipelined(
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
         packed, phi_store, c_rest = train_filter_stage2a(
-            y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, Uinv64)), sw, pw,
-            p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
+            y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb)),
+            sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
+            small=stage2_dense_small(grid.n_pixels, mb),
         )
-        return (packed, phi_store, c_rest, Um64, lam64, m)
+        return (packed, phi_store, c_rest, Um64, lam64, m, mb)
 
     def finish(state):
         """Blocking fetch + host f64 chain + async device stage 2b."""
-        packed, phi_store, c_rest, Um64, lam64, m = state
+        packed, phi_store, c_rest, Um64, lam64, m, mb = state
         arr = np.asarray(packed, np.float64)   # waits for this image's 2a
-        rt, ct, Sb = arr[0], arr[1], arr[2:]
+        rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
         k = min(n_eig_vectors, m)
         phi_top = Um64[:m]
         Ga = phi_top * lam64[None, :]
@@ -106,9 +110,14 @@ def train_filters_pipelined(
         Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps)
         warn_rank_deficient("orthogonalize eig(Q)",
                             int(np.count_nonzero(Sq)), k)
-        va_grt = jnp.asarray(np.concatenate([Va, GrT], axis=1), jnp.float32)
+        va_np = np.zeros((mb, 2 * k), np.float64)
+        va_np[:m, :k] = Va
+        va_np[:m, k:] = GrT
+        va_grt = jnp.asarray(va_np, jnp.float32)
+        scaled = (jax.default_backend() != "tpu"
+                  or stage2_dense_small(grid.n_pixels, mb))
         V_packed = train_filter_stage2b(
-            phi_store, c_rest, va_grt, n=grid.n_pixels, m=m)
+            phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb, scaled=scaled)
         return TrainedFilter(V_packed, jnp.asarray(Sq, jnp.float32),
                              nrows, ncols, perm=grid.perm)
 

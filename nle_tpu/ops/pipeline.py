@@ -15,7 +15,23 @@ the balanced blocks as Wa (m, m) = the first m *rows* of phi — i.e. when
 truncation occurs (m < p) the "sampled block" boundary shifts from the p
 sampled pixels to the first m of them (src/filter.cpp:247-250). Shapes
 downstream therefore depend on m, so stage 1 (eigh of Ka) is resolved before
-stage 2 is compiled with m static.
+stage 2 is compiled.
+
+m-bucketing: compiling stage 2 per exact m would mean a fresh XLA program
+for every distinct kept rank (minutes each through the remote-compile
+service). Instead the static column count is the bucket mb = bucket_m(m, p)
+(m rounded up to NLE_M_BUCKET=128, capped at p) and the true m rides to the
+device as a traced scalar inside the stage-1 upload. Columns m..mb of
+Um/lam/Uinv are zero-padded — exact zeros propagate through the whole
+factored algebra (zero eigenvalues contribute nothing to any contraction) —
+and the balanced-block *row* boundary at m is handled with masks instead of
+slices: c is zeroed on rows < m by comparison with the traced m, and the
+final V overlays the host-computed Va (zero-padded to mb rows) additively
+onto the device tail product (whose rows < m are zero because c is). Every
+sum gains only exact +0.0 terms, so the algebra is unchanged; the only
+numeric difference vs a per-m compile is XLA's shape-dependent reduction
+strategy (measured <= f32 noise, tests/test_bucketing.py), while the number
+of distinct stage-2 programs drops from O(p) to O(p/128).
 
 Precision policy (empirically established against the reference golden
 images — see tests/test_golden.py):
@@ -199,6 +215,32 @@ def train_filter_stage2(
     return V, S
 
 
+def bucket_m(m: int, p: int) -> int:
+    """Static stage-2 column count for a data-dependent kept rank m.
+
+    Rounds m up to the NLE_M_BUCKET width (default 128, the MXU/VREG lane
+    count the Pallas layouts pad to anyway), capped at p — so a given
+    sampling grid compiles at most ceil(p/128) distinct stage-2 programs
+    instead of one per observed m. NLE_M_BUCKET<=1 disables bucketing
+    (mb == m; one program per exact rank, the pre-bucketing behavior)."""
+    b = int(os.environ.get("NLE_M_BUCKET", "128"))
+    if b <= 1:
+        return m
+    return min(-(-m // b) * b, p)
+
+
+def stage2_dense_small(n: int, mb: int) -> bool:
+    """Whether the fused dense path materializes the scaled diag(c) phi
+    product (small images) or fuses the scaling into the Pallas Sb/Vb
+    kernels (large images). stage 2a branches on this internally (it is
+    static under jit); host callers use it to know whether the factor that
+    comes back is pre-scaled — keep both in one place."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
+
+    npad, mpad = padded_shape(n, mb)
+    return 4 * npad * mpad <= _CPHI_BYTES_LIMIT
+
+
 def stream_grid_fits(p: int, m: int) -> bool:
     """Whether the phi-free streaming kernels support this sampling grid:
     the (512, Ppad) affinity tile + Uinv + Sb must fit VMEM and stage 2b's
@@ -225,40 +267,66 @@ def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
     return packed, False
 
 
-def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32):
-    """One (2p+1, m) host array holding [Um; lam; Uinv] — stage 1's device
-    inputs ride ONE host->device transfer instead of three (each transfer
-    over the tunnel-attached TPU costs ~30-60 ms of latency)."""
-    return np.concatenate(
-        [Um64, lam64[None, :], Uinv64], axis=0).astype(dtype)
+def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32, mb: int | None = None):
+    """One (2p+2, mb) host array holding [Um; lam; Uinv; m] — stage 1's
+    device inputs ride ONE host->device transfer instead of three (each
+    transfer over the tunnel-attached TPU costs ~30-60 ms of latency).
+
+    Columns are zero-padded from the true kept rank m to the bucket mb so
+    stage 2 compiles per bucket, not per rank; the last row carries m itself
+    (exact in f32 for any realistic p) so the boundary masks inside stage 2
+    are traced values, not static shapes."""
+    p, m = Um64.shape
+    mb = m if mb is None else mb
+    out = np.zeros((2 * p + 2, mb), dtype)
+    out[:p, :m] = Um64
+    out[p, :m] = lam64
+    out[p + 1:2 * p + 1, :m] = Uinv64
+    out[2 * p + 1, 0] = m
+    return out
 
 
 def _unpack_stage1(stage1_packed, p):
-    return (stage1_packed[:p], stage1_packed[p], stage1_packed[p + 1:])
+    """(Um (p, mb), lam (mb,), Uinv (p, mb), m traced int32 scalar)."""
+    return (stage1_packed[:p], stage1_packed[p],
+            stage1_packed[p + 1:2 * p + 1],
+            stage1_packed[2 * p + 1, 0].astype(jnp.int32))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "use_pallas"),
+    static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "use_pallas",
+                     "interpret", "small"),
 )
 def train_filter_stage2a(
     y, rows, cols, stage1_packed, sw, pw,
-    *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
-    use_pallas: bool | None = None,
+    *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
+    use_pallas: bool | None = None, interpret: bool = False,
+    small: bool | None = None,
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
     Sinkhorn, balanced-block pieces, and the Sb reduction. Returns the small
-    matrices for the host-f64 chain packed into ONE (m+2, m) array (a
+    matrices for the host-f64 chain packed into ONE (mb+2, mb) array (a
     single device->host transfer — each transfer over a tunnel-attached TPU
-    costs ~30 ms of latency) plus the device-resident factor `phi` and the
-    Sinkhorn column vector — the scaled cphi product is never materialized
-    (the scale is fused into the Sb/Vb kernels), so phi is the only N-scale
-    array alive on the device."""
+    costs ~30 ms of latency) plus the device-resident factor and the
+    Sinkhorn column vector.
+
+    Shapes are static in the rank BUCKET mb = bucket_m(m, p); the true m
+    arrives as a traced scalar inside stage1_packed and only drives the
+    row mask on c (the balanced-block boundary, reference
+    src/filter.cpp:247-250). The returned factor is the pre-scaled
+    diag(c) phi when stage2_dense_small(n, mb) on the fused path (and always
+    on the XLA fallback), else the unscaled padded phi whose c-scaling is
+    fused into the Sb/Vb kernels so phi stays the only N-scale buffer."""
     with jax.default_matmul_precision("highest"):
-        Um, lam_m, Uinv = _unpack_stage1(stage1_packed, p)
+        Um, lam_m, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
         f = features(rows, cols, y)
         fa, fb = f[:p], f[p:]
-        phi_b = affinity_matmul(fa, fb, Uinv, sw, pw, use_pallas=use_pallas)
+        # interpret=True (CPU tests of the fused branch) keeps the affinity
+        # product on the XLA builder — only the fused Sinkhorn/gram kernels
+        # have interpreter plumbing.
+        phi_b = affinity_matmul(fa, fb, Uinv, sw, pw,
+                                use_pallas=False if interpret else use_pallas)
         n = y.shape[0]
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
@@ -271,78 +339,101 @@ def train_filter_stage2a(
 
             # Assemble phi directly in the kernel's padded layout — saves a
             # 4*N*m-byte copy per training run.
-            npad, mpad = padded_shape(n, m)
+            npad, mpad = padded_shape(n, mb)
             phi = jnp.zeros((npad, mpad), jnp.float32)
             phi = jax.lax.dynamic_update_slice(phi, Um, (0, 0))
             phi = jax.lax.dynamic_update_slice(phi, phi_b, (p, 0))
-            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps, n=n)
-            c_rest = jnp.pad(c, (0, npad - n)).at[:m].set(0.0)[:, None]
-            if 4 * npad * mpad <= _CPHI_BYTES_LIMIT:
+            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps,
+                                          n=n, interpret=interpret)
+            c_rest = jnp.where(jnp.arange(npad) >= m_dyn,
+                               jnp.pad(c, (0, npad - n)), 0.0)[:, None]
+            # `small` is part of the jit key: callers that probe both
+            # branches (tests) must pass it explicitly — resolving it only
+            # from the NLE_CPHI_BYTES global would let a mid-process change
+            # silently reuse a trace built for the other branch.
+            if small is None:
+                small = stage2_dense_small(n, mb)
+            if small:
                 # Small enough to afford the extra N x m buffer: XLA's dense
                 # matmuls on a materialized diag(c) phi are a few percent
-                # faster than the fused kernels.
-                cphi_rest = c_rest[m:n] * phi[m:n, :m]
-                Sb = cphi_rest.T @ cphi_rest
-                packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
-                return packed, cphi_rest, c_rest
+                # faster than the fused kernels. Rows < m and columns > m are
+                # exact zeros, so the full-extent gram equals the sliced one.
+                cphi = c_rest * phi
+                Sb = cphi.T @ cphi
+                packed = jnp.concatenate(
+                    [r[None, :mb], c[None, :mb], Sb[:mb, :mb]], axis=0)
+                return packed, cphi, c_rest
             # Large images: fuse the scaling into the Sb/Vb kernels so phi is
             # the only N-scale buffer (doubles single-chip image capacity).
-            Sb = scaled_gram_pallas(phi, c_rest)[:m, :m]
+            Sb = scaled_gram_pallas(phi, c_rest, interpret=interpret)[:mb, :mb]
         else:
             phi = jnp.concatenate([Um, phi_b], axis=0)
             r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
-            c_rest = c.at[:m].set(0.0)[:, None]
-            cphi_rest = c_rest[m:] * phi[m:]
-            Sb = cphi_rest.T @ cphi_rest
-            packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
-            return packed, cphi_rest, c_rest
+            c_rest = jnp.where(jnp.arange(n) >= m_dyn, c, 0.0)[:, None]
+            cphi = c_rest * phi
+            Sb = cphi.T @ cphi
+            packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
+            return packed, cphi, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
         # precision).
-        packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
+        packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
     return packed, phi, c_rest
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m"))
-def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, m: int):
+@functools.partial(jax.jit, static_argnames=("n", "mb", "scaled", "interpret"))
+def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, mb: int,
+                         scaled: bool, interpret: bool = False):
     """Device half 2: the eigenvector tail matmul + assembly.
 
-    `factor` is either the already-scaled cphi_rest ((n-m, m); small-image
-    path) or the full padded phi ((npad, mpad); large-image path, where the
-    c_rest scaling is fused into the Pallas matmul so cphi never
-    materializes). va_grt is the host chain's (m, 2k) [Va | GrT] upload."""
+    `factor` is the pre-scaled diag(c) phi when `scaled` (small-image fused
+    path and the XLA fallback — rows < m already exact zeros), else the
+    unscaled padded phi whose c_rest scaling is fused into the Pallas matmul
+    so cphi never materializes (large-image path). va_grt is the host
+    chain's (mb, 2k) [Va | GrT] upload, rows at and beyond the true m
+    zero-padded; because the factor's rows < m are zero (c is masked there)
+    and Va's rows >= m are zero, the final V assembles as tail-product plus
+    an additive Va overlay — no m-dependent slicing, so one compiled
+    program serves every rank in the bucket."""
     with jax.default_matmul_precision("highest"):
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
-        if factor.shape[0] >= n:  # padded phi layout
+        mpad = factor.shape[1]
+        if scaled:
+            grt = GrT
+            if mpad > mb:
+                grt = jnp.zeros((mpad, k), GrT.dtype).at[:mb].set(GrT)
+            V = (factor @ grt)[:n]
+        else:
             from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_matmul_pallas
 
-            mpad = factor.shape[1]
             kpad = -(-k // 128) * 128
             grt_pad = jnp.zeros((mpad, kpad), jnp.float32)
             grt_pad = jax.lax.dynamic_update_slice(
                 grt_pad, GrT.astype(jnp.float32), (0, 0))
-            Vb = scaled_matmul_pallas(factor, c_rest, grt_pad)[m:n, :k]
-            Vb = Vb.astype(va_grt.dtype)
-        else:                      # materialized cphi_rest (n - m, m)
-            Vb = factor @ GrT
-        return jnp.concatenate([Va, Vb], axis=0)
+            V = scaled_matmul_pallas(factor, c_rest, grt_pad,
+                                     interpret=interpret)[:n, :k]
+            V = V.astype(va_grt.dtype)
+        return V.at[:mb].add(Va)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "m", "n_sinkhorn_iter", "eps", "interpret"),
+    static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "interpret"),
 )
 def train_filter_stage2a_streaming(
     y, rr, cc, stage1_packed, sw, pw,
-    *, p: int, m: int, n_sinkhorn_iter: int, eps: float,
+    *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
     interpret: bool = False,
 ):
     """phi-free device half 1 for images whose phi would not fit in HBM:
     Sinkhorn and the Sb gram recompute affinity tiles on the fly
     (ops/pallas/streaming_kernel.py) — per-pixel HBM state is just the
-    features and the balancing vectors. Returns (packed (m+2, m), c (N,))."""
+    features and the balancing vectors. Returns (packed (mb+2, mb), c (N,)).
+    Shapes are static in the rank bucket mb (see bucket_m); the true m rides
+    in stage1_packed and drives only the c mask at the balanced-block
+    boundary."""
     from nle_tpu.ops.pallas.streaming_kernel import (
         pad_stream_operands,
         streaming_scaled_gram_pallas,
@@ -350,58 +441,61 @@ def train_filter_stage2a_streaming(
     )
 
     with jax.default_matmul_precision("highest"):
-        Um, lam_m, Uinv = _unpack_stage1(stage1_packed, p)
+        Um, lam_m, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
         f = features(rr, cc, y)
         fa, fb = f[:p], f[p:]
         r, c = streaming_sinkhorn_vectors(
             fa, fb, Um, lam_m, Uinv, n_sinkhorn_iter, eps, sw, pw,
             interpret=interpret)
         # Sb over the packed rows below the balanced-block boundary m:
-        # rows m..p come from the stored Um block (tiny, XLA); rows p..N
-        # are streamed.
-        cu = c[m:p, None] * Um[m:]
+        # rows m..p come from the stored Um block (tiny, XLA; rows < m are
+        # masked to zero, contributing exact zeros); rows p..N are streamed.
+        cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
         Sb_top = cu.T @ cu
         q = fb.shape[0]
         fa_rows, fb_pad, _ = pad_stream_operands(fa, fb)
         qpad = fb_pad.shape[0]
         ppad = fa_rows.shape[1]
-        mpad = -(-m // 128) * 128
+        mpad = -(-mb // 128) * 128
         c_pad = jnp.pad(c[p:], (0, qpad - q))[:, None]
         uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
-                           ((0, ppad - p), (0, mpad - m)))
+                           ((0, ppad - p), (0, mpad - mb)))
         Sb = Sb_top + streaming_scaled_gram_pallas(
             fa_rows, fb_pad, c_pad, uinv_pad, sw, pw,
-            interpret=interpret)[:m, :m]
-        packed = jnp.concatenate([r[None, :m], c[None, :m], Sb], axis=0)
+            interpret=interpret)[:mb, :mb]
+        packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
     return packed, c
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "m", "interpret"),
+    jax.jit, static_argnames=("p", "mb", "interpret"),
 )
 def train_filter_stage2b_streaming(
     y, rr, cc, stage1_packed, sw, pw, c, va_grt,
-    *, p: int, m: int, interpret: bool = False,
+    *, p: int, mb: int, interpret: bool = False,
 ):
     """phi-free device half 2: the eigenvector tail.
 
-    Vb rows m..p come from the Um block; rows p..N collapse to one fused
-    affinity matmul with the SMALL right factor Uinv @ GrT (p, k) — the
-    (N, m) phi never exists, only the (N, k) result."""
+    V rows m..p come from the Um block (rows < m masked to zero, then the
+    host-computed Va — zero beyond m — is added on top: mb <= p, so the
+    overlay is a static-slice add); rows p..N collapse to one fused affinity
+    matmul with the SMALL right factor Uinv @ GrT (p, k) — the (N, m) phi
+    never exists, only the (N, k) result."""
     from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
 
     with jax.default_matmul_precision("highest"):
-        Um, _, Uinv = _unpack_stage1(stage1_packed, p)
+        Um, _, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
         f = features(rr, cc, y)
         fa, fb = f[:p], f[p:]
-        Vu = (c[m:p, None] * Um[m:]) @ GrT
+        cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
+        V_head = (cu @ GrT).at[:mb].add(Va)
         B = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)     # (p, k)
         Vb = c[p:, None] * affinity_matmul_pallas(
             fa, fb, B, sw, pw, interpret=interpret)
-        return jnp.concatenate([Va, Vu, Vb.astype(va_grt.dtype)], axis=0)
+        return jnp.concatenate([V_head, Vb.astype(va_grt.dtype)], axis=0)
 
 
 @jax.jit
@@ -496,8 +590,7 @@ def train_filter(
                 grid.sel_rows, grid.sel_cols, hx, hy, float(eps),
             )
             m = lam64.shape[0]
-            stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
-                                                 np.dtype(dtype)))
+            dev_s1 = None
         else:
             U, lam = ka_eigh_stage(
                 y, rr, cc, sw, pw, p=p, eps=float(eps), eigh_method=eigh_method
@@ -506,19 +599,25 @@ def train_filter(
             Um = U[:, :m]
             lam_m = lam[:m]
             Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
-            stage1_dev = jnp.concatenate([Um, lam_m[None, :], Uinv], axis=0)
+            dev_s1 = (Um, lam_m, Uinv)
             Um64 = np.asarray(Um, np.float64)
             lam64 = np.asarray(lam_m, np.float64)
+            Uinv64 = np.asarray(Uinv, np.float64)
     if m == 0:
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
     warn_truncation(p, m, float(eps))
 
     if eigh_method == "host64-chain":
+        mb = bucket_m(m, p)
+        stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
+                                             np.dtype(dtype), mb=mb))
         # The streaming kernels hold a (512, Ppad) affinity tile, Uinv and
         # the Sb accumulator in VMEM, and stage 2b rides the p-tiled
         # affinity kernel: dense sampling grids past its cap need a p-tiled
         # streaming variant (ROADMAP).
-        stream_fits = stream_grid_fits(p, m)
+        stream_fits = stream_grid_fits(p, mb)
+        pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
+                     else use_pallas)
         if dtype != jnp.float32:
             if streaming:
                 raise ValueError(
@@ -528,9 +627,7 @@ def train_filter(
         elif streaming is None:
             from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
 
-            npad_, mpad_ = padded_shape(grid.n_pixels, m)
-            pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
-                         else use_pallas)
+            npad_, mpad_ = padded_shape(grid.n_pixels, mb)
             streaming = (pallas_ok and stream_fits
                          and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
         elif streaming and not stream_fits:
@@ -546,17 +643,18 @@ def train_filter(
                     "phi-free streaming stage 2.", grid.n_pixels, m)
                 packed, c_full = train_filter_stage2a_streaming(
                     y, rr, cc, stage1_dev, sw, pw,
-                    p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter,
+                    p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
                     eps=float(eps), interpret=interpret_stream,
                 )
             else:
                 packed, phi_store, c_rest = train_filter_stage2a(
                     y, rr, cc, stage1_dev, sw, pw,
-                    p=p, m=m, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
+                    p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                     use_pallas=use_pallas,
+                    small=stage2_dense_small(grid.n_pixels, mb),
                 )
             arr = np.asarray(packed, np.float64)  # one device->host transfer
-        rt, ct, Sb = arr[0], arr[1], arr[2:]
+        rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host
@@ -569,17 +667,21 @@ def train_filter(
             Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
             warn_rank_deficient("orthogonalize eig(Q)",
                                 int(np.count_nonzero(Sq)), k)
-            va_grt = jnp.asarray(
-                np.concatenate([Va, GrT], axis=1), dtype
-            )                                  # one host->device transfer
+            va_np = np.zeros((mb, 2 * k), np.float64)
+            va_np[:m, :k] = Va
+            va_np[:m, k:] = GrT
+            va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
             if streaming:
                 V_packed = train_filter_stage2b_streaming(
                     y, rr, cc, stage1_dev, sw, pw, c_full, va_grt,
-                    p=p, m=m, interpret=interpret_stream,
+                    p=p, mb=mb, interpret=interpret_stream,
                 )
             else:
+                scaled = ((not (pallas_ok and dtype == jnp.float32))
+                          or stage2_dense_small(grid.n_pixels, mb))
                 V_packed = train_filter_stage2b(
-                    phi_store, c_rest, va_grt, n=grid.n_pixels, m=m
+                    phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
+                    scaled=scaled,
                 )
         S = jnp.asarray(Sq, dtype)
     else:
@@ -588,7 +690,12 @@ def train_filter(
                 "streaming stage 2 requires the default host64-chain "
                 f"pipeline; got eigh_method={eigh_method!r}.")
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
-            Um, lam_m, Uinv = _unpack_stage1(stage1_dev, p)
+            if dev_s1 is not None:
+                Um, lam_m, Uinv = dev_s1
+            else:
+                Um = jnp.asarray(Um64, dtype)
+                lam_m = jnp.asarray(lam64, dtype)
+                Uinv = jnp.asarray(Uinv64, dtype)
             V_packed, S = train_filter_stage2(
                 y, rr, cc, Um, lam_m, Uinv, sw, pw,
                 p=p,

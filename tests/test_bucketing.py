@@ -1,0 +1,175 @@
+"""m-bucketed stage-2 compiles: the kept rank m is data-dependent, so
+stage 2 compiles per rank BUCKET mb = bucket_m(m, p) with the true m traced
+(ops/pipeline.py). These tests pin (a) the bucket rule, (b) result
+equivalence with the exact-m compile on every stage-2 path, and (c) that
+ranks within one bucket actually share a compiled program."""
+
+import logging
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nle_tpu.ops.pipeline import (
+    bucket_m,
+    ka_eigh_host64,
+    pack_stage1,
+    train_filter,
+    train_filter_stage2a,
+    train_filter_stage2b,
+)
+from nle_tpu.ops.sampling import sample_grid
+
+
+def test_bucket_m_rule(monkeypatch):
+    monkeypatch.setenv("NLE_M_BUCKET", "128")
+    assert bucket_m(1, 30) == 30       # capped at p for small grids
+    assert bucket_m(30, 30) == 30
+    assert bucket_m(1, 600) == 128
+    assert bucket_m(128, 600) == 128
+    assert bucket_m(129, 600) == 256
+    assert bucket_m(517, 600) == 600   # round-up crosses p -> cap
+    monkeypatch.setenv("NLE_M_BUCKET", "1")
+    assert bucket_m(37, 600) == 37     # disabled: exact rank
+    monkeypatch.setenv("NLE_M_BUCKET", "64")
+    assert bucket_m(37, 600) == 64
+
+
+@pytest.fixture()
+def truncating_image():
+    """An (image, params) pair whose Ka spectrum truncates (m < p), so the
+    balanced-block boundary genuinely moves inside the bucket."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (80, 90)).astype(np.float32)
+    hx, hy = 3000.0, 300.0
+    grid = sample_grid(80, 90, 5, 6)
+    _, lam64, _ = ka_eigh_host64(
+        img.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+        grid.sel_rows, grid.sel_cols, hx, hy, 1e-10)
+    m, p = lam64.shape[0], grid.n_samples
+    assert 0 < m < p, "fixture must truncate"
+    return img, hx, hy
+
+
+def _run(img, hx, hy, **kw):
+    V, S = train_filter(img, 5, 6, hx, hy, 6, 4, **kw)
+    return np.asarray(V), np.asarray(S)
+
+
+def test_bucketed_matches_exact_dense(truncating_image, monkeypatch):
+    img, hx, hy = truncating_image
+    monkeypatch.setenv("NLE_M_BUCKET", "1")
+    V0, S0 = _run(img, hx, hy)
+    monkeypatch.setenv("NLE_M_BUCKET", "128")
+    V1, S1 = _run(img, hx, hy)
+    # Identical algebra; only XLA's shape-dependent reduction strategy may
+    # differ (f32 noise).
+    np.testing.assert_allclose(V1, V0, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(S1, S0, rtol=5e-5, atol=1e-8)
+
+
+def test_bucketed_matches_exact_streaming(truncating_image, monkeypatch):
+    img, hx, hy = truncating_image
+    monkeypatch.setenv("NLE_M_BUCKET", "1")
+    V0, S0 = _run(img, hx, hy, streaming=True)
+    monkeypatch.setenv("NLE_M_BUCKET", "128")
+    V1, S1 = _run(img, hx, hy, streaming=True)
+    np.testing.assert_allclose(V1, V0, rtol=2e-4, atol=5e-6)
+    np.testing.assert_allclose(S1, S0, rtol=5e-5, atol=1e-8)
+
+
+def _stage2_manual(img, nr, nc, hx, hy, mb_env, monkeypatch, *, fused,
+                   small=None):
+    """Drive stage 2a/2b directly (the TPU fused path via interpret=True)
+    and finish with the host chain, returning packed-order V."""
+    from nle_tpu.ops.affinity import bandwidth_weights
+    from nle_tpu.ops.orthogonalize import host_chain64
+    from nle_tpu.ops.pipeline import bucket_m as _bm, stage2_dense_small
+
+    monkeypatch.setenv("NLE_M_BUCKET", mb_env)
+    h, w = img.shape
+    grid = sample_grid(h, w, nr, nc)
+    p = grid.n_samples
+    Um64, lam64, Uinv64 = ka_eigh_host64(
+        img.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+        grid.sel_rows, grid.sel_cols, hx, hy, 1e-10)
+    m = lam64.shape[0]
+    mb = _bm(m, p)
+    y = jnp.asarray(img.reshape(-1)[grid.perm])
+    rr = jnp.asarray((grid.perm // w).astype(np.float32))
+    cc = jnp.asarray((grid.perm % w).astype(np.float32))
+    sw, pw = bandwidth_weights(hx, hy)
+    s1 = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
+    if small is None:
+        small = stage2_dense_small(grid.n_pixels, mb)
+    packed, factor, c_rest = train_filter_stage2a(
+        y, rr, cc, s1, sw, pw, p=p, mb=mb, n_sinkhorn_iter=6, eps=1e-10,
+        use_pallas=fused, interpret=fused, small=small)
+    arr = np.asarray(packed, np.float64)
+    rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
+    k = min(4, m)
+    phi_top = Um64[:m]
+    Ga = phi_top * lam64[None, :]
+    RGa = rt[:, None] * Ga
+    Wa = RGa @ (ct[:, None] * phi_top).T
+    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, 1e-10)
+    va_np = np.zeros((mb, 2 * k))
+    va_np[:m, :k] = Va
+    va_np[:m, k:] = GrT
+    scaled = (not fused) or small
+    V = train_filter_stage2b(
+        factor, c_rest, jnp.asarray(va_np, jnp.float32),
+        n=grid.n_pixels, mb=mb, scaled=scaled, interpret=fused)
+    return np.asarray(V), Sq, m, mb
+
+
+def test_bucketed_fused_path_matches_xla(truncating_image, monkeypatch):
+    """The TPU fused-kernel branch (padded phi + fused Sinkhorn + Pallas
+    gram/matmul, run in interpreter mode) agrees with the XLA branch under
+    bucketing."""
+    img, hx, hy = truncating_image
+    Vx, Sx, m, mb = _stage2_manual(img, 5, 6, hx, hy, "128", monkeypatch,
+                                   fused=False)
+    Vf, Sf, mf, mbf = _stage2_manual(img, 5, 6, hx, hy, "128", monkeypatch,
+                                     fused=True)
+    assert (m, mb) == (mf, mbf) and m < mb
+    np.testing.assert_allclose(Sf, Sx, rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(Vf, Vx, rtol=5e-4, atol=2e-5)
+
+
+def test_bucketed_fused_large_image_path(truncating_image, monkeypatch):
+    """small=False forces the large-image branch (scaling fused into the
+    Pallas gram/matmul kernels; phi is the only N-scale buffer)."""
+    img, hx, hy = truncating_image
+    Vx, Sx, _, _ = _stage2_manual(img, 5, 6, hx, hy, "128", monkeypatch,
+                                  fused=False)
+    Vf, Sf, _, _ = _stage2_manual(img, 5, 6, hx, hy, "128", monkeypatch,
+                                  fused=True, small=False)
+    np.testing.assert_allclose(Sf, Sx, rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(Vf, Vx, rtol=5e-4, atol=2e-5)
+
+
+def test_ranks_share_compiled_program(monkeypatch, caplog):
+    """Two images whose kept ranks differ but land in one bucket reuse the
+    same stage-2a executable (no recompile; the whole point of bucketing)."""
+    monkeypatch.setenv("NLE_M_BUCKET", "128")
+    rng = np.random.default_rng(5)
+    img1 = rng.integers(0, 256, (120, 130)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 25, img1.shape), 0, 255
+                   ).astype(np.float32)
+    hx, hy = 5000.0, 60.0
+    grid = sample_grid(120, 130, 7, 8)
+    ms = []
+    for img in (img1, img2):
+        _, lam64, _ = ka_eigh_host64(
+            img.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            grid.sel_rows, grid.sel_cols, hx, hy, 1e-10)
+        ms.append(lam64.shape[0])
+    assert ms[0] != ms[1], f"fixture ranks coincide ({ms}); change the seed"
+    assert bucket_m(ms[0], grid.n_samples) == bucket_m(ms[1], grid.n_samples)
+    with caplog.at_level(logging.ERROR):   # silence truncation warnings
+        train_filter(img1, 7, 8, hx, hy, 4, 4)
+        size_after_first = train_filter_stage2a._cache_size()
+        train_filter(img2, 7, 8, hx, hy, 4, 4)
+    assert train_filter_stage2a._cache_size() == size_after_first
