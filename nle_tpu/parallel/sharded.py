@@ -18,9 +18,11 @@ capability. Parallel layout over a 2D ('data', 'pixel') `jax.sharding.Mesh`:
 
 Block boundary: as in ops/pipeline.py, the balanced Wa block sits at the
 kept-eigenvalue count m (reference src/filter.cpp:247 uses p = phi.cols()).
-The replicated part of each shard covers all p sampled pixels, split into
-the m-row top block and the (p - m) overflow rows; only rest pixels are
-sharded.
+The replicated part of each shard covers all p sampled pixels; only rest
+pixels are sharded. Shapes are static in the rank bucket mb = bucket_m(m, p)
+with each element's true m traced (columns beyond m zero-padded, the Sb
+boundary a row mask) — batch elements group per bucket, not per exact rank,
+so varied-rank batches share compiled programs.
 
 Padding: the rest-pixel count (N - p) is zero-padded to a multiple of the
 pixel-axis size; pad rows of phi_b are masked to exact zeros, which makes
@@ -43,48 +45,50 @@ from nle_tpu.ops.sampling import sample_grid
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_2a_step(mesh: Mesh, p: int, m: int, n_iter: int, eps: float,
+def _sharded_2a_step(mesh: Mesh, p: int, mb: int, n_iter: int, eps: float,
                      use_pallas: bool):
     """Jitted shard_map training step, cached per (mesh, shape config) —
     rebuilding the closure per call would retrace and recompile every time
-    (minutes on a remote-compile TPU)."""
-    def fn(Um, lam_m, Uinv, fa, fb_local, mask_local, sw, pw):
-        return _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local,
-                         p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
+    (minutes on a remote-compile TPU). Shapes are static in the rank bucket
+    mb (ops/pipeline.py bucket_m); each batch element carries its true kept
+    rank m as a traced scalar."""
+    def fn(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, sw, pw):
+        return _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local,
+                         p=p, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
                          use_pallas=use_pallas)
 
-    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
     sharded = jax.shard_map(
         vfn,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"),
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                   P("data", "pixel"), P("data", "pixel"), P(), P()),
-        out_specs=(P("data"), P("data"), P("data"), P("data"),
+        out_specs=(P("data"), P("data"), P("data"),
                    P("data", "pixel")),
     )
     return jax.jit(sharded)
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_2a_step_streaming(mesh: Mesh, p: int, m: int, n_iter: int,
+def _sharded_2a_step_streaming(mesh: Mesh, p: int, mb: int, n_iter: int,
                                eps: float, interpret: bool):
     """Streaming (phi-free) variant of _sharded_2a_step: each pixel shard
     recomputes its affinity tiles per half-step; outputs are the same except
     the sharded factor is replaced by the sharded c vector (Vb is built by
     _sharded_2b_streaming)."""
-    def fn(Um, lam_m, Uinv, fa, fb_local, mask_local, sw, pw):
+    def fn(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, sw, pw):
         return _train_2a_streaming(
-            Um, lam_m, Uinv, fa, fb_local, mask_local,
-            p=p, m=m, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
+            Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local,
+            p=p, mb=mb, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
             interpret=interpret)
 
-    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
     sharded = jax.shard_map(
         vfn,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"),
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                   P("data", "pixel"), P("data", "pixel"), P(), P()),
-        out_specs=(P("data"), P("data"), P("data"), P("data"),
+        out_specs=(P("data"), P("data"), P("data"),
                    P("data", "pixel")),
     )
     return jax.jit(sharded)
@@ -141,15 +145,21 @@ def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh
     return Mesh(devs, ("data", "pixel"))
 
 
-def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
+def _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, n_iter,
               eps, sw, pw, use_pallas=None):
     """Per-(batch element, pixel-shard) Nystrom + Sinkhorn body under
-    shard_map with `psum` over 'pixel'. Um (p, m), lam_m (m,), Uinv (p, m),
-    fa (p, 3) replicated across 'pixel'; fb_local (nb_local, 3);
-    mask_local (nb_local,). Returns the balancing vectors and the Sb
-    reduction (replicated) plus the sharded scaled factor; the
-    chaos-sensitive orthogonalization chain runs on the host in f64
-    (see ops/pipeline.py precision policy)."""
+    shard_map with `psum` over 'pixel'. Um (p, mb), lam_m (mb,), Uinv
+    (p, mb) — columns beyond the element's true kept rank m (the traced
+    scalar m_dyn) zero-padded; fa (p, 3) replicated across 'pixel';
+    fb_local (nb_local, 3); mask_local (nb_local,). Returns the p-row
+    balancing vectors and the Sb reduction (replicated) plus the sharded
+    scaled factor; the chaos-sensitive orthogonalization chain runs on the
+    host in f64 (see ops/pipeline.py precision policy).
+
+    The balanced-block boundary at m only matters for Sb (rows < m are
+    excluded) — Sinkhorn itself treats all p sampled rows identically, so
+    the old top/u row split collapses into one (p,) vector and m enters
+    solely through a row mask."""
     # The affinity kernel vma-annotates its outputs, so the fused Pallas
     # path works inside shard_map(check_vma=True) on TPU; elsewhere this
     # dispatches to the tiled XLA builder.
@@ -158,27 +168,23 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     phi_bl = (affinity_matmul(fa, fb_local, Uinv, sw, pw,
                               use_pallas=use_pallas)
               * mask_local[:, None])
-    phi_top = Um[:m]          # (m, m) — the balanced-block rows
-    phi_u = Um[m:]            # (p - m, m) — sampled rows below the boundary
 
-    def w_matvec(xt, xu, xbl):
-        s = phi_top.T @ xt + phi_u.T @ xu + jax.lax.psum(phi_bl.T @ xbl, "pixel")
+    def w_matvec(xp, xbl):
+        s = Um.T @ xp + jax.lax.psum(phi_bl.T @ xbl, "pixel")
         t = lam_m * s
-        return phi_top @ t, phi_u @ t, phi_bl @ t
+        return Um @ t, phi_bl @ t
 
     dt = fa.dtype
 
     def body(_, state):
-        rt, ru, rbl = state[:3]
-        wt, wu, wbl = w_matvec(rt, ru, rbl)
-        ct = safe_reciprocal(wt, eps)
-        cu = safe_reciprocal(wu, eps)
+        rp, rbl = state[:2]
+        wp, wbl = w_matvec(rp, rbl)
+        cp = safe_reciprocal(wp, eps)
         cbl = safe_reciprocal(wbl, eps) * mask_local
-        wt, wu, wbl = w_matvec(ct, cu, cbl)
-        rt = safe_reciprocal(wt, eps)
-        ru = safe_reciprocal(wu, eps)
+        wp, wbl = w_matvec(cp, cbl)
+        rp = safe_reciprocal(wp, eps)
         rbl = safe_reciprocal(wbl, eps) * mask_local
-        return rt, ru, rbl, ct, cu, cbl
+        return rp, rbl, cp, cbl
 
     # Loop-carry inits must carry the same varying-axes type as the loop
     # outputs: the replicated p-side vectors vary over 'data' (they are
@@ -187,37 +193,34 @@ def _train_2a(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m, n_iter,
     # reference (pad rows are annihilated by phi's zero rows either way).
     data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
     init = (
-        data_varying(jnp.ones((m,), dt)),
-        data_varying(jnp.ones((p - m,), dt)),
+        data_varying(jnp.ones((p,), dt)),
         mask_local,
-        data_varying(jnp.zeros((m,), dt)),
-        data_varying(jnp.zeros((p - m,), dt)),
+        data_varying(jnp.zeros((p,), dt)),
         jnp.zeros_like(mask_local),
     )
-    rt, ru, rbl, ct, cu, cbl = jax.lax.fori_loop(0, n_iter, body, init)
+    rp, rbl, cp, cbl = jax.lax.fori_loop(0, n_iter, body, init)
 
-    cphiu = cu[:, None] * phi_u
+    cphiu = jnp.where(jnp.arange(p) >= m_dyn, cp, 0.0)[:, None] * Um
     cphib_l = cbl[:, None] * phi_bl
     Sb = cphiu.T @ cphiu + jax.lax.psum(cphib_l.T @ cphib_l, "pixel")
-    return rt, ct, cu, Sb, cphib_l
+    return rp, cp, Sb, cphib_l
 
 
-def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
-                        n_iter, eps, sw, pw, interpret):
+def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
+                        p, mb, n_iter, eps, sw, pw, interpret):
     """Per-(batch element, pixel-shard) phi-FREE Nystrom + Sinkhorn body:
     the local rest-block rows of phi are recomputed from affinity tiles
     every half-step (ops/pallas/streaming_kernel.py), so no (nb_local, m)
     factor ever exists — per-shard memory is O(nb_local). Combined with the
     pixel mesh this scales capacity AND streaming sweep rate by the number
     of chips (the sweep is VPU-bound and embarrassingly row-parallel; only
-    m-sized psums cross ICI)."""
-    phi_top = Um[:m]
-    phi_u = Um[m:]
+    m-sized psums cross ICI). Shapes static in the rank bucket mb; the true
+    m (traced m_dyn) only masks the Sb boundary, as in _train_2a."""
     Uinv32 = Uinv
     nb_local = fb_local.shape[0]
     qpad = -(-max(nb_local, 1) // 512) * 512
     ppad = -(-p // 128) * 128
-    mpad = -(-m // 128) * 128
+    mpad = -(-mb // 128) * 128
 
     if interpret:
         # Non-TPU (CPU-mesh tests): same association and reduction structure
@@ -237,6 +240,7 @@ def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
             cphi = cbl[:, None] * affinity_matmul_xla(
                 fa, fb_local, Uinv32, sw, pw)
             return cphi.T @ cphi
+
     else:
         from nle_tpu.ops.pallas.streaming_kernel import (
             pad_stream_operands,
@@ -257,59 +261,56 @@ def _train_2a_streaming(Um, lam_m, Uinv, fa, fb_local, mask_local, *, p, m,
             return x_bl[:nb_local], ap[:p]
 
         def stream_gram(cbl):
-            uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - m)))
+            uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - mb)))
             c_pad = jnp.pad(cbl, (0, qpad - nb_local))[:, None]
             return streaming_scaled_gram_pallas(
-                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:m, :m]
+                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:mb, :mb]
 
     def halfstep(s):
         t = lam_m * s
         u = Uinv32 @ t
-        xt = safe_reciprocal(phi_top @ t, eps)
-        xu = safe_reciprocal(phi_u @ t, eps)
+        xp = safe_reciprocal(Um @ t, eps)
         x_bl, ap = stream_halfstep(u)
-        s_new = (phi_top.T @ xt + phi_u.T @ xu
-                 + jax.lax.psum(Uinv32.T @ ap, "pixel"))
-        return xt, xu, x_bl, s_new
+        s_new = Um.T @ xp + jax.lax.psum(Uinv32.T @ ap, "pixel")
+        return xp, x_bl, s_new
 
     # s0 = phi^T @ ones
     _, ap0 = stream_halfstep(jnp.zeros((p,), fa.dtype), unit_x=True)
-    s0 = (jnp.sum(phi_top, axis=0) + jnp.sum(phi_u, axis=0)
-          + jax.lax.psum(Uinv32.T @ ap0, "pixel"))
+    s0 = jnp.sum(Um, axis=0) + jax.lax.psum(Uinv32.T @ ap0, "pixel")
 
     data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
     dt = fa.dtype
+    sel_u = jnp.arange(p) >= m_dyn   # rows below the balanced-block boundary
     init = (
-        data_varying(jnp.zeros((m,), dt)),
-        data_varying(jnp.zeros((p - m,), dt)),
+        data_varying(jnp.zeros((p,), dt)),
         jnp.zeros_like(mask_local),
         s0,
     )
 
     if n_iter == 0:
         # Match the dense body's init state (r = ones, c = zeros, Sb = 0).
-        rt = data_varying(jnp.ones((m,), dt))
-        ct, cu, cbl = init[:3]
-        cphiu = cu[:, None] * phi_u
+        rp = data_varying(jnp.ones((p,), dt))
+        cp, cbl = init[:2]
+        cphiu = jnp.where(sel_u, cp, 0.0)[:, None] * Um
         Sb = cphiu.T @ cphiu + jax.lax.psum(stream_gram(cbl), "pixel")
-        return rt, ct, cu, Sb, cbl
+        return rp, cp, Sb, cbl
 
     # Both r and c are needed at the end but only s carries between
     # iterations: run n_iter-1 fused iterations, then unroll the final one
     # to capture (c, r) from its two half-steps.
     def full_body(_, state):
-        ct, cu, cbl, s = state
-        ct, cu, cbl, s = halfstep(s)
-        _, _, _, s = halfstep(s)
-        return ct, cu, cbl, s
+        cp, cbl, s = state
+        cp, cbl, s = halfstep(s)
+        _, _, s = halfstep(s)
+        return cp, cbl, s
 
-    ct, cu, cbl, s = jax.lax.fori_loop(0, n_iter - 1, full_body, init)
-    ct, cu, cbl, s = halfstep(s)
-    rt, ru, rbl, s = halfstep(s)
+    cp, cbl, s = jax.lax.fori_loop(0, n_iter - 1, full_body, init)
+    cp, cbl, s = halfstep(s)
+    rp, rbl, s = halfstep(s)
 
-    cphiu = cu[:, None] * phi_u
+    cphiu = jnp.where(sel_u, cp, 0.0)[:, None] * Um
     Sb = cphiu.T @ cphiu + jax.lax.psum(stream_gram(cbl), "pixel")
-    return rt, ct, cu, Sb, cbl
+    return rp, cp, Sb, cbl
 
 
 def train_filter_sharded(
@@ -329,8 +330,9 @@ def train_filter_sharded(
     """Train filters for a batch of channels (B, H, W) over the mesh.
 
     Returns (V (B, N, k) pixel-order, S (B, k)). B must divide by the
-    'data' axis size. Batch elements whose kept-eigenvalue counts m differ
-    are processed in same-m groups (shapes are static per compile).
+    'data' axis size. Batch elements are processed in groups sharing a
+    kept-rank BUCKET mb = bucket_m(m, p) (shapes are static per compile;
+    the per-element true m is traced — see ops/pipeline.py m-bucketing).
 
     streaming=True uses the phi-free stage 2 per shard (affinity tiles
     recomputed every sweep): per-shard memory drops from O(nb_local * m) to
@@ -361,7 +363,7 @@ def train_filter_sharded(
 
     # Stage 1 (host, float64): Ka eigensystem per batch element — the
     # chaos-sensitive eigenbasis must be chosen at f64 (see ops/pipeline.py).
-    from nle_tpu.ops.pipeline import ka_eigh_host64
+    from nle_tpu.ops.pipeline import bucket_m, ka_eigh_host64
 
     stage1 = [
         ka_eigh_host64(
@@ -371,6 +373,7 @@ def train_filter_sharded(
         for i in range(b)
     ]
     ms = np.array([s[1].shape[0] for s in stage1])
+    mbs = np.array([bucket_m(int(m), p) for m in ms])
 
     k_out = min(n_eig_vectors, int(ms.min()))
     V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
@@ -378,13 +381,24 @@ def train_filter_sharded(
 
     from nle_tpu.ops.orthogonalize import host_chain64
 
-    for m in np.unique(ms):
-        idx = np.nonzero(ms == m)[0]
-        m = int(m)
-        k = min(n_eig_vectors, m)
-        Um = jnp.asarray(np.stack([stage1[i][0] for i in idx]), dtype)
-        lam_m = jnp.asarray(np.stack([stage1[i][1] for i in idx]), dtype)
-        Uinv = jnp.asarray(np.stack([stage1[i][2] for i in idx]), dtype)
+    for mb in np.unique(mbs):
+        idx = np.nonzero(mbs == mb)[0]
+        mb = int(mb)
+
+        def padded(j, arr1d=False):
+            """Stack a group's stage-1 piece zero-padded to the bucket."""
+            outs = []
+            for i in idx:
+                a = stage1[i][j]
+                pad = ((0, mb - a.shape[-1]),) if arr1d else (
+                    (0, 0), (0, mb - a.shape[-1]))
+                outs.append(np.pad(a, pad))
+            return jnp.asarray(np.stack(outs), dtype)
+
+        Um = padded(0)
+        lam_m = padded(1, arr1d=True)
+        Uinv = padded(2)
+        m_arr = jnp.asarray(ms[idx].astype(np.int32))
         # Decide by the MESH devices' platform, not the process default
         # backend: under the pinned axon platform a virtual CPU mesh still
         # sees default_backend() == "tpu".
@@ -393,34 +407,39 @@ def train_filter_sharded(
         if streaming:
             from nle_tpu.ops.pipeline import stream_grid_fits
 
-            if not interpret and not stream_grid_fits(p, m):
+            if not interpret and not stream_grid_fits(p, mb):
                 raise ValueError(
                     f"streaming stage 2 supports sampling grids up to "
-                    f"p ~ 1792 (got p = {p}, m = {m}); see "
+                    f"p ~ 1792 (got p = {p}, mb = {mb}); see "
                     "ops/pipeline.py stream_grid_fits.")
             step = _sharded_2a_step_streaming(
-                mesh, p, m, n_sinkhorn_iter, eps, interpret)
+                mesh, p, mb, n_sinkhorn_iter, eps, interpret)
         else:
-            step = _sharded_2a_step(mesh, p, m, n_sinkhorn_iter, eps, on_tpu)
+            step = _sharded_2a_step(mesh, p, mb, n_sinkhorn_iter, eps, on_tpu)
         with jax.default_matmul_precision("highest"):
-            rt, ct, cu, Sb, cphib = step(
-                Um, lam_m, Uinv, fa[idx], fb[idx], mask[idx], sw, pw
+            rp, cp, Sb, cphib = step(
+                Um, lam_m, Uinv, m_arr, fa[idx], fb[idx], mask[idx], sw, pw
             )
-        rt64 = np.asarray(rt, np.float64)
-        ct64 = np.asarray(ct, np.float64)
-        cu64 = np.asarray(cu, np.float64)
+        rp64 = np.asarray(rp, np.float64)
+        cp64 = np.asarray(cp, np.float64)
         Sb64 = np.asarray(Sb, np.float64)
         grts = []
         for j, i in enumerate(idx):
+            m = int(ms[i])
+            k = min(n_eig_vectors, m)
             Um64 = stage1[i][0]
             lam64 = stage1[i][1]
             phi_top = Um64[:m]
             Ga = phi_top * lam64[None, :]
-            RGa = rt64[j][:, None] * Ga
-            Wa = RGa @ (ct64[j][:, None] * phi_top).T
-            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j], Ga, rt64[j], k, eps)
-            Vu = (cu64[j][:, None] * Um64[m:]) @ GrT
-            grts.append(GrT)
+            rt64 = rp64[j][:m]
+            RGa = rt64[:, None] * Ga
+            Wa = RGa @ (cp64[j][:m, None] * phi_top).T
+            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], Ga, rt64,
+                                       k, eps)
+            Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
+            grt_pad = np.zeros((mb, k_out))
+            grt_pad[:m] = GrT[:, :k_out]
+            grts.append(grt_pad)
             top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
             V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
             S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
@@ -436,7 +455,7 @@ def train_filter_sharded(
                 Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
         Vb_np = np.asarray(Vb[:, :nb, :])
         for j, i in enumerate(idx):
-            V_out[i, grid.perm[p:], :] = Vb_np[j][:, :k_out]
+            V_out[i, grid.perm[p:], :] = Vb_np[j]
     return jnp.asarray(V_out), jnp.asarray(S_out)
 
 

@@ -99,3 +99,41 @@ def test_sharded_streaming_matches_single_device(batch, n_data, n_pixel):
         out_s = np.asarray(
             apply_filter(jnp.asarray(V_s[i]), fS, jnp.asarray(batch[i])))
         assert np.abs(out_s - out_1).max() < 0.05
+
+
+def test_sharded_varied_ranks_share_bucket():
+    """Two batch elements whose kept ranks differ (m = 25 and 23 at p = 30)
+    land in ONE rank bucket: they run through a single shard_map group with
+    per-element traced m, and each matches the single-device pipeline."""
+    from nle_tpu.ops.pipeline import bucket_m, ka_eigh_host64
+    from nle_tpu.ops.sampling import sample_grid
+
+    rng = np.random.default_rng(3)
+    img1 = rng.integers(0, 256, (80, 90)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 20, img1.shape), 0, 255
+                   ).astype(np.float32)
+    args = (5, 6, 3000.0, 300.0, 6, 4)
+    grid = sample_grid(80, 90, 5, 6)
+    ms = []
+    for im in (img1, img2):
+        _, lam, _ = ka_eigh_host64(
+            im.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            grid.sel_rows, grid.sel_cols, 3000.0, 300.0, 1e-10)
+        ms.append(lam.shape[0])
+    p = grid.n_samples
+    assert ms[0] != ms[1] and max(ms) < p
+    assert bucket_m(ms[0], p) == bucket_m(ms[1], p)
+
+    batch = np.stack([img1, img2])
+    V_s, S_s = train_filter_sharded(batch, *args, make_mesh(2, 4))
+    w = [2.0, 3.0, 4.0, 1.0]
+    for i in range(2):
+        V1, S1 = train_filter(batch[i], *args, use_pallas=False)
+        k = np.asarray(S1).size
+        np.testing.assert_allclose(np.asarray(S_s[i])[:k], np.asarray(S1),
+                                   rtol=2e-4, atol=1e-5)
+        fS = transform_eigenvalues(S1, w)
+        out_1 = np.asarray(apply_filter(V1, fS, jnp.asarray(batch[i])))
+        out_s = np.asarray(apply_filter(V_s[i][:, :k], fS,
+                                        jnp.asarray(batch[i])))
+        assert np.abs(out_s - out_1).max() < 0.05
