@@ -1,0 +1,261 @@
+"""HTTP edit service: the train-once / edit-many flow over a real transport.
+
+A stdlib ThreadingHTTPServer wrapping NLEFilter (models/filter.py) — the
+serving-path counterpart of examples/serving_stream.py (which is the
+in-process pipeline). No reference counterpart (the reference trains one
+filter per process run, reference src/enhance.cpp:33-49); this is the
+deployment shape the TrainedFilter checkpoint + nle-apply CLI already
+support, exposed as a service.
+
+Endpoints (image bytes in the request body, PNG bytes or JSON back):
+
+    GET  /healthz                           liveness + device platform
+    POST /enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1
+                                            one-shot train + enhance
+    POST /denoise?...&shrink=2&sigma_color=10&sigma_space=10
+                                            one-shot train + denoise
+    POST /train?name=scene1&nr=..&nc=..     train a filter, keep it by name
+    POST /apply?name=scene1&w=2,3,4,1       edit with a kept filter
+                                            (train once, edit many)
+
+Device work is serialized with a lock (one chip); decoding/encoding and the
+HTTP plumbing run on the request threads. Run:
+
+    python examples/serve_http.py [--port=8807]
+    curl -s --data-binary @/root/reference/data/flower-50.bmp \
+        'localhost:8807/enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1' \
+        -o /tmp/flower_enhanced.png
+
+`--selftest` starts the server, POSTs the flower golden config through a
+real socket, checks the PSNR gate, and exits (used by the tests).
+"""
+
+import io
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _decode_bgr(data: bytes) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("Could not decode image bytes")
+        return img
+    except ImportError:
+        from PIL import Image
+
+        rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        return rgb[..., ::-1].copy()
+
+
+def _encode_png(img_bgr_u8: np.ndarray) -> bytes:
+    try:
+        import cv2
+
+        ok, buf = cv2.imencode(".png", img_bgr_u8)
+        if not ok:
+            raise ValueError("PNG encode failed")
+        return buf.tobytes()
+    except ImportError:
+        from PIL import Image
+
+        out = io.BytesIO()
+        Image.fromarray(np.asarray(img_bgr_u8)[..., ::-1]).save(out, "PNG")
+        return out.getvalue()
+
+
+class _Service:
+    """One device, many requests: filters by name + a device lock."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.filters: dict[str, object] = {}
+
+    def _make_filter(self, img, q, denoise: bool):
+        from nle_tpu.models.filter import NLEFilter
+
+        f = NLEFilter()
+        args = (img, int(q["nr"][0]), int(q["nc"][0]), float(q["hx"][0]),
+                float(q["hy"][0]), int(q.get("iters", ["10"])[0]),
+                int(q.get("k", ["5"])[0]))
+        if denoise:
+            f.train_for_denoise(
+                *args, sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        else:
+            f.train_for_enhancement(*args)
+        return f
+
+    def enhance(self, body, q):
+        img = _decode_bgr(body)
+        w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        with self.lock:
+            f = self._make_filter(img, q, denoise=False)
+            return _encode_png(f.enhance(img, w))
+
+    def denoise(self, body, q):
+        img = _decode_bgr(body)
+        with self.lock:
+            f = self._make_filter(img, q, denoise=True)
+            return _encode_png(f.denoise(
+                img, float(q.get("shrink", ["2"])[0]),
+                sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                sigma_space=float(q.get("sigma_space", ["10"])[0])))
+
+    def train(self, body, q):
+        img = _decode_bgr(body)
+        name = q.get("name", ["default"])[0]
+        with self.lock:
+            f = self._make_filter(img, q, denoise=False)
+            self.filters[name] = f
+            t = f.trained
+            return json.dumps({
+                "name": name, "k": int(t.eigvals.shape[0]),
+                "shape": [int(t.nrows), int(t.ncols)],
+            }).encode()
+
+    def apply(self, body, q):
+        img = _decode_bgr(body)
+        name = q.get("name", ["default"])[0]
+        f = self.filters.get(name)
+        if f is None:
+            raise KeyError(f"no trained filter named {name!r} "
+                           f"(have: {sorted(self.filters)})")
+        w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        with self.lock:
+            return _encode_png(f.enhance(img, w))
+
+
+def make_server(port: int = 0) -> ThreadingHTTPServer:
+    svc = _Service()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                import jax
+
+                body = json.dumps({
+                    "ok": True, "platform": jax.default_backend(),
+                    "filters": sorted(svc.filters),
+                }).encode()
+                return self._reply(200, body, "application/json")
+            return self._reply(404, b'{"error": "not found"}',
+                               "application/json")
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n)
+            route = {"/enhance": svc.enhance, "/denoise": svc.denoise,
+                     "/train": svc.train, "/apply": svc.apply}.get(u.path)
+            if route is None:
+                return self._reply(404, b'{"error": "not found"}',
+                                   "application/json")
+            try:
+                out = route(body, q)
+            except Exception as e:  # surface the error to the client
+                msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
+                return self._reply(400, msg.encode(), "application/json")
+            ctype = ("application/json" if out[:1] == b"{" else "image/png")
+            return self._reply(200, out, ctype)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def selftest(platform: str | None = None) -> float:
+    """Start the server on an ephemeral port, run the flower golden config
+    through real HTTP round trips (train-once + edit-many included), return
+    the PSNR vs the reference golden output."""
+    import urllib.request
+
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    srv = make_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+        data = open("/root/reference/data/flower-50.bmp", "rb").read()
+        cfg = "nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1"
+        req = urllib.request.Request(f"{base}/enhance?{cfg}", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = _decode_bgr(r.read())
+        # train-once / edit-many round trip
+        req = urllib.request.Request(
+            f"{base}/train?name=flower&{cfg}", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            meta = json.loads(r.read())
+        assert meta["k"] == 30, meta
+        req = urllib.request.Request(
+            f"{base}/apply?name=flower&w=2,3,4,1", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out2 = _decode_bgr(r.read())
+        assert np.array_equal(out, out2), "apply != one-shot enhance"
+        golden = _decode_bgr(
+            open("/root/reference/data/flower-filtered.png", "rb").read())
+        mse = np.mean((out.astype(np.float64) - golden.astype(np.float64)) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        return float(psnr)
+    finally:
+        srv.shutdown()
+
+
+def main():
+    port = 8807
+    run_selftest = False
+    platform = None
+    for a in sys.argv[1:]:
+        if a.startswith("--port="):
+            port = int(a.split("=", 1)[1])
+        elif a == "--selftest":
+            run_selftest = True
+        elif a.startswith("--platform="):
+            platform = a.split("=", 1)[1]
+    if run_selftest:
+        psnr = selftest(platform)
+        print(f"selftest PSNR: {psnr:.2f} dB")
+        sys.exit(0 if psnr >= 45.0 else 1)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    srv = make_server(port)
+    print(f"nle-tpu edit service on http://127.0.0.1:{port} "
+          "(POST /enhance /denoise /train /apply, GET /healthz)", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,10 +89,13 @@ def affinity_matmul(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw, *,
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and fa.dtype == jnp.float32:
         from nle_tpu.ops.pallas.affinity_kernel import (
-            MAX_PALLAS_P_TILED,
             affinity_matmul_pallas,
+            ptiled_fits,
         )
 
-        if fa.shape[0] <= MAX_PALLAS_P_TILED:
+        # The VMEM bound is the width of B, not p (the p-tiled kernel
+        # streams sample slices): any grid size works while B is narrow
+        # enough.
+        if ptiled_fits(B.shape[1]):
             return affinity_matmul_pallas(fa, fb, B, sw, pw)
     return affinity_matmul_xla(fa, fb, B, sw, pw)

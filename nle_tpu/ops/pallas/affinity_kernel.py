@@ -25,9 +25,20 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Q = 512
 # B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
 MAX_PALLAS_P = 1024
-# The p-tiled variant streams B slices; its VMEM bound is the (TILE_Q, Mpad)
-# output block + two buffered (512, Mpad) B slices.
+# The p-tiled variant streams B slices; its VMEM bound does NOT involve p at
+# all — only the B width (see ptiled_fits). This constant is the bound in
+# the worst case m == p and is kept for callers that only know p.
 MAX_PALLAS_P_TILED = 1792
+
+
+def ptiled_fits(m: int) -> bool:
+    """Whether the p-tiled kernel's VMEM working set fits for a B of width
+    m: the (TILE_Q, Mpad) accumulator + double-buffered (PTILE, Mpad) B
+    slices + the (TILE_Q, PTILE) affinity tile. Independent of p — a narrow
+    B (e.g. the k-column eigenvector tail) rides the fused kernel for ANY
+    sampling-grid size."""
+    mpad = _round_up(max(m, 1), 128)
+    return 4 * (3 * TILE_Q * mpad + TILE_Q * 512) <= 10 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -127,7 +138,8 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
         transcendentals=qpad * ppad,
     )
 
-    if ppad <= MAX_PALLAS_P:
+    dense_vmem = 4 * (ppad * mpad + 3 * TILE_Q * mpad + TILE_Q * ppad)
+    if ppad <= MAX_PALLAS_P and dense_vmem <= 10 * 2**20:
         out = pl.pallas_call(
             _kernel,
             grid=(qpad // TILE_Q,),

@@ -38,22 +38,35 @@ from jax.experimental.pallas import tpu as pltpu
 from nle_tpu.ops.pallas.affinity_kernel import _out_struct, _unify_vma
 
 TILE_Q = 512
+# Sample-dimension tile of the two-pass halfstep (dense sampling grids).
+PTILE = 1024
+# Up to this Ppad the single-pass halfstep holds the whole (TILE_Q, Ppad)
+# affinity tile in VMEM (one exp per entry per sweep); beyond it the
+# two-pass p-tiled kernel takes over (two exps, unbounded p).
+MAX_STREAM_P_FUSED = 1792
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def stream_p_alignment(p: int) -> int:
+    """Sample-dimension padding rule shared by the streaming kernels: 128
+    while the single-pass halfstep applies, PTILE once the p-tiled two-pass
+    kernel takes over."""
+    return 128 if _round_up(p, 128) <= MAX_STREAM_P_FUSED else PTILE
+
+
 def pad_stream_operands(fa: jax.Array, fb: jax.Array):
     """The ONE padding rule all streaming kernels share: sample features
     transposed to (3, Ppad), rest features to (Qpad, 3) with a (Qpad, 1)
-    validity mask. Qpad is a TILE_Q multiple, Ppad a 128 multiple. Every
-    caller must use this helper so the kernels see identical layouts (XLA
-    CSE dedupes the repeated pads within one jit)."""
+    validity mask. Qpad is a TILE_Q multiple, Ppad a stream_p_alignment
+    multiple. Every caller must use this helper so the kernels see identical
+    layouts (XLA CSE dedupes the repeated pads within one jit)."""
     p = fa.shape[0]
     q = fb.shape[0]
     qpad = _round_up(max(q, 1), TILE_Q)
-    ppad = _round_up(p, 128)
+    ppad = _round_up(p, stream_p_alignment(p))
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
     fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))
     mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[:, None]
@@ -157,6 +170,135 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     return x[:, 0], jnp.sum(ap8, axis=0)
 
 
+def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
+                            fa_ref, x_ref, ap_ref, wacc, *, unit_x: bool,
+                            np_tiles: int):
+    """Two-pass variant for dense sampling grids (Ppad > MAX_STREAM_P_FUSED):
+    the affinity tile is (TILE_Q, PTILE) — p no longer bounded by VMEM — at
+    the price of recomputing it in both passes (2 exps per entry per sweep).
+    Grid (q_tiles, 2, p_tiles): pass s=0 accumulates w = K_AB^T u over the
+    p tiles and emits x = guarded-reciprocal(w) at the last tile; pass s=1
+    re-generates each tile and accumulates ap = K_AB @ x into the revisited
+    (8, PTILE) output blocks."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # ap block j's first visit overall is (i=0, s=0, j).
+    @pl.when((i == 0) & (s == 0))
+    def _():
+        ap_ref[:] = jnp.zeros_like(ap_ref)
+
+    if unit_x:
+        @pl.when((s == 0) & (j == 0))
+        def _():
+            x_ref[:] = mask_ref[:]
+    else:
+        @pl.when(s == 0)
+        def _():
+            A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)  # (T, PTILE)
+
+            @pl.when(j == 0)
+            def _():
+                wacc[:] = jnp.zeros_like(wacc)
+
+            wacc[:] += jax.lax.dot_general(
+                A, u_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(j == np_tiles - 1)
+            def _():
+                w = wacc[:]
+                eps = eps_ref[0, 0]
+                valid = jnp.abs(w) >= eps
+                x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+                x_ref[:] = x * mask_ref[:]
+
+    @pl.when(s == 1)
+    def _():
+        A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)
+        part = jax.lax.dot_general(
+            x_ref[:], A,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (1, PTILE)
+        row = i % 8
+        ap_ref[pl.ds(row, 1), :] = ap_ref[pl.ds(row, 1), :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("unit_x", "interpret"))
+def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+                                     mask: jax.Array, u_pad: jax.Array,
+                                     sw, pw, eps, unit_x: bool = False,
+                                     interpret: bool = False):
+    """streaming_halfstep_pallas contract for arbitrarily dense sampling
+    grids: Ppad must be a PTILE multiple (see stream_p_alignment)."""
+    qpad = fb_pad.shape[0]
+    ppad = fa_rows.shape[1]
+    np_tiles = ppad // PTILE
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * qpad * ppad * 6,
+        bytes_accessed=4 * (2 * qpad * 4 + 2 * 3 * ppad + qpad + 2 * ppad),
+        transcendentals=2 * qpad * ppad,
+    )
+    sw2, pw2, eps2, fa_rows, fb_pad, mask, u_row = _unify_vma(
+        sw2, pw2, eps2, fa_rows, fb_pad, mask, u_pad[None, :])
+    x, ap8 = pl.pallas_call(
+        functools.partial(_halfstep_ptiled_kernel, unit_x=unit_x,
+                          np_tiles=np_tiles),
+        grid=(qpad // TILE_Q, 2, np_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, s, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, s, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, PTILE), lambda i, s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i, s, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i, s, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PTILE), lambda i, s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_Q, 1), lambda i, s, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PTILE), lambda i, s, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            _out_struct((qpad, 1), u_row, fb_pad, mask, fa_rows),
+            _out_struct((8, ppad), u_row, fb_pad, mask, fa_rows),
+        ),
+        scratch_shapes=[pltpu.VMEM((TILE_Q, 1), jnp.float32)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(sw2, pw2, eps2, u_row, fb_pad, mask, fa_rows)
+    return x[:, 0], jnp.sum(ap8, axis=0)
+
+
+def streaming_halfstep(fa_rows, fb_pad, mask, u_pad, sw, pw, eps,
+                       unit_x=False, interpret=False):
+    """Dispatch on the padded sample count: single-pass fused kernel while
+    the whole (TILE_Q, Ppad) tile fits VMEM, two-pass p-tiled kernel
+    beyond."""
+    if fa_rows.shape[1] <= MAX_STREAM_P_FUSED:
+        return streaming_halfstep_pallas(
+            fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
+            interpret=interpret)
+    return streaming_halfstep_ptiled_pallas(
+        fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
+        interpret=interpret)
+
+
 def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):
     i = pl.program_id(0)
 
@@ -215,6 +357,54 @@ def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     return sb
 
 
+def streaming_scaled_gram_xla(fa: jax.Array, fb_pad: jax.Array,
+                              c_pad: jax.Array, uinv: jax.Array, sw, pw,
+                              tile: int = 8192):
+    """XLA fallback for streaming_scaled_gram_pallas when (Ppad, Mpad) Uinv
+    or the (Mpad, Mpad) Sb no longer fit VMEM (dense sampling grids): a
+    lax.scan over row tiles accumulates Sb with only one (tile, p) affinity
+    block + one (tile, m) cphi block alive in HBM at a time — memory stays
+    O(N + p*m). This runs once per train (vs 2*n_iter+1 halfstep sweeps),
+    so the XLA-vs-Pallas rate difference is immaterial.
+
+    fb_pad/c_pad follow pad_stream_operands (c zero on pad rows); uinv is
+    the UNPADDED (p, m) factor. Returns (m, m)."""
+    from nle_tpu.ops.affinity import affinity_block
+
+    qpad = fb_pad.shape[0]
+    m = uinv.shape[1]
+    tile = min(tile, qpad)
+    while qpad % tile:
+        tile //= 2
+    nt = qpad // tile
+
+    def body(Sb, inp):
+        fb_t, c_t = inp
+        k = affinity_block(fb_t, fa, sw, pw)            # (tile, p)
+        cphi = c_t * jnp.dot(k, uinv,
+                             preferred_element_type=jnp.float32)
+        return Sb + jax.lax.dot_general(
+            cphi, cphi,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), None
+
+    Sb, _ = jax.lax.scan(
+        body, jnp.zeros((m, m), jnp.float32),
+        (fb_pad.reshape(nt, tile, 3), c_pad.reshape(nt, tile, 1)))
+    return Sb
+
+
+def gram_fits_vmem(p: int, m: int) -> bool:
+    """Whether streaming_scaled_gram_pallas's working set — whole
+    (Ppad, Mpad) Uinv + (Mpad, Mpad) Sb + a (TILE_Q, Ppad) affinity tile +
+    the (TILE_Q, Mpad) cphi block — fits VMEM."""
+    ppad = _round_up(p, stream_p_alignment(p))
+    mpad = _round_up(m, 128)
+    return 4 * (TILE_Q * ppad + ppad * mpad + mpad * mpad
+                + TILE_Q * mpad) <= 10 * 2**20
+
+
 def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
                                lam_m: jax.Array, Uinv: jax.Array,
                                max_iter: int, eps: float, sw, pw,
@@ -241,13 +431,13 @@ def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
         w_top = Um32 @ t                                      # (p,)
         valid = jnp.abs(w_top) >= eps
         x_top = jnp.where(valid, 1.0 / jnp.where(valid, w_top, 1.0), 0.0)
-        x_rest, ap = streaming_halfstep_pallas(
+        x_rest, ap = streaming_halfstep(
             fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
         s = Um32.T @ x_top + Uinv32.T @ ap[:p]
         return x_top, x_rest, s
 
     # s0 = phi^T @ ones: Um columns + one unit_x streaming pass.
-    _, ap0 = streaming_halfstep_pallas(
+    _, ap0 = streaming_halfstep(
         fa_rows, fb_pad, mask, jnp.zeros((ppad,), jnp.float32), sw, pw, eps,
         unit_x=True, interpret=interpret)
     s0 = jnp.sum(Um32, axis=0) + Uinv32.T @ ap0[:p]

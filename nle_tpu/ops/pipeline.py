@@ -241,19 +241,6 @@ def stage2_dense_small(n: int, mb: int) -> bool:
     return 4 * npad * mpad <= _CPHI_BYTES_LIMIT
 
 
-def stream_grid_fits(p: int, m: int) -> bool:
-    """Whether the phi-free streaming kernels support this sampling grid:
-    the (512, Ppad) affinity tile + Uinv + Sb must fit VMEM and stage 2b's
-    fused Vb matmul is capped at the p-tiled affinity kernel's limit."""
-    from nle_tpu.ops.pallas.affinity_kernel import MAX_PALLAS_P_TILED
-
-    ppad = -(-p // 128) * 128
-    mpad = -(-m // 128) * 128
-    return (ppad <= MAX_PALLAS_P_TILED and
-            4 * (512 * ppad + ppad * mpad + mpad * mpad
-                 + 512 * mpad) <= 10 * 2**20)
-
-
 def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
     """Pack a channel into [selected; rest] order; returns (packed array,
     is_8bit) where is_8bit means the values are integers in [0, 255] and the
@@ -433,10 +420,13 @@ def train_filter_stage2a_streaming(
     features and the balancing vectors. Returns (packed (mb+2, mb), c (N,)).
     Shapes are static in the rank bucket mb (see bucket_m); the true m rides
     in stage1_packed and drives only the c mask at the balanced-block
-    boundary."""
+    boundary. Dense sampling grids dispatch to the two-pass p-tiled
+    halfstep and the XLA-tiled gram — any (p, m) is supported."""
     from nle_tpu.ops.pallas.streaming_kernel import (
+        gram_fits_vmem,
         pad_stream_operands,
         streaming_scaled_gram_pallas,
+        streaming_scaled_gram_xla,
         streaming_sinkhorn_vectors,
     )
 
@@ -458,11 +448,16 @@ def train_filter_stage2a_streaming(
         ppad = fa_rows.shape[1]
         mpad = -(-mb // 128) * 128
         c_pad = jnp.pad(c[p:], (0, qpad - q))[:, None]
-        uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
-                           ((0, ppad - p), (0, mpad - mb)))
-        Sb = Sb_top + streaming_scaled_gram_pallas(
-            fa_rows, fb_pad, c_pad, uinv_pad, sw, pw,
-            interpret=interpret)[:mb, :mb]
+        if gram_fits_vmem(p, mb):
+            uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
+                               ((0, ppad - p), (0, mpad - mb)))
+            Sb_rest = streaming_scaled_gram_pallas(
+                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw,
+                interpret=interpret)[:mb, :mb]
+        else:
+            Sb_rest = streaming_scaled_gram_xla(
+                fa, fb_pad, c_pad, Uinv.astype(jnp.float32), sw, pw)
+        Sb = Sb_top + Sb_rest
         packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
     return packed, c
 
@@ -611,11 +606,6 @@ def train_filter(
         mb = bucket_m(m, p)
         stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
                                              np.dtype(dtype), mb=mb))
-        # The streaming kernels hold a (512, Ppad) affinity tile, Uinv and
-        # the Sb accumulator in VMEM, and stage 2b rides the p-tiled
-        # affinity kernel: dense sampling grids past its cap need a p-tiled
-        # streaming variant (ROADMAP).
-        stream_fits = stream_grid_fits(p, mb)
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
         if dtype != jnp.float32:
@@ -628,13 +618,7 @@ def train_filter(
             from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
 
             npad_, mpad_ = padded_shape(grid.n_pixels, mb)
-            streaming = (pallas_ok and stream_fits
-                         and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
-        elif streaming and not stream_fits:
-            raise ValueError(
-                f"streaming stage 2 supports sampling grids up to p ~ 1792 "
-                f"(got p = {p}, m = {m}): the (512, Ppad) affinity tile + "
-                "Uinv + Sb no longer fit VMEM / the p-tiled Vb kernel cap.")
+            streaming = (pallas_ok and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
         interpret_stream = jax.default_backend() != "tpu"
         with stage("Nystrom approximation + Sinkhorn"):
             if streaming:

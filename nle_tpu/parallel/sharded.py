@@ -243,28 +243,34 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
 
     else:
         from nle_tpu.ops.pallas.streaming_kernel import (
+            gram_fits_vmem,
             pad_stream_operands,
-            streaming_halfstep_pallas,
+            streaming_halfstep as _halfstep_dispatch,
             streaming_scaled_gram_pallas,
+            streaming_scaled_gram_xla,
         )
 
         fa_rows, fb_pad, _ = pad_stream_operands(fa, fb_local)
+        ppad = fa_rows.shape[1]   # stream_p_alignment rule
         # The shard's own validity mask, not the helper's (global pad rows
         # inside this shard are marked invalid by mask_local).
         mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[:, None]
 
         def stream_halfstep(u, unit_x=False):
             u_pad = jnp.pad(u, (0, ppad - p))
-            x_bl, ap = streaming_halfstep_pallas(
+            x_bl, ap = _halfstep_dispatch(
                 fa_rows, fb_pad, mask_pad, u_pad, sw, pw, eps,
                 unit_x=unit_x)
             return x_bl[:nb_local], ap[:p]
 
         def stream_gram(cbl):
-            uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - mb)))
             c_pad = jnp.pad(cbl, (0, qpad - nb_local))[:, None]
-            return streaming_scaled_gram_pallas(
-                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:mb, :mb]
+            if gram_fits_vmem(p, mb):
+                uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - mb)))
+                return streaming_scaled_gram_pallas(
+                    fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:mb, :mb]
+            return streaming_scaled_gram_xla(
+                fa, fb_pad, c_pad, Uinv32, sw, pw)
 
     def halfstep(s):
         t = lam_m * s
@@ -405,13 +411,6 @@ def train_filter_sharded(
         on_tpu = mesh.devices.flat[0].platform == "tpu"
         interpret = not on_tpu
         if streaming:
-            from nle_tpu.ops.pipeline import stream_grid_fits
-
-            if not interpret and not stream_grid_fits(p, mb):
-                raise ValueError(
-                    f"streaming stage 2 supports sampling grids up to "
-                    f"p ~ 1792 (got p = {p}, mb = {mb}); see "
-                    "ops/pipeline.py stream_grid_fits.")
             step = _sharded_2a_step_streaming(
                 mesh, p, mb, n_sinkhorn_iter, eps, interpret)
         else:
