@@ -30,7 +30,6 @@ HTTP plumbing run on the request threads. Run:
 real socket, checks the PSNR gate, and exits (used by the tests).
 """
 
-import io
 import json
 import os
 import sys
@@ -42,36 +41,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-
-def _decode_bgr(data: bytes) -> np.ndarray:
-    try:
-        import cv2
-
-        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-        if img is None:
-            raise ValueError("Could not decode image bytes")
-        return img
-    except ImportError:
-        from PIL import Image
-
-        rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        return rgb[..., ::-1].copy()
-
-
-def _encode_png(img_bgr_u8: np.ndarray) -> bytes:
-    try:
-        import cv2
-
-        ok, buf = cv2.imencode(".png", img_bgr_u8)
-        if not ok:
-            raise ValueError("PNG encode failed")
-        return buf.tobytes()
-    except ImportError:
-        from PIL import Image
-
-        out = io.BytesIO()
-        Image.fromarray(np.asarray(img_bgr_u8)[..., ::-1]).save(out, "PNG")
-        return out.getvalue()
+from nle_tpu.utils.imageio import imdecode_bgr as _decode_bgr
+from nle_tpu.utils.imageio import imencode_png as _encode_png
 
 
 class _Service:
@@ -174,9 +145,14 @@ def make_server(port: int = 0) -> ThreadingHTTPServer:
                                    "application/json")
             try:
                 out = route(body, q)
-            except Exception as e:  # surface the error to the client
+            except (ValueError, KeyError, IndexError) as e:
+                # input-validation class: bad image bytes, bad params,
+                # unknown filter name
                 msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
                 return self._reply(400, msg.encode(), "application/json")
+            except Exception as e:  # server-side fault (device, compile...)
+                msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
+                return self._reply(500, msg.encode(), "application/json")
             ctype = ("application/json" if out[:1] == b"{" else "image/png")
             return self._reply(200, out, ctype)
 

@@ -25,12 +25,6 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Q = 512
 # B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
 MAX_PALLAS_P = 1024
-# The p-tiled variant streams B slices; its VMEM bound does NOT involve p at
-# all — only the B width (see ptiled_fits). This constant is the bound in
-# the worst case m == p and is kept for callers that only know p.
-MAX_PALLAS_P_TILED = 1792
-
-
 def ptiled_fits(m: int) -> bool:
     """Whether the p-tiled kernel's VMEM working set fits for a B of width
     m: the (TILE_Q, Mpad) accumulator + double-buffered (PTILE, Mpad) B

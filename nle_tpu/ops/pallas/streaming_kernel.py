@@ -171,50 +171,47 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
 
 
 def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
-                            fa_ref, x_ref, ap_ref, wacc, *, unit_x: bool,
-                            np_tiles: int):
+                            fa_ref, x_ref, ap_ref, wacc, *, np_tiles: int):
     """Two-pass variant for dense sampling grids (Ppad > MAX_STREAM_P_FUSED):
     the affinity tile is (TILE_Q, PTILE) — p no longer bounded by VMEM — at
     the price of recomputing it in both passes (2 exps per entry per sweep).
     Grid (q_tiles, 2, p_tiles): pass s=0 accumulates w = K_AB^T u over the
     p tiles and emits x = guarded-reciprocal(w) at the last tile; pass s=1
-    re-generates each tile and accumulates ap = K_AB @ x into the revisited
-    (8, PTILE) output blocks."""
+    re-generates each tile and accumulates ap = K_AB @ x.
+
+    The ap accumulator is ONE (8, Ppad) block resident for the whole grid
+    (constant index map, column slice selected by j) — per-j output blocks
+    would be revisited at non-consecutive grid steps, which the TPU block
+    pipeline does not guarantee to preserve."""
     i = pl.program_id(0)
     s = pl.program_id(1)
     j = pl.program_id(2)
 
-    # ap block j's first visit overall is (i=0, s=0, j).
-    @pl.when((i == 0) & (s == 0))
+    @pl.when((i == 0) & (s == 0) & (j == 0))
     def _():
         ap_ref[:] = jnp.zeros_like(ap_ref)
 
-    if unit_x:
-        @pl.when((s == 0) & (j == 0))
+    @pl.when(s == 0)
+    def _():
+        A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)  # (T, PTILE)
+
+        @pl.when(j == 0)
         def _():
-            x_ref[:] = mask_ref[:]
-    else:
-        @pl.when(s == 0)
+            wacc[:] = jnp.zeros_like(wacc)
+
+        wacc[:] += jax.lax.dot_general(
+            A, u_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(j == np_tiles - 1)
         def _():
-            A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)  # (T, PTILE)
-
-            @pl.when(j == 0)
-            def _():
-                wacc[:] = jnp.zeros_like(wacc)
-
-            wacc[:] += jax.lax.dot_general(
-                A, u_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-            @pl.when(j == np_tiles - 1)
-            def _():
-                w = wacc[:]
-                eps = eps_ref[0, 0]
-                valid = jnp.abs(w) >= eps
-                x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
-                x_ref[:] = x * mask_ref[:]
+            w = wacc[:]
+            eps = eps_ref[0, 0]
+            valid = jnp.abs(w) >= eps
+            x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+            x_ref[:] = x * mask_ref[:]
 
     @pl.when(s == 1)
     def _():
@@ -225,16 +222,18 @@ def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
             preferred_element_type=jnp.float32,
         )                                                   # (1, PTILE)
         row = i % 8
-        ap_ref[pl.ds(row, 1), :] = ap_ref[pl.ds(row, 1), :] + part
+        col = j * PTILE
+        ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] = (
+            ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] + part)
 
 
-@functools.partial(jax.jit, static_argnames=("unit_x", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
                                      mask: jax.Array, u_pad: jax.Array,
-                                     sw, pw, eps, unit_x: bool = False,
-                                     interpret: bool = False):
-    """streaming_halfstep_pallas contract for arbitrarily dense sampling
-    grids: Ppad must be a PTILE multiple (see stream_p_alignment)."""
+                                     sw, pw, eps, interpret: bool = False):
+    """streaming_halfstep_pallas contract (unit_x excluded — see
+    streaming_halfstep) for arbitrarily dense sampling grids: Ppad must be
+    a PTILE multiple (see stream_p_alignment)."""
     qpad = fb_pad.shape[0]
     ppad = fa_rows.shape[1]
     np_tiles = ppad // PTILE
@@ -249,8 +248,7 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     sw2, pw2, eps2, fa_rows, fb_pad, mask, u_row = _unify_vma(
         sw2, pw2, eps2, fa_rows, fb_pad, mask, u_pad[None, :])
     x, ap8 = pl.pallas_call(
-        functools.partial(_halfstep_ptiled_kernel, unit_x=unit_x,
-                          np_tiles=np_tiles),
+        functools.partial(_halfstep_ptiled_kernel, np_tiles=np_tiles),
         grid=(qpad // TILE_Q, 2, np_tiles),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, s, j: (0, 0),
@@ -271,7 +269,7 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         out_specs=(
             pl.BlockSpec((TILE_Q, 1), lambda i, s, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, PTILE), lambda i, s, j: (0, j),
+            pl.BlockSpec((8, ppad), lambda i, s, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -289,14 +287,23 @@ def streaming_halfstep(fa_rows, fb_pad, mask, u_pad, sw, pw, eps,
                        unit_x=False, interpret=False):
     """Dispatch on the padded sample count: single-pass fused kernel while
     the whole (TILE_Q, Ppad) tile fits VMEM, two-pass p-tiled kernel
-    beyond."""
+    beyond. The unit_x (s0 = phi^T @ ones) case on the p-tiled path is just
+    an affinity matmul with the mask as the right factor — no reciprocal
+    pass to run, so skip the two-pass kernel's dead w-half entirely."""
     if fa_rows.shape[1] <= MAX_STREAM_P_FUSED:
         return streaming_halfstep_pallas(
             fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
             interpret=interpret)
+    if unit_x:
+        from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
+
+        # ap_j = sum_q K[q, j] * mask_q == K(fa, fb) @ mask, rows = samples.
+        fa = fa_rows.T[:, :3]          # undo the pad_stream_operands layout
+        ap = affinity_matmul_pallas(fb_pad, fa, mask, sw, pw,
+                                    interpret=interpret)[:, 0]
+        return mask[:, 0], ap
     return streaming_halfstep_ptiled_pallas(
-        fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
-        interpret=interpret)
+        fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
 
 
 def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):

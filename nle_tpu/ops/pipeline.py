@@ -261,23 +261,33 @@ def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32, mb: int | None = None):
 
     Columns are zero-padded from the true kept rank m to the bucket mb so
     stage 2 compiles per bucket, not per rank; the last row carries m itself
-    (exact in f32 for any realistic p) so the boundary masks inside stage 2
-    are traced values, not static shapes."""
+    so the boundary masks inside stage 2 are traced values, not static
+    shapes. m rides as two base-256 digits (each <= 255, exact in every
+    payload dtype incl. bfloat16/float16 — a single f-coded integer would
+    round above the dtype's integer range and silently shift the balanced-
+    block boundary)."""
     p, m = Um64.shape
     mb = m if mb is None else mb
     out = np.zeros((2 * p + 2, mb), dtype)
     out[:p, :m] = Um64
     out[p, :m] = lam64
     out[p + 1:2 * p + 1, :m] = Uinv64
-    out[2 * p + 1, 0] = m
+    out[2 * p + 1, 0] = m % 256
+    if mb > 1:
+        out[2 * p + 1, 1] = m // 256
+    else:
+        assert m == 1, (m, mb)  # mb >= m always
     return out
 
 
 def _unpack_stage1(stage1_packed, p):
     """(Um (p, mb), lam (mb,), Uinv (p, mb), m traced int32 scalar)."""
+    digits = stage1_packed[2 * p + 1].astype(jnp.float32)
+    m_dyn = digits[0].astype(jnp.int32)
+    if stage1_packed.shape[1] > 1:
+        m_dyn = m_dyn + 256 * digits[1].astype(jnp.int32)
     return (stage1_packed[:p], stage1_packed[p],
-            stage1_packed[p + 1:2 * p + 1],
-            stage1_packed[2 * p + 1, 0].astype(jnp.int32))
+            stage1_packed[p + 1:2 * p + 1], m_dyn)
 
 
 @functools.partial(

@@ -29,6 +29,38 @@ def imread_bgr(path: str) -> np.ndarray:
     return rgb[..., ::-1].copy()
 
 
+def imdecode_bgr(data: bytes) -> np.ndarray:
+    """Decode encoded image bytes (PNG/BMP/JPEG...) to (H, W, 3) uint8 BGR."""
+    if _HAVE_CV2:
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("Could not decode image bytes")
+        return img
+    import io
+
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    return rgb[..., ::-1].copy()
+
+
+def imencode_png(img_bgr_u8: np.ndarray) -> bytes:
+    """Encode a (H, W, 3) uint8 BGR array as PNG bytes."""
+    img = np.asarray(img_bgr_u8)
+    if _HAVE_CV2:
+        ok, buf = cv2.imencode(".png", img)
+        if not ok:
+            raise ValueError("PNG encode failed")
+        return buf.tobytes()
+    import io
+
+    from PIL import Image
+
+    out = io.BytesIO()
+    Image.fromarray(img[..., ::-1]).save(out, "PNG")
+    return out.getvalue()
+
+
 def imwrite_bgr(path: str, img_bgr_u8: np.ndarray) -> None:
     img = np.asarray(img_bgr_u8)
     if _HAVE_CV2:

@@ -176,15 +176,39 @@ def test_streaming_halfstep_ptiled_matches_single_pass(rng):
     u = jnp.pad(jnp.asarray(rng.standard_normal(p), jnp.float32) * 0.01,
                 (0, 1024 - p))
     args = (fa_rows, fb_pad, mask, u, 1e-4, 1e-3, 1e-10)
-    for unit_x in (False, True):
-        x1, ap1 = streaming_halfstep_pallas(*args, unit_x=unit_x,
-                                            interpret=True)
-        x2, ap2 = streaming_halfstep_ptiled_pallas(*args, unit_x=unit_x,
-                                                   interpret=True)
-        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
-                                   rtol=1e-5, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(ap2)[:p], np.asarray(ap1)[:p],
-                                   rtol=1e-5, atol=1e-5)
+    x1, ap1 = streaming_halfstep_pallas(*args, interpret=True)
+    x2, ap2 = streaming_halfstep_ptiled_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ap2)[:p], np.asarray(ap1)[:p],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_halfstep_dispatch_unit_x_large_p(rng):
+    """The dispatcher's s0 route for dense grids (affinity matmul with the
+    mask as right factor) matches the dense computation."""
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        pad_stream_operands,
+        streaming_halfstep,
+    )
+
+    p, q = 2500, 1100
+    fa = jnp.asarray(rng.integers(0, 64, (p, 3)), jnp.float32)
+    fb = jnp.asarray(rng.integers(0, 64, (q, 3)), jnp.float32)
+    fa_rows, fb_pad, mask = pad_stream_operands(fa, fb)
+    ppad = fa_rows.shape[1]
+    assert ppad == 3072  # p-tiled regime
+    sw, pw = 1e-4, 1e-3
+    x, ap = streaming_halfstep(fa_rows, fb_pad, mask,
+                               jnp.zeros((ppad,), jnp.float32),
+                               sw, pw, 1e-10, unit_x=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(mask)[:, 0])
+    fa64, fb64 = np.asarray(fa, np.float64), np.asarray(fb, np.float64)
+    A = np.exp(-(sw * ((fb64[:, None, 0] - fa64[None, :, 0]) ** 2
+                       + (fb64[:, None, 1] - fa64[None, :, 1]) ** 2)
+                 + pw * (fb64[:, None, 2] - fa64[None, :, 2]) ** 2))
+    want = A.sum(axis=0)
+    np.testing.assert_allclose(np.asarray(ap)[:p], want, rtol=1e-5, atol=1e-4)
 
 
 def test_streaming_gram_xla_matches_pallas(rng):
