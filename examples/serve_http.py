@@ -45,20 +45,82 @@ from nle_tpu.utils.imageio import imdecode_bgr as _decode_bgr
 from nle_tpu.utils.imageio import imencode_png as _encode_png
 
 
+class _CoalescingTrainer:
+    """Turns concurrent enhance-training requests into pipelined batches.
+
+    Requests that arrive while the device is busy queue up; the worker
+    drains every queued request whose (image shape, train params) match in
+    ONE `train_filters_pipelined` call — image i+1's device Sinkhorn runs
+    while image i's host-f64 chain executes (models/batch.py, measured
+    1.64x on 1 MP streams). Mixed shapes/params fall back to per-request
+    training within the same worker (device work stays serialized)."""
+
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._queue: list = []   # (key, L, params, result_box)
+        self._worker: threading.Thread | None = None
+
+    def train_enhancement(self, img_bgr, params):
+        """Blocking: returns a TrainedFilter for img's Lab L channel."""
+        from nle_tpu.color.lab import bgr_to_lab_u8_np
+
+        L = bgr_to_lab_u8_np(img_bgr)[..., 0].astype(np.float32)
+        key = (L.shape, params)
+        box = {"event": threading.Event()}
+        with self._cv:
+            self._queue.append((key, L, params, box))
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(target=self._drain,
+                                                daemon=True)
+                self._worker.start()
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["filter"]
+
+    def _drain(self):
+        from nle_tpu.models.batch import train_filters_pipelined
+
+        while True:
+            with self._cv:
+                if not self._queue:
+                    return
+                key = self._queue[0][0]
+                group = [r for r in self._queue if r[0] == key]
+                self._queue = [r for r in self._queue if r[0] != key]
+            _, _, params, _ = group[0]
+            try:
+                flts = train_filters_pipelined(
+                    [r[1] for r in group], *params)
+                for (_, _, _, box), flt in zip(group, flts):
+                    box["filter"] = flt
+            except Exception as e:
+                for _, _, _, box in group:
+                    box["error"] = e
+            for _, _, _, box in group:
+                box["event"].set()
+
+
 class _Service:
-    """One device, many requests: filters by name + a device lock."""
+    """One device, many requests: filters by name + a device lock; one-shot
+    enhance trainings coalesce into pipelined batches."""
 
     def __init__(self):
         self.lock = threading.Lock()
         self.filters: dict[str, object] = {}
+        self.trainer = _CoalescingTrainer()
+
+    @staticmethod
+    def _params(q):
+        return (int(q["nr"][0]), int(q["nc"][0]), float(q["hx"][0]),
+                float(q["hy"][0]), int(q.get("iters", ["10"])[0]),
+                int(q.get("k", ["5"])[0]))
 
     def _make_filter(self, img, q, denoise: bool):
         from nle_tpu.models.filter import NLEFilter
 
         f = NLEFilter()
-        args = (img, int(q["nr"][0]), int(q["nc"][0]), float(q["hx"][0]),
-                float(q["hy"][0]), int(q.get("iters", ["10"])[0]),
-                int(q.get("k", ["5"])[0]))
+        args = (img,) + self._params(q)
         if denoise:
             f.train_for_denoise(
                 *args, sigma_color=float(q.get("sigma_color", ["10"])[0]),
@@ -68,11 +130,15 @@ class _Service:
         return f
 
     def enhance(self, body, q):
+        from nle_tpu.models.filter import NLEFilter
+
         img = _decode_bgr(body)
         w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        # Coalescing path: blocks until the worker trained our filter —
+        # concurrent same-shape/params requests share one pipelined batch.
+        flt = self.trainer.train_enhancement(img, self._params(q))
         with self.lock:
-            f = self._make_filter(img, q, denoise=False)
-            return _encode_png(f.enhance(img, w))
+            return _encode_png(NLEFilter(trained=flt).enhance(img, w))
 
     def denoise(self, body, q):
         img = _decode_bgr(body)

@@ -92,3 +92,24 @@ def test_errors_are_http_400(server, small_png):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"{server}/nope", png)
     assert ei.value.code == 404
+
+
+def test_concurrent_enhance_coalesces(server, small_png):
+    """Concurrent same-shape /enhance requests ride one pipelined batch
+    (examples/serve_http.py _CoalescingTrainer) and each equals the
+    sequential result."""
+    img, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4&w=1,2,2,1"
+    with _post(f"{server}/enhance?{cfg}", png) as r:
+        want = r.read()
+    results = [None] * 3
+    def hit(i):
+        with _post(f"{server}/enhance?{cfg}", png) as r:
+            results[i] = r.read()
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got in results:
+        assert got == want
