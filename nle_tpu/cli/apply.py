@@ -17,6 +17,7 @@ from nle_tpu.cli.common import (
     add_common_flags,
     apply_common_flags,
     split_flags,
+    validate_flags,
 )
 
 USAGE = "Usage: {prog} <filter.npz> <image> <output> <weight 1> [weight 2 ...]"
@@ -30,8 +31,18 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0
 
-    filter_path, image_path, output_path = pos[0], pos[1], pos[2]
-    weights = [float(w) for w in pos[3:]]
+    err = validate_flags(flags)
+    if err is None:
+        try:
+            filter_path, image_path, output_path = pos[0], pos[1], pos[2]
+            weights = [float(w) for w in pos[3:]]
+        except ValueError as e:
+            err = f"Bad argument: {e}"
+    if err is not None:
+        print(err, file=sys.stderr)
+        print(USAGE.format(prog="nle-apply"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0
 
     apply_common_flags(flags)
     from nle_tpu.models.filter import NLEFilter, TrainedFilter
@@ -42,6 +53,10 @@ def main(argv=None) -> int:
     except FileNotFoundError:
         print(f"Failed to read filter from {filter_path}", file=sys.stderr)
         return 0
+    except Exception as e:  # corrupt/invalid .npz
+        print(f"Failed to read filter from {filter_path}: {e}",
+              file=sys.stderr)
+        return 0
     try:
         image = imread_bgr(image_path)
     except FileNotFoundError:
@@ -49,7 +64,11 @@ def main(argv=None) -> int:
         return 0
 
     flt = NLEFilter(trained=trained)
-    result = flt.enhance(image, weights)
+    try:
+        result = flt.enhance(image, weights)
+    except ValueError as e:  # size-mismatch guard (src/filter.cpp:414-420)
+        print(str(e), file=sys.stderr)
+        return 0
     imwrite_bgr(output_path, result)
     print("Done.")
     return 0

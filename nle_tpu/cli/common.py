@@ -19,6 +19,13 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --verbose                     stage progress + timings on stderr"""
 
 
+# Flags that require `--name=value`; the rest are boolean switches.
+_VALUE_FLAGS = frozenset(
+    {"precision", "eps", "save-filter", "debug-eigvecs", "platform",
+     "profile"})
+_BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose"})
+
+
 def add_common_flags() -> str:
     return _FLAG_DOC
 
@@ -37,6 +44,21 @@ def split_flags(argv):
         else:
             pos.append(a)
     return pos, flags
+
+
+def validate_flags(flags) -> str | None:
+    """Reject unknown or malformed flags BEFORE any expensive work — a
+    silently ignored typo (--no-palas) would otherwise run minutes of
+    remote-compile training with defaults, and a valueless --save-filter
+    would crash only after the training completed."""
+    for k, v in flags.items():
+        if k not in _VALUE_FLAGS and k not in _BOOL_FLAGS:
+            return f"Unknown flag --{k}"
+        if k in _VALUE_FLAGS and v is True:
+            return f"Flag --{k} requires a value (--{k}=...)"
+        if k in _BOOL_FLAGS and v is not True:
+            return f"Flag --{k} takes no value"
+    return None
 
 
 def apply_common_flags(flags) -> None:

@@ -18,6 +18,7 @@ from nle_tpu.cli.common import (
     maybe_dump_eigvecs,
     profiled,
     split_flags,
+    validate_flags,
 )
 
 USAGE = (
@@ -35,12 +36,22 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0  # reference exits 0 on usage (src/denoise.cpp:15-18)
 
-    image_path, output_path = pos[0], pos[1]
-    n_row_samples, n_col_samples = int(pos[2]), int(pos[3])
-    hx, hy = float(pos[4]), float(pos[5])
-    n_sinkhorn_iter, n_eigen_vectors = int(pos[6]), int(pos[7])
-    sigma_color, sigma_space = float(pos[8]), float(pos[9])
-    shrink_factor = float(pos[10])
+    err = validate_flags(flags)
+    if err is None:
+        try:
+            image_path, output_path = pos[0], pos[1]
+            n_row_samples, n_col_samples = int(pos[2]), int(pos[3])
+            hx, hy = float(pos[4]), float(pos[5])
+            n_sinkhorn_iter, n_eigen_vectors = int(pos[6]), int(pos[7])
+            sigma_color, sigma_space = float(pos[8]), float(pos[9])
+            shrink_factor = float(pos[10])
+        except ValueError as e:
+            err = f"Bad argument: {e}"
+    if err is not None:
+        print(err, file=sys.stderr)
+        print(USAGE.format(prog="denoise"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0
 
     apply_common_flags(flags)
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
@@ -53,12 +64,15 @@ def main(argv=None) -> int:
 
     flt = make_filter(flags)
     with profiled(flags):
+        # sigmas stay float: the reference passes doubles straight to
+        # cv::bilateralFilter (src/denoise.cpp:29-30,40-42) — truncating
+        # 7.5 -> 7 changes the aperture radius and every weight.
         flt.train_for_denoise(
             image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
-            n_eigen_vectors, int(sigma_color), int(sigma_space),
+            n_eigen_vectors, sigma_color, sigma_space,
         )
         maybe_dump_eigvecs(flt, flags)
-        result = flt.denoise(image, shrink_factor, int(sigma_color), int(sigma_space))
+        result = flt.denoise(image, shrink_factor, sigma_color, sigma_space)
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])

@@ -20,6 +20,7 @@ from nle_tpu.cli.common import (
     maybe_dump_eigvecs,
     profiled,
     split_flags,
+    validate_flags,
 )
 
 
@@ -38,11 +39,21 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0  # reference exits 0 on usage (src/enhance.cpp:15-18)
 
-    image_path, output_path = pos[0], pos[1]
-    n_row_samples, n_col_samples = int(pos[2]), int(pos[3])
-    hx, hy = float(pos[4]), float(pos[5])
-    n_sinkhorn_iter, n_eigen_vectors = int(pos[6]), int(pos[7])
-    weights = [float(w) for w in pos[8:]]
+    err = validate_flags(flags)
+    if err is None:
+        try:
+            image_path, output_path = pos[0], pos[1]
+            n_row_samples, n_col_samples = int(pos[2]), int(pos[3])
+            hx, hy = float(pos[4]), float(pos[5])
+            n_sinkhorn_iter, n_eigen_vectors = int(pos[6]), int(pos[7])
+            weights = [float(w) for w in pos[8:]]
+        except ValueError as e:
+            err = f"Bad argument: {e}"
+    if err is not None:
+        print(err, file=sys.stderr)
+        print(USAGE.format(prog="enhance"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0
 
     apply_common_flags(flags)
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr

@@ -32,20 +32,21 @@ import jax.numpy as jnp
 
 from nle_tpu.models.filter import TrainedFilter
 from nle_tpu.ops.affinity import bandwidth_weights
-from nle_tpu.ops.orthogonalize import host_chain64
 from nle_tpu.ops.pipeline import (
     _cast_channel,
     _grid_device_arrays,
     bucket_m,
+    host_orthogonalize,
     ka_eigh_host64,
     pack_channel,
     pack_stage1,
     stage2_dense_small,
+    stage2b_factor_scaled,
     train_filter_stage2a,
     train_filter_stage2b,
 )
 from nle_tpu.ops.sampling import sample_grid
-from nle_tpu.utils.logging import warn_rank_deficient, warn_truncation
+from nle_tpu.utils.logging import warn_truncation
 
 import jax
 
@@ -69,8 +70,10 @@ def train_filters_pipelined(
         channels, n_row_samples, n_col_samples, hx, hy,
         n_sinkhorn_iter, n_eig_vectors, eps=eps))
     if out:
-        # Materialize the last eigvals so callers can time fairly.
-        jax.block_until_ready(out[-1].eigvecs)
+        # Force completion with a scalar fetch so callers can time fairly:
+        # on the axon platform jax.block_until_ready can return before
+        # execution completes (CLAUDE.md), but a value fetch cannot.
+        np.asarray(out[-1].eigvecs[:1, :1])
     return out
 
 
@@ -130,23 +133,12 @@ def train_filters_iter(
         """Blocking fetch + host f64 chain + async device stage 2b."""
         packed, phi_store, c_rest, Um64, lam64, m, mb = state
         arr = np.asarray(packed, np.float64)   # waits for this image's 2a
-        rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
         k = min(n_eig_vectors, m)
-        phi_top = Um64[:m]
-        Ga = phi_top * lam64[None, :]
-        RGa = rt[:, None] * Ga
-        Wa = RGa @ (ct[:, None] * phi_top).T
-        Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps)
-        warn_rank_deficient("orthogonalize eig(Q)",
-                            int(np.count_nonzero(Sq)), k)
-        va_np = np.zeros((mb, 2 * k), np.float64)
-        va_np[:m, :k] = Va
-        va_np[:m, k:] = GrT
+        va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k, eps)
         va_grt = jnp.asarray(va_np, jnp.float32)
-        scaled = (jax.default_backend() != "tpu"
-                  or stage2_dense_small(grid.n_pixels, mb))
         V_packed = train_filter_stage2b(
-            phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb, scaled=scaled)
+            phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
+            scaled=stage2b_factor_scaled(grid.n_pixels, mb))
         return TrainedFilter(V_packed, jnp.asarray(Sq, jnp.float32),
                              nrows, ncols, perm=grid.perm)
 

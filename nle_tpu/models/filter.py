@@ -60,6 +60,12 @@ class TrainedFilter:
 
     @classmethod
     def load(cls, path: str) -> "TrainedFilter":
+        import os
+
+        # np.savez_compressed appends ".npz" when missing — mirror that on
+        # load so save(p) / load(p) round-trips for any p.
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         return cls(
             eigvecs=jnp.asarray(z["eigvecs"]),

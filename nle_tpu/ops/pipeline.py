@@ -241,6 +241,39 @@ def stage2_dense_small(n: int, mb: int) -> bool:
     return 4 * npad * mpad <= _CPHI_BYTES_LIMIT
 
 
+def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
+                          use_pallas: bool | None = None) -> bool:
+    """Whether stage 2a returns a pre-scaled diag(c) phi factor (vs the
+    unscaled padded phi whose scaling stage 2b fuses into the Pallas
+    matmul) — the static `scaled` argument train_filter_stage2b needs. ONE
+    definition shared by every caller of the split stage-2 protocol
+    (train_filter, models/batch.py) so the branch cannot drift."""
+    pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
+                 else use_pallas)
+    fused = pallas_ok and jnp.dtype(dtype) == jnp.float32
+    return (not fused) or stage2_dense_small(n, mb)
+
+
+def host_orthogonalize(packed_np, Um64, lam64, m: int, mb: int, k: int,
+                       eps: float):
+    """The host-f64 side between stage 2a and 2b: rebuild the balanced-
+    block small matrices from stage 1's f64 eigensystem, run the
+    orthogonalization chain, and pack [Va | GrT] zero-padded to the rank
+    bucket for the single (mb, 2k) upload. Returns (va_np f64, Sq).
+    Shared by train_filter and the pipelined batch trainer."""
+    rt, ct, Sb = packed_np[0][:m], packed_np[1][:m], packed_np[2:][:m, :m]
+    phi_top = Um64[:m]
+    Ga = phi_top * lam64[None, :]
+    RGa = rt[:, None] * Ga
+    Wa = RGa @ (ct[:, None] * phi_top).T
+    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps)
+    warn_rank_deficient("orthogonalize eig(Q)", int(np.count_nonzero(Sq)), k)
+    va_np = np.zeros((mb, 2 * k))
+    va_np[:m, :k] = Va
+    va_np[:m, k:] = GrT
+    return va_np, Sq
+
+
 def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
     """Pack a channel into [selected; rest] order; returns (packed array,
     is_8bit) where is_8bit means the values are integers in [0, 255] and the
@@ -648,22 +681,13 @@ def train_filter(
                     small=stage2_dense_small(grid.n_pixels, mb),
                 )
             arr = np.asarray(packed, np.float64)  # one device->host transfer
-        rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host
             # from stage 1's f64 eigensystem (cheaper than fetching them and
             # slightly more accurate).
-            phi_top = Um64[:m]
-            Ga = phi_top * lam64[None, :]
-            RGa = rt[:, None] * Ga
-            Wa = RGa @ (ct[:, None] * phi_top).T
-            Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, float(eps))
-            warn_rank_deficient("orthogonalize eig(Q)",
-                                int(np.count_nonzero(Sq)), k)
-            va_np = np.zeros((mb, 2 * k), np.float64)
-            va_np[:m, :k] = Va
-            va_np[:m, k:] = GrT
+            va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k,
+                                           float(eps))
             va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
             if streaming:
                 V_packed = train_filter_stage2b_streaming(
@@ -671,11 +695,10 @@ def train_filter(
                     p=p, mb=mb, interpret=interpret_stream,
                 )
             else:
-                scaled = ((not (pallas_ok and dtype == jnp.float32))
-                          or stage2_dense_small(grid.n_pixels, mb))
                 V_packed = train_filter_stage2b(
                     phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
-                    scaled=scaled,
+                    scaled=stage2b_factor_scaled(grid.n_pixels, mb, dtype,
+                                                 use_pallas),
                 )
         S = jnp.asarray(Sq, dtype)
     else:

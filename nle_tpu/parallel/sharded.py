@@ -124,8 +124,11 @@ def _sharded_2b_streaming(mesh: Mesh, interpret: bool):
 @functools.lru_cache(maxsize=32)
 def _sharded_apply(mesh: Mesh):
     def body(v_l, c_l, fs):
-        proj = jax.lax.psum(v_l.T @ c_l, "pixel")
-        return v_l @ (fs * proj)
+        # Same precision rule as every device matmul in the pipeline
+        # (ops/pipeline.py): default bf16 MXU passes cost ~1 gray level.
+        with jax.default_matmul_precision("highest"):
+            proj = jax.lax.psum(v_l.T @ c_l, "pixel")
+            return v_l @ (fs * proj)
 
     return jax.jit(
         jax.shard_map(
@@ -371,6 +374,8 @@ def train_filter_sharded(
     # chaos-sensitive eigenbasis must be chosen at f64 (see ops/pipeline.py).
     from nle_tpu.ops.pipeline import bucket_m, ka_eigh_host64
 
+    from nle_tpu.utils.logging import logger, warn_truncation
+
     stage1 = [
         ka_eigh_host64(
             channels[i][grid.sel_rows, grid.sel_cols],
@@ -379,17 +384,32 @@ def train_filter_sharded(
         for i in range(b)
     ]
     ms = np.array([s[1].shape[0] for s in stage1])
+    for m in ms:
+        warn_truncation(p, int(m), eps)
     mbs = np.array([bucket_m(int(m), p) for m in ms])
 
     k_out = min(n_eig_vectors, int(ms.min()))
+    if k_out < n_eig_vectors:
+        logger.warning(
+            "Sharded batch: element with kept rank %d limits every "
+            "element's eigenvector count to %d (requested %d).",
+            int(ms.min()), k_out, n_eig_vectors)
     V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
     S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
     from nle_tpu.ops.orthogonalize import host_chain64
 
+    n_data = mesh.shape["data"]
     for mb in np.unique(mbs):
         idx = np.nonzero(mbs == mb)[0]
         mb = int(mb)
+        # shard_map requires the batch to divide the 'data' axis: pad the
+        # group by repeating its last element (duplicate host-chain work is
+        # idempotent — V_out/S_out writes for a repeated index rewrite the
+        # same values).
+        short = (-len(idx)) % n_data
+        if short:
+            idx = np.concatenate([idx, np.repeat(idx[-1:], short)])
 
         def padded(j, arr1d=False):
             """Stack a group's stage-1 piece zero-padded to the bucket."""

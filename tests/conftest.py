@@ -24,8 +24,11 @@ import pytest  # noqa: E402
 DATA_DIR = "/root/reference/data"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a session-scoped generator makes every
+    # test's data depend on which tests ran before it (flaky tolerances
+    # whenever a test is added or reordered).
     return np.random.default_rng(0)
 
 

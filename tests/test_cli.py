@@ -109,3 +109,69 @@ def test_apply_cli_usage_and_missing_inputs(tmp_path, capsys, small_image):
     assert "Usage" in capsys.readouterr().err
     assert apply_main(["/nope.npz", img_path, str(tmp_path / "o.png"), "1"]) == 0
     assert "Failed to read filter" in capsys.readouterr().err
+
+
+def test_unknown_flag_rejected_before_training(capsys, small_image):
+    path, _ = small_image
+    rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
+                           "5", "1", "2", "--no-palas"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Unknown flag --no-palas" in err and "Usage:" in err
+
+
+def test_valueless_save_filter_rejected(capsys, small_image):
+    path, _ = small_image
+    rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
+                           "5", "1", "2", "--save-filter"])
+    assert rc == 0
+    assert "requires a value" in capsys.readouterr().err
+
+
+def test_bad_positional_prints_usage(capsys, small_image):
+    path, _ = small_image
+    rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
+                           "5", "1", "out.npz"])
+    assert rc == 0
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_denoise_fractional_sigma(tmp_path, small_image):
+    """Reference passes sigmas as doubles (src/denoise.cpp:29-30) — 7.5
+    must not truncate to 7."""
+    path, _ = small_image
+    out = str(tmp_path / "out.png")
+    rc = denoise_cli.main([path, out, "3", "4", "100", "30", "3", "3",
+                           "7.5", "7.5", "2"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_filter_save_load_suffixless_roundtrip(tmp_path, small_image):
+    """np.savez appends .npz; load must mirror that (save(p)/load(p) for
+    any p)."""
+    from nle_tpu.cli import apply as apply_cli
+
+    path, img = small_image
+    fpath = str(tmp_path / "myfilter")          # no .npz suffix
+    rc = enhance_cli.main([path, str(tmp_path / "o.png"), "3", "4", "100",
+                           "30", "5", "5", "1", "2",
+                           f"--save-filter={fpath}"])
+    assert rc == 0
+    out2 = str(tmp_path / "o2.png")
+    rc = apply_cli.main([fpath, path, out2, "1", "2"])
+    assert rc == 0 and os.path.exists(out2)
+
+
+def test_apply_size_mismatch_message(tmp_path, small_image, capsys, rng):
+    from nle_tpu.cli import apply as apply_cli
+
+    path, img = small_image
+    fpath = str(tmp_path / "f.npz")
+    assert enhance_cli.main([path, str(tmp_path / "o.png"), "3", "4", "100",
+                             "30", "5", "5", "1", "2",
+                             f"--save-filter={fpath}"]) == 0
+    other = str(tmp_path / "big.png")
+    imwrite_bgr(other, rng.integers(0, 256, (30, 30, 3), np.uint8))
+    rc = apply_cli.main([fpath, other, str(tmp_path / "o3.png"), "1", "2"])
+    assert rc == 0  # message, not a traceback
+    assert "different size" in capsys.readouterr().err

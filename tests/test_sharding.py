@@ -137,3 +137,28 @@ def test_sharded_varied_ranks_share_bucket():
         out_s = np.asarray(apply_filter(V_s[i][:, :k], fS,
                                         jnp.asarray(batch[i])))
         assert np.abs(out_s - out_1).max() < 0.05
+
+
+def test_sharded_mixed_buckets_pad_to_data_axis(monkeypatch):
+    """Batch elements in DIFFERENT rank buckets form groups smaller than
+    the 'data' axis; the trainer pads groups by repeating an element
+    instead of crashing in shard_map (regression)."""
+    monkeypatch.setenv("NLE_M_BUCKET", "1")   # exact ranks -> per-m groups
+    rng = np.random.default_rng(3)
+    img1 = rng.integers(0, 256, (80, 90)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 20, img1.shape), 0, 255
+                   ).astype(np.float32)
+    args = (5, 6, 3000.0, 300.0, 6, 4)
+    batch = np.stack([img1, img2])
+    V_s, S_s = train_filter_sharded(batch, *args, make_mesh(2, 4))
+    w = [2.0, 3.0, 4.0, 1.0]
+    for i in range(2):
+        V1, S1 = train_filter(batch[i], *args, use_pallas=False)
+        k = np.asarray(S1).size
+        np.testing.assert_allclose(np.asarray(S_s[i])[:k], np.asarray(S1),
+                                   rtol=2e-4, atol=1e-5)
+        fS = transform_eigenvalues(S1, w)
+        out_1 = np.asarray(apply_filter(V1, fS, jnp.asarray(batch[i])))
+        out_s = np.asarray(apply_filter(V_s[i][:, :k], fS,
+                                        jnp.asarray(batch[i])))
+        assert np.abs(out_s - out_1).max() < 0.05
