@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nle_tpu.ops.linalg import safe_reciprocal
+
 TILE_N = 1024
 
 
@@ -54,9 +56,7 @@ def _kernel(eps_ref, t_ref, phi_ref, x_ref, s_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                      # (T, 1)
-    eps = eps_ref[0, 0]
-    valid = jnp.abs(w) >= eps
-    x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+    x = safe_reciprocal(w, eps_ref[0, 0])
     x_ref[:] = x
     # s = x^T phi: contract (T, 1) with (T, M) over T; accumulate into the
     # persistent (8, M) output block (constant index_map keeps it resident
@@ -159,9 +159,7 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        eps = eps_ref[0, 0]
-        valid = jnp.abs(w) >= eps
-        x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+        x = safe_reciprocal(w, eps_ref[0, 0])
 
         @pl.when(i >= 2)
         def _():

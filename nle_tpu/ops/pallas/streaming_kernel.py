@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.pallas.affinity_kernel import _out_struct, _unify_vma
 
 TILE_Q = 512
@@ -102,9 +103,7 @@ def _halfstep_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (T, 1)
-        eps = eps_ref[0, 0]
-        valid = jnp.abs(w) >= eps
-        x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+        x = safe_reciprocal(w, eps_ref[0, 0])
         x = x * mask_ref[:]   # pad rows: affinity is real, kill them here
     x_ref[:] = x
     part = jax.lax.dot_general(
@@ -207,10 +206,7 @@ def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
 
         @pl.when(j == np_tiles - 1)
         def _():
-            w = wacc[:]
-            eps = eps_ref[0, 0]
-            valid = jnp.abs(w) >= eps
-            x = jnp.where(valid, 1.0 / jnp.where(valid, w, 1.0), 0.0)
+            x = safe_reciprocal(wacc[:], eps_ref[0, 0])
             x_ref[:] = x * mask_ref[:]
 
     @pl.when(s == 1)
@@ -283,24 +279,83 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     return x[:, 0], jnp.sum(ap8, axis=0)
 
 
+def _s0_ptiled_kernel(sw_ref, pw_ref, fb_ref, mask_ref, fa_ref, ap_ref):
+    """ap = K_AB @ mask over (q_tiles, p_tiles): the s0 = phi^T @ ones pass
+    for dense sampling grids — one accumulation pass, no reciprocal half,
+    no operand wider than the feature tiles (O(N) memory preserved)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        ap_ref[:] = jnp.zeros_like(ap_ref)
+
+    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, PTILE)
+    part = jax.lax.dot_general(
+        mask_ref[:], A,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (1, PTILE)
+    row = i % 8
+    col = j * PTILE
+    ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] = (
+        ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] + part)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def streaming_s0_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+                               mask: jax.Array, sw, pw,
+                               interpret: bool = False):
+    qpad = fb_pad.shape[0]
+    ppad = fa_rows.shape[1]
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * qpad * ppad * 6,
+        bytes_accessed=4 * (qpad * 4 + 3 * ppad + 2 * ppad),
+        transcendentals=qpad * ppad,
+    )
+    sw2, pw2, fa_rows, fb_pad, mask = _unify_vma(
+        sw2, pw2, fa_rows, fb_pad, mask)
+    ap8 = pl.pallas_call(
+        _s0_ptiled_kernel,
+        grid=(qpad // TILE_Q, ppad // PTILE),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_Q, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PTILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, ppad), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((8, ppad), fb_pad, mask, fa_rows),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(sw2, pw2, fb_pad, mask, fa_rows)
+    return jnp.sum(ap8, axis=0)
+
+
 def streaming_halfstep(fa_rows, fb_pad, mask, u_pad, sw, pw, eps,
                        unit_x=False, interpret=False):
     """Dispatch on the padded sample count: single-pass fused kernel while
     the whole (TILE_Q, Ppad) tile fits VMEM, two-pass p-tiled kernel
-    beyond. The unit_x (s0 = phi^T @ ones) case on the p-tiled path is just
-    an affinity matmul with the mask as the right factor — no reciprocal
-    pass to run, so skip the two-pass kernel's dead w-half entirely."""
+    beyond. The unit_x (s0 = phi^T @ ones) case on the p-tiled path has no
+    reciprocal half, so it runs a dedicated one-pass accumulation kernel
+    (every operand stays O(N) — an affinity matmul with the mask as right
+    factor would pad it to 128 f32 columns, ~512 B/pixel in HBM)."""
     if fa_rows.shape[1] <= MAX_STREAM_P_FUSED:
         return streaming_halfstep_pallas(
             fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
             interpret=interpret)
     if unit_x:
-        from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
-
-        # ap_j = sum_q K[q, j] * mask_q == K(fa, fb) @ mask, rows = samples.
-        fa = fa_rows.T[:, :3]          # undo the pad_stream_operands layout
-        ap = affinity_matmul_pallas(fb_pad, fa, mask, sw, pw,
-                                    interpret=interpret)[:, 0]
+        ap = streaming_s0_ptiled_pallas(fa_rows, fb_pad, mask, sw, pw,
+                                        interpret=interpret)
         return mask[:, 0], ap
     return streaming_halfstep_ptiled_pallas(
         fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
@@ -435,9 +490,7 @@ def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
     def halfstep(t):
         u = Uinv32 @ t                                        # (p,)
         u_pad = jnp.pad(u, (0, ppad - p))
-        w_top = Um32 @ t                                      # (p,)
-        valid = jnp.abs(w_top) >= eps
-        x_top = jnp.where(valid, 1.0 / jnp.where(valid, w_top, 1.0), 0.0)
+        x_top = safe_reciprocal(Um32 @ t, eps)                # (p,)
         x_rest, ap = streaming_halfstep(
             fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
         s = Um32.T @ x_top + Uinv32.T @ ap[:p]

@@ -519,7 +519,11 @@ def train_filter_stage2b_streaming(
     overlay is a static-slice add); rows p..N collapse to one fused affinity
     matmul with the SMALL right factor Uinv @ GrT (p, k) — the (N, m) phi
     never exists, only the (N, k) result."""
-    from nle_tpu.ops.pallas.affinity_kernel import affinity_matmul_pallas
+    from nle_tpu.ops.affinity import affinity_matmul_xla
+    from nle_tpu.ops.pallas.affinity_kernel import (
+        affinity_matmul_pallas,
+        ptiled_fits,
+    )
 
     with jax.default_matmul_precision("highest"):
         Um, _, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
@@ -531,8 +535,14 @@ def train_filter_stage2b_streaming(
         cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
         V_head = (cu @ GrT).at[:mb].add(Va)
         B = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)     # (p, k)
-        Vb = c[p:, None] * affinity_matmul_pallas(
-            fa, fb, B, sw, pw, interpret=interpret)
+        if ptiled_fits(k):
+            Vb_raw = affinity_matmul_pallas(fa, fb, B, sw, pw,
+                                            interpret=interpret)
+        else:
+            # Very wide eigenvector requests exceed the Pallas kernel's
+            # VMEM budget — the tiled XLA builder has no width bound.
+            Vb_raw = affinity_matmul_xla(fa, fb, B, sw, pw)
+        Vb = c[p:, None] * Vb_raw
         return jnp.concatenate([V_head, Vb.astype(va_grt.dtype)], axis=0)
 
 
@@ -647,8 +657,22 @@ def train_filter(
 
     if eigh_method == "host64-chain":
         mb = bucket_m(m, p)
-        stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
-                                             np.dtype(dtype), mb=mb))
+        if dev_s1 is not None:
+            # stage1='device': the eigensystem is already device-resident —
+            # pad to the bucket and append the m digits on device instead
+            # of a host->device re-upload (~30-60 ms on the tunnel).
+            Um_d, lam_d, Uinv_d = dev_s1
+            digits = jnp.zeros((1, mb), dtype)
+            digits = digits.at[0, 0].set(m % 256)
+            if mb > 1:
+                digits = digits.at[0, 1].set(m // 256)
+            pad = ((0, 0), (0, mb - m))
+            stage1_dev = jnp.concatenate(
+                [jnp.pad(Um_d, pad), jnp.pad(lam_d[None, :], pad),
+                 jnp.pad(Uinv_d, pad), digits], axis=0)
+        else:
+            stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
+                                                 np.dtype(dtype), mb=mb))
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
         if dtype != jnp.float32:

@@ -122,3 +122,25 @@ def test_identity_weights_near_identity(rng):
 
     fS = transform_eigenvalues(S, [1.0, 1.0])
     np.testing.assert_allclose(np.asarray(fS)[np.asarray(S) != 0], 1.0, atol=1e-12)
+
+
+def test_stage1_device_host64_chain(rng):
+    """stage1='device' with the default host64-chain stage 2: the device-
+    resident eigensystem is padded/bucketed on device (no host re-upload)
+    and the pipeline completes; on a well-conditioned config the result
+    stays close to the all-host64 default (the f32 eigh picks a slightly
+    different basis, so only the filter action is comparable)."""
+    from nle_tpu.ops.transform import transform_eigenvalues
+
+    img = rng.integers(0, 256, (40, 50)).astype(np.float32)
+    args = (4, 5, 50.0, 30.0, 8, 4)
+    V_h, S_h = train_filter(img, *args)
+    V_d, S_d = train_filter(img, *args, stage1="device")
+    np.testing.assert_allclose(np.asarray(S_d), np.asarray(S_h),
+                               rtol=1e-3, atol=1e-5)
+    w = jnp.asarray([1.0, 2.0, 1.5, 1.1], jnp.float32)
+    out_h = np.asarray(apply_filter(V_h, transform_eigenvalues(S_h, w),
+                                    jnp.asarray(img)))
+    out_d = np.asarray(apply_filter(V_d, transform_eigenvalues(S_d, w),
+                                    jnp.asarray(img)))
+    assert np.abs(out_d - out_h).max() < 0.5
