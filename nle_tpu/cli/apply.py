@@ -45,11 +45,11 @@ def main(argv=None) -> int:
         return 0
 
     apply_common_flags(flags)
-    from nle_tpu.models.filter import NLEFilter, TrainedFilter
+    from nle_tpu.models.filter import NLEFilter, load_filter
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
 
     try:
-        trained = TrainedFilter.load(filter_path)
+        trained = load_filter(filter_path)
     except FileNotFoundError:
         print(f"Failed to read filter from {filter_path}", file=sys.stderr)
         return 0

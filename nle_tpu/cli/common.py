@@ -11,6 +11,9 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --precision=float32|float64   compute dtype (float64 needs CPU/x64)
   --eps=EPS                     eigenvalue/reciprocal cutoff override
   --no-pallas                   force the XLA path (no Pallas kernels)
+  --factored                    V-free factored filter (capacity mode: the
+                                (N, k) eigvec matrix is never built; edits
+                                recompute affinities per apply)
   --save-filter=PATH            save trained filter (V, S) to .npz
   --debug-eigvecs=DIR           dump min-max-rescaled eigenvector images
   --platform=cpu|tpu            select JAX platform
@@ -23,7 +26,7 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
 _VALUE_FLAGS = frozenset(
     {"precision", "eps", "save-filter", "debug-eigvecs", "platform",
      "profile"})
-_BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose"})
+_BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose", "factored"})
 
 
 def add_common_flags() -> str:
@@ -110,6 +113,8 @@ def make_filter(flags):
         kwargs["eps"] = float(flags["eps"])
     if flags.get("no-pallas"):
         kwargs["use_pallas"] = False
+    if flags.get("factored"):
+        kwargs["factored"] = True
     if flags.get("precision") == "float64":
         import jax.numpy as jnp
 
@@ -130,6 +135,10 @@ def maybe_dump_eigvecs(flt, flags) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     t = flt.trained
+    if not hasattr(t, "eigvecs"):
+        print("--debug-eigvecs: factored filters store no eigenvector "
+              "matrix; skipping dumps.", file=sys.stderr)
+        return
     V = t.eigvecs_pixel_order()
     S = np.asarray(t.eigvals)
     for i, img in enumerate(eigvec_images(t)):

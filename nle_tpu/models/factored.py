@@ -1,0 +1,219 @@
+"""V-free FACTORED filter: the capacity path past the stored (N, k) V.
+
+A trained nonlocal filter is V diag(S) V^T with V (N, k) — at k = 50 the
+eigenvector matrix alone costs 200 B/pixel, which caps the phi-free
+streaming trainer (~50 MP on a 16 GB v5e). But V's tail rows are
+V_rest = c_rest * (K_AB^T @ W) with W = Uinv @ GrT (p, k): everything
+needed to APPLY the filter is the (p, k) head/W pair, the Sinkhorn column
+vector c, and the training features — ~17 B/pixel. This module regenerates
+the tail rows from affinities at apply time (two streaming passes), lifting
+single-chip train+edit capacity into the hundreds of megapixels.
+
+No reference counterpart (the reference stores the dense N x k m_eigvecs,
+include/filter.hpp:52-53, and is capped at ~0.1 MP by host RAM); this is
+the factored-algebra extension of TrainedFilter (models/filter.py).
+Numerics: the regenerated tail rows use the same affinity arithmetic as
+the streaming trainer (association noise ~1e-7 relative; see
+ops/pallas/streaming_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nle_tpu.config import default_eps
+from nle_tpu.ops.affinity import bandwidth_weights
+from nle_tpu.ops.pipeline import (
+    _cast_channel,
+    _grid_device_arrays,
+    bucket_m,
+    factored_apply,
+    factored_filter_pieces,
+    host_orthogonalize,
+    ka_eigh_host64,
+    pack_channel,
+    pack_stage1,
+    train_filter_stage2a_streaming,
+)
+from nle_tpu.ops.sampling import sample_grid
+from nle_tpu.utils.logging import stage, warn_truncation
+from nle_tpu.utils.transfer import fetch
+
+
+@dataclasses.dataclass
+class FactoredFilter:
+    """Apply-only factored filter state (packed [selected; rest] order)."""
+
+    y_train: np.ndarray   # (N,) packed training channel (uint8 or f32)
+    c: jax.Array          # (N,) Sinkhorn column vector, f32 device
+    v_head: jax.Array     # (p, k) sampled-pixel rows of V
+    w: jax.Array          # (p, k) tail generator Uinv @ GrT
+    eigvals: jax.Array    # (k,)
+    nrows: int
+    ncols: int
+    hx: float             # affinity bandwidths: the tail is regenerated
+    hy: float             # from features, so they are part of the state
+    perm: np.ndarray      # packed-order permutation
+
+    @property
+    def n_pixels(self) -> int:
+        return self.nrows * self.ncols
+
+    def _apply_packed(self, y_packed: jax.Array, f_eigvals) -> jax.Array:
+        rr, cc, y_train = _device_state(self)
+        p = self.v_head.shape[0]
+        sw, pw = bandwidth_weights(self.hx, self.hy)
+        interpret = jax.default_backend() != "tpu"
+        return factored_apply(
+            y_packed, y_train, rr, cc, self.c, self.v_head, self.w,
+            jnp.asarray(f_eigvals, jnp.float32), sw, pw,
+            p=p, interpret=interpret)
+
+    def apply(self, channel, transformed_eigvals) -> np.ndarray:
+        """V diag(f(S)) V^T c on a pixel-order channel (host array in/out,
+        same contract as NLEFilter.apply / reference src/filter.cpp:445)."""
+        channel_np = np.asarray(channel)
+        if channel_np.size != self.n_pixels:
+            raise ValueError(
+                "Number of values in channel must match that of training "
+                "image.")
+        shape = channel_np.shape
+        flat = channel_np.reshape(-1).astype(np.float32)[self.perm]
+        out = fetch(self._apply_packed(jnp.asarray(flat),
+                                       transformed_eigvals))
+        unpacked = np.empty_like(out)
+        unpacked[self.perm] = out
+        return unpacked.reshape(shape)
+
+    def apply_u8(self, channels_u8: np.ndarray, scale_vals) -> np.ndarray:
+        """Filter + clamp 8-bit channel(s), pixel order in/out. (H, W) or
+        (H, W, C); each channel is one pair of streaming passes."""
+        shape = channels_u8.shape
+        flat = channels_u8.reshape(self.n_pixels, -1)[self.perm]
+        outs = []
+        for j in range(flat.shape[1]):
+            y = _cast_channel(jnp.asarray(flat[:, j]), jnp.float32)
+            filt = self._apply_packed(y, scale_vals)
+            outs.append(fetch(
+                jnp.clip(jnp.rint(filt), 0, 255).astype(jnp.uint8)))
+        out = np.stack(outs, axis=-1)
+        unpacked = np.empty_like(out)
+        unpacked[self.perm] = out
+        return unpacked.reshape(shape)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            y_train=self.y_train,
+            c=np.asarray(self.c),
+            v_head=np.asarray(self.v_head),
+            w=np.asarray(self.w),
+            eigvals=np.asarray(self.eigvals),
+            shape=np.array([self.nrows, self.ncols]),
+            bandwidths=np.array([self.hx, self.hy], np.float64),
+            perm=self.perm,
+            factored=np.array(True),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FactoredFilter":
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        z = np.load(path)
+        return cls(
+            y_train=z["y_train"],
+            c=jnp.asarray(z["c"]),
+            v_head=jnp.asarray(z["v_head"]),
+            w=jnp.asarray(z["w"]),
+            eigvals=jnp.asarray(z["eigvals"]),
+            nrows=int(z["shape"][0]),
+            ncols=int(z["shape"][1]),
+            hx=float(z["bandwidths"][0]),
+            hy=float(z["bandwidths"][1]),
+            perm=z["perm"],
+        )
+
+
+# Per-filter device cache (packed coords + the training channel): repeated
+# applies re-use the same uploads — each host->device transfer over the
+# tunnel costs ~30 ms, and the coords alone are 8 B/pixel.
+_DEV_CACHE: dict[int, tuple] = {}
+
+
+def _device_state(flt: FactoredFilter):
+    key = id(flt)
+    hit = _DEV_CACHE.get(key)
+    if hit is None or hit[0] is not flt:
+        perm = jnp.asarray(flt.perm)
+        rr = (perm // flt.ncols).astype(jnp.float32)
+        cc = (perm % flt.ncols).astype(jnp.float32)
+        y = _cast_channel(jnp.asarray(flt.y_train), jnp.float32)
+        if len(_DEV_CACHE) > 8:
+            _DEV_CACHE.clear()
+        _DEV_CACHE[key] = (flt, rr, cc, y)
+        hit = _DEV_CACHE[key]
+    return hit[1], hit[2], hit[3]
+
+
+def train_filter_factored(
+    channel,
+    n_row_samples: int,
+    n_col_samples: int,
+    hx: float,
+    hy: float,
+    n_sinkhorn_iter: int = 10,
+    n_eig_vectors: int = 5,
+    *,
+    eps: float | None = None,
+) -> FactoredFilter:
+    """Train a V-free factored filter on one channel (H, W): the phi-free
+    streaming stage 2 (Sinkhorn + Sb never materialize phi) followed by the
+    host-f64 chain — stage 2b (the (N, k) V build) is SKIPPED entirely;
+    only the (p, k) head pieces are computed. float32 only."""
+    channel_np = np.asarray(channel)
+    nrows, ncols = channel_np.shape
+    if eps is None:
+        eps = default_eps(jnp.float32)
+    grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
+    p = grid.n_samples
+    perm, rr, cc = _grid_device_arrays(grid, jnp.float32)
+    sw, pw = bandwidth_weights(hx, hy)
+
+    packed_np, is_8bit = pack_channel(channel_np, grid.perm)
+    y = _cast_channel(jnp.asarray(packed_np), jnp.float32) if is_8bit \
+        else jnp.asarray(packed_np.astype(np.float32))
+
+    with stage("Computing kernel"):
+        Um64, lam64, Uinv64 = ka_eigh_host64(
+            channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            grid.sel_rows, grid.sel_cols, hx, hy, float(eps))
+    m = lam64.shape[0]
+    if m == 0:
+        raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
+    warn_truncation(p, m, float(eps))
+    mb = bucket_m(m, p)
+    stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
+    interpret = jax.default_backend() != "tpu"
+    with stage("Nystrom approximation + Sinkhorn"):
+        packed, c_full = train_filter_stage2a_streaming(
+            y, rr, cc, stage1_dev, sw, pw,
+            p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
+            interpret=interpret)
+        arr = np.asarray(packed, np.float64)
+    k = min(n_eig_vectors, m)
+    with stage("Orthogonalize"):
+        va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k,
+                                       float(eps))
+        va_grt = jnp.asarray(va_np, jnp.float32)
+        V_head, W = factored_filter_pieces(stage1_dev, c_full, va_grt,
+                                           p=p, mb=mb)
+    return FactoredFilter(
+        y_train=packed_np, c=c_full, v_head=V_head, w=W,
+        eigvals=jnp.asarray(Sq, jnp.float32), nrows=nrows, ncols=ncols,
+        hx=float(hx), hy=float(hy), perm=grid.perm)

@@ -20,6 +20,7 @@ from nle_tpu.color.bilateral import bilateral_filter_u8
 from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
 from nle_tpu.ops.pipeline import apply_filter, apply_filter_u8, train_filter
 from nle_tpu.ops.transform import shrink_eigenvalues, transform_eigenvalues
+from nle_tpu.utils.transfer import fetch
 
 
 @dataclasses.dataclass
@@ -39,9 +40,13 @@ class TrainedFilter:
     ncols: int
     perm: np.ndarray | None = None
 
+    @property
+    def n_pixels(self) -> int:
+        return self.nrows * self.ncols
+
     def eigvecs_pixel_order(self) -> np.ndarray:
         """Eigenvectors with rows in flat pixel order (host array)."""
-        V = np.asarray(self.eigvecs)
+        V = fetch(self.eigvecs)
         if self.perm is None:
             return V
         out = np.empty_like(V)
@@ -50,7 +55,7 @@ class TrainedFilter:
 
     def save(self, path: str) -> None:
         arrs = dict(
-            eigvecs=np.asarray(self.eigvecs),
+            eigvecs=fetch(self.eigvecs),
             eigvals=np.asarray(self.eigvals),
             shape=np.array([self.nrows, self.ncols]),
         )
@@ -74,6 +79,22 @@ class TrainedFilter:
             ncols=int(z["shape"][1]),
             perm=z["perm"] if "perm" in z.files else None,
         )
+
+
+def load_filter(path: str):
+    """Load a saved filter of either kind: TrainedFilter (.npz with
+    eigvecs) or the V-free FactoredFilter (marked with factored=True)."""
+    import os
+
+    probe = path
+    if not os.path.exists(probe) and os.path.exists(probe + ".npz"):
+        probe = probe + ".npz"
+    z = np.load(probe)
+    if "factored" in z.files:
+        from nle_tpu.models.factored import FactoredFilter
+
+        return FactoredFilter.load(probe)
+    return TrainedFilter.load(probe)
 
 
 def _check_image(image, n_pixels):
@@ -126,6 +147,17 @@ class NLEFilter:
 
     def _train(self, channel, n_row_samples, n_col_samples, hx, hy,
                n_sinkhorn_iter, n_eigen_vectors):
+        if self._train_kwargs.get("factored"):
+            # V-free factored training (models/factored.py): the capacity
+            # path — no (N, k) eigvec matrix is ever built.
+            from nle_tpu.models.factored import train_filter_factored
+
+            kw = {k: v for k, v in self._train_kwargs.items() if k == "eps"}
+            self._packed_y_cache = None
+            self._trained = train_filter_factored(
+                channel, n_row_samples, n_col_samples, hx, hy,
+                n_sinkhorn_iter, n_eigen_vectors, **kw)
+            return self._trained
         from nle_tpu.ops.sampling import sample_grid
 
         nrows, ncols = channel.shape
@@ -145,7 +177,8 @@ class NLEFilter:
             channel, n_row_samples, n_col_samples, hx, hy,
             n_sinkhorn_iter, n_eigen_vectors, grid=grid, pixel_order=False,
             packed_y_dev=y_dev,
-            **self._train_kwargs,
+            **{k: v for k, v in self._train_kwargs.items()
+               if k != "factored"},
         )
         self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm)
         return self._trained
@@ -180,6 +213,8 @@ class NLEFilter:
         """V diag(f(S)) V^T c (src/filter.cpp:445-458). Returns the filtered
         channel in pixel order (host array)."""
         t = self.trained
+        if not hasattr(t, "eigvecs"):      # FactoredFilter (V-free)
+            return t.apply(channel, transformed_eigvals)
         channel_np = np.asarray(channel)
         if channel_np.size != t.eigvecs.shape[0]:
             raise ValueError(
@@ -190,7 +225,7 @@ class NLEFilter:
         flat = channel_np.reshape(-1).astype(dtype)
         if t.perm is not None:
             flat = flat[t.perm]             # host gather into packed order
-        out = np.asarray(
+        out = fetch(
             apply_filter(t.eigvecs, jnp.asarray(transformed_eigvals), jnp.asarray(flat))
         )
         if t.perm is not None:
@@ -204,6 +239,8 @@ class NLEFilter:
         channels_u8: (H, W) or (H, W, C) — multiple channels share one
         device dispatch."""
         t = self.trained
+        if not hasattr(t, "eigvecs"):      # FactoredFilter (V-free)
+            return t.apply_u8(channels_u8, scale_vals)
         shape = channels_u8.shape
         flat = channels_u8.reshape(t.eigvecs.shape[0], -1)
         if t.perm is not None:
@@ -218,7 +255,7 @@ class NLEFilter:
                 flat_dev = cached_dev
         if flat_dev is None:
             flat_dev = jnp.asarray(flat)
-        out = np.asarray(
+        out = fetch(
             apply_filter_u8(t.eigvecs, jnp.asarray(scale_vals), flat_dev)
         )
         if t.perm is not None:
@@ -230,7 +267,7 @@ class NLEFilter:
     def enhance(self, image_bgr_u8, weights) -> np.ndarray:
         """Detail-layer recomposition on L only (src/filter.cpp:412-443)."""
         t = self.trained
-        image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
+        image = _check_image(image_bgr_u8, t.n_pixels)
         lab = self._to_lab(image)
         fS = transform_eigenvalues(t.eigvals, weights)
         out = lab.copy()
@@ -242,7 +279,7 @@ class NLEFilter:
         """GLIDE-style global denoise (src/filter.cpp:349-410): bilateral on
         L, spectral filter with shrunk eigenvalues on the a/b chroma."""
         t = self.trained
-        image = _check_image(image_bgr_u8, t.eigvecs.shape[0])
+        image = _check_image(image_bgr_u8, t.n_pixels)
         lab = self._to_lab(image)
         L = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1, sigma_color,
                                 sigma_space)

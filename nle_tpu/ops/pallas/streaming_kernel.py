@@ -3,7 +3,7 @@
 The dense pipeline materializes the Nystrom factor phi (N, m) in HBM and
 streams it through every Sinkhorn half-step — at m ~ 600 that is ~2.4 kB of
 HBM per pixel, which caps a 16 GB v5e chip at ~5 MP. These kernels instead
-RECOMPUTE the affinity tiles from the raw pixel features (12 B per pixel)
+RECOMPUTE the affinity tiles from the raw pixel features (16 B per pixel)
 inside every pass, using the factor identities
 
     phi_rest @ t      = K_AB^T @ (Uinv @ t)          (one affinity matvec)
@@ -12,13 +12,21 @@ inside every pass, using the factor identities
     Vb  = c * (K_AB^T @ (Uinv @ GrT))                (plain affinity matmul)
 
 so NO N x m array ever exists: per-pixel state is features + the balancing
-vectors + the final V (N, k). Memory becomes O(N), lifting the single-chip
-limit from ~5 MP to HBM/~250 B per pixel (~50 MP at k = 50).
+vectors (+ the final V (N, k) on the dense-filter path; the factored filter
+in models/factored.py drops even that).
 
-Cost: one exp per (pixel, sample) per pass — measured ~7 ms per MP at
-p = 600 on v5e (VPU-bound), vs ~5.6 ms for the HBM-bound dense half-step;
-the pipeline auto-selects streaming only when phi would not fit (see
-ops/pipeline.py NLE_STREAM_BYTES).
+LAYOUT RULE (load-bearing for capacity): every N-long operand crossing into
+a pallas_call is shaped (rows, N) — features as ONE (3, Qpad) array, masks
+and vectors as (1, Qpad) rows. Pallas forces an T(8,128) tiling on its
+operands, so the "natural" (N, 3) / (N, 1) shapes get relayout-copied to
+128 padded lanes: 512 B per pixel of hidden HBM traffic and peak memory
+(measured: a (4M, 1) operand costs a 2.1 GB temp; the (1, 4M) row costs
+none) — which silently capped the streaming path far below its design
+size. Row layouts cost 4 B/px (vectors) / 16 B/px (features), copy-free.
+
+Cost: one exp per (pixel, sample) per pass (two for the p-tiled two-pass
+variant) — VPU-bound; the pipeline auto-selects streaming only when phi
+would not fit (see ops/pipeline.py NLE_STREAM_BYTES).
 
 Numerics: the affinity entries are bit-identical to the ones the dense path
 stored in phi (same kernel arithmetic); only the contraction association
@@ -58,28 +66,38 @@ def stream_p_alignment(p: int) -> int:
     return 128 if _round_up(p, 128) <= MAX_STREAM_P_FUSED else PTILE
 
 
+def _ptile(ppad: int) -> int:
+    """Sample-tile width for the p-tiled kernels (whole Ppad in one tile
+    while the single-pass regime applies)."""
+    return (PTILE if ppad % PTILE == 0 and ppad > MAX_STREAM_P_FUSED
+            else ppad)
+
+
 def pad_stream_operands(fa: jax.Array, fb: jax.Array):
     """The ONE padding rule all streaming kernels share: sample features
-    transposed to (3, Ppad), rest features to (Qpad, 3) with a (Qpad, 1)
-    validity mask. Qpad is a TILE_Q multiple, Ppad a stream_p_alignment
-    multiple. Every caller must use this helper so the kernels see identical
-    layouts (XLA CSE dedupes the repeated pads within one jit)."""
+    transposed to (3, Ppad), rest features transposed to (3, Qpad), and a
+    (1, Qpad) validity-mask row. Qpad is a TILE_Q multiple, Ppad a
+    stream_p_alignment multiple. Every caller must use this helper so the
+    kernels see identical layouts (XLA CSE dedupes repeated pads within one
+    jit). See the module docstring for why everything is row-major in N."""
     p = fa.shape[0]
     q = fb.shape[0]
     qpad = _round_up(max(q, 1), TILE_Q)
     ppad = _round_up(p, stream_p_alignment(p))
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
-    fb_pad = jnp.pad(fb, ((0, qpad - q), (0, 0)))
-    mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[:, None]
-    return fa_rows, fb_pad, mask
+    fb_cols = jnp.pad(fb.T, ((0, 0), (0, qpad - q)))
+    mask = (jnp.arange(qpad, dtype=jnp.int32) < q).astype(jnp.float32)[None, :]
+    return fa_rows, fb_cols, mask
 
 
 def _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref):
+    """(T, pt) affinity tile from a (3, T) pixel-feature slice and a
+    (3, pt) sample-feature slice."""
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]
-    dr = fb_ref[:, 0:1] - fa_ref[0:1, :]
-    dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
-    dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
+    dr = fb_ref[0:1, :].T - fa_ref[0:1, :]
+    dc = fb_ref[1:2, :].T - fa_ref[1:2, :]
+    dy = fb_ref[2:3, :].T - fa_ref[2:3, :]
     # Raw integer differences are exact in f32; scale only after squaring
     # (the precision rule from ops/affinity.py).
     return jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
@@ -96,19 +114,19 @@ def _halfstep_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
     A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, Ppad)
     if unit_x:
         # s0 pass: x = r0 = 1 on real rows (phi^T @ ones).
-        x = mask_ref[:]
+        x = mask_ref[:]                                     # (1, T)
     else:
         w = jax.lax.dot_general(
-            A, u_ref[:],
+            u_ref[:], A,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                   # (T, 1)
+        )                                                   # (1, T)
         x = safe_reciprocal(w, eps_ref[0, 0])
         x = x * mask_ref[:]   # pad rows: affinity is real, kill them here
     x_ref[:] = x
     part = jax.lax.dot_general(
         x, A,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # (1, Ppad)
     row = i % 8
@@ -116,7 +134,7 @@ def _halfstep_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("unit_x", "interpret"))
-def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+def streaming_halfstep_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
                               mask: jax.Array, u_pad: jax.Array, sw, pw, eps,
                               unit_x: bool = False, interpret: bool = False):
     """One phi-free Sinkhorn half-step over the rest-block pixels.
@@ -124,25 +142,25 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     fa_rows: (3, Ppad) sample features, transposed+padded (pad columns give
       garbage affinities annihilated by u's zero pad entries — and their
       garbage ap columns are sliced off by the caller).
-    fb_pad: (Qpad, 3) rest-pixel features, Qpad a TILE_Q multiple.
-    mask: (Qpad, 1) 1.0 on real rows, 0.0 on pads.
+    fb_cols: (3, Qpad) rest-pixel features, Qpad a TILE_Q multiple.
+    mask: (1, Qpad) 1.0 on real pixels, 0.0 on pads.
     u_pad: (Ppad,) = Uinv @ t zero-padded.
     Returns (x (Qpad,), ap (Ppad,)) where x = mask * guarded-reciprocal
     (K_AB^T u) and ap = K_AB @ x. With unit_x=True, x = mask instead (the
     s0 = phi^T @ ones pass); u is ignored.
     """
-    qpad = fb_pad.shape[0]
+    qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     cost = pl.CostEstimate(
         flops=2 * qpad * ppad * 6,
-        bytes_accessed=4 * (qpad * 4 + 3 * ppad + qpad + 2 * ppad),
+        bytes_accessed=4 * (qpad * 5 + 3 * ppad + 2 * ppad),
         transcendentals=qpad * ppad,
     )
-    sw2, pw2, eps2, fa_rows, fb_pad, mask, u_row = _unify_vma(
-        sw2, pw2, eps2, fa_rows, fb_pad, mask, u_pad[None, :])
+    sw2, pw2, eps2, fa_rows, fb_cols, mask, u_row = _unify_vma(
+        sw2, pw2, eps2, fa_rows, fb_cols, mask, u_pad[None, :])
     x, ap8 = pl.pallas_call(
         functools.partial(_halfstep_kernel, unit_x=unit_x),
         grid=(qpad // TILE_Q,),
@@ -151,22 +169,22 @@ def streaming_halfstep_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            _out_struct((qpad, 1), u_row, fb_pad, mask, fa_rows),
-            _out_struct((8, ppad), u_row, fb_pad, mask, fa_rows),
+            _out_struct((1, qpad), u_row, fb_cols, mask, fa_rows),
+            _out_struct((8, ppad), u_row, fb_cols, mask, fa_rows),
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, eps2, u_row, fb_pad, mask, fa_rows)
-    return x[:, 0], jnp.sum(ap8, axis=0)
+    )(sw2, pw2, eps2, u_row, fb_cols, mask, fa_rows)
+    return x[0], jnp.sum(ap8, axis=0)
 
 
 def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
@@ -199,10 +217,10 @@ def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
             wacc[:] = jnp.zeros_like(wacc)
 
         wacc[:] += jax.lax.dot_general(
-            A, u_ref[:],
+            u_ref[:], A,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )                                                   # (1, T)
 
         @pl.when(j == np_tiles - 1)
         def _():
@@ -214,7 +232,7 @@ def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
         A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)
         part = jax.lax.dot_general(
             x_ref[:], A,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (1, PTILE)
         row = i % 8
@@ -224,13 +242,13 @@ def _halfstep_ptiled_kernel(sw_ref, pw_ref, eps_ref, u_ref, fb_ref, mask_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
+def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
                                      mask: jax.Array, u_pad: jax.Array,
                                      sw, pw, eps, interpret: bool = False):
     """streaming_halfstep_pallas contract (unit_x excluded — see
     streaming_halfstep) for arbitrarily dense sampling grids: Ppad must be
     a PTILE multiple (see stream_p_alignment)."""
-    qpad = fb_pad.shape[0]
+    qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
     np_tiles = ppad // PTILE
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
@@ -238,11 +256,11 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     cost = pl.CostEstimate(
         flops=2 * 2 * qpad * ppad * 6,
-        bytes_accessed=4 * (2 * qpad * 4 + 2 * 3 * ppad + qpad + 2 * ppad),
+        bytes_accessed=4 * (2 * qpad * 5 + 2 * 3 * ppad + 2 * ppad),
         transcendentals=2 * qpad * ppad,
     )
-    sw2, pw2, eps2, fa_rows, fb_pad, mask, u_row = _unify_vma(
-        sw2, pw2, eps2, fa_rows, fb_pad, mask, u_pad[None, :])
+    sw2, pw2, eps2, fa_rows, fb_cols, mask, u_row = _unify_vma(
+        sw2, pw2, eps2, fa_rows, fb_cols, mask, u_pad[None, :])
     x, ap8 = pl.pallas_call(
         functools.partial(_halfstep_ptiled_kernel, np_tiles=np_tiles),
         grid=(qpad // TILE_Q, 2, np_tiles),
@@ -255,34 +273,35 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, PTILE), lambda i, s, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 3), lambda i, s, j: (i, 0),
+            pl.BlockSpec((3, TILE_Q), lambda i, s, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, s, j: (i, 0),
+            pl.BlockSpec((1, TILE_Q), lambda i, s, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, PTILE), lambda i, s, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_Q, 1), lambda i, s, j: (i, 0),
+            pl.BlockSpec((1, TILE_Q), lambda i, s, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ppad), lambda i, s, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            _out_struct((qpad, 1), u_row, fb_pad, mask, fa_rows),
-            _out_struct((8, ppad), u_row, fb_pad, mask, fa_rows),
+            _out_struct((1, qpad), u_row, fb_cols, mask, fa_rows),
+            _out_struct((8, ppad), u_row, fb_cols, mask, fa_rows),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE_Q, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, TILE_Q), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, eps2, u_row, fb_pad, mask, fa_rows)
-    return x[:, 0], jnp.sum(ap8, axis=0)
+    )(sw2, pw2, eps2, u_row, fb_cols, mask, fa_rows)
+    return x[0], jnp.sum(ap8, axis=0)
 
 
-def _s0_ptiled_kernel(sw_ref, pw_ref, fb_ref, mask_ref, fa_ref, ap_ref):
-    """ap = K_AB @ mask over (q_tiles, p_tiles): the s0 = phi^T @ ones pass
-    for dense sampling grids — one accumulation pass, no reciprocal half,
-    no operand wider than the feature tiles (O(N) memory preserved)."""
+def _ap_kernel(sw_ref, pw_ref, fb_ref, x_ref, fa_ref, ap_ref, *, pt: int):
+    """ap = K_AB @ x over (q_tiles, p_tiles): one accumulation pass with no
+    operand wider than the feature tiles (O(N) memory). Used for the s0 =
+    phi^T @ ones pass (x = validity mask) and for the V-free factored
+    apply's projection (x = c * y)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -290,24 +309,27 @@ def _s0_ptiled_kernel(sw_ref, pw_ref, fb_ref, mask_ref, fa_ref, ap_ref):
     def _():
         ap_ref[:] = jnp.zeros_like(ap_ref)
 
-    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, PTILE)
+    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, pt)
     part = jax.lax.dot_general(
-        mask_ref[:], A,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        x_ref[:], A,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                       # (1, PTILE)
+    )                                                       # (1, pt)
     row = i % 8
-    col = j * PTILE
-    ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] = (
-        ap_ref[pl.ds(row, 1), pl.ds(col, PTILE)] + part)
+    col = j * pt
+    ap_ref[pl.ds(row, 1), pl.ds(col, pt)] = (
+        ap_ref[pl.ds(row, 1), pl.ds(col, pt)] + part)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def streaming_s0_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
-                               mask: jax.Array, sw, pw,
-                               interpret: bool = False):
-    qpad = fb_pad.shape[0]
+def streaming_ap_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
+                        x_row: jax.Array, sw, pw,
+                        interpret: bool = False):
+    """ap (Ppad,) = K_AB @ x for x (1, Qpad), zero on pad columns. Works
+    for any sampling-grid density (the sample dimension is tiled)."""
+    qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
+    pt = _ptile(ppad)
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
     cost = pl.CostEstimate(
@@ -315,50 +337,109 @@ def streaming_s0_ptiled_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         bytes_accessed=4 * (qpad * 4 + 3 * ppad + 2 * ppad),
         transcendentals=qpad * ppad,
     )
-    sw2, pw2, fa_rows, fb_pad, mask = _unify_vma(
-        sw2, pw2, fa_rows, fb_pad, mask)
+    sw2, pw2, fa_rows, fb_cols, x_row = _unify_vma(
+        sw2, pw2, fa_rows, fb_cols, x_row)
     ap8 = pl.pallas_call(
-        _s0_ptiled_kernel,
-        grid=(qpad // TILE_Q, ppad // PTILE),
+        functools.partial(_ap_kernel, pt=pt),
+        grid=(qpad // TILE_Q, ppad // pt),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_Q, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((3, TILE_Q), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((1, TILE_Q), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, PTILE), lambda i, j: (0, j),
+            pl.BlockSpec((3, pt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, ppad), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((8, ppad), fb_pad, mask, fa_rows),
+        out_shape=_out_struct((8, ppad), fb_cols, x_row, fa_rows),
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, fb_pad, mask, fa_rows)
+    )(sw2, pw2, fb_cols, x_row, fa_rows)
     return jnp.sum(ap8, axis=0)
 
 
-def streaming_halfstep(fa_rows, fb_pad, mask, u_pad, sw, pw, eps,
+def _atb_kernel(sw_ref, pw_ref, fb_ref, b_ref, fa_ref, out_ref, *, pt: int):
+    """out = K_AB^T @ b for a single b row (the factored apply's tail):
+    per q-tile accumulate over the p tiles. The output is a (1, Qpad) row —
+    a column output would be relayout-copied to 128 padded lanes
+    (512 B/pixel) at exactly the capacity sizes this path exists for."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)      # (T, pt)
+    out_ref[:] += jax.lax.dot_general(
+        b_ref[:], A,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (1, T)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def streaming_atb_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
+                         b_pad: jax.Array, sw, pw,
+                         interpret: bool = False):
+    """out (Qpad,) = K_AB^T @ b for b (Ppad,) (zero beyond the true p).
+    Works for any sampling-grid density; every buffer is O(N) or O(p)."""
+    qpad = fb_cols.shape[1]
+    ppad = fa_rows.shape[1]
+    pt = _ptile(ppad)
+    sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
+    pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    cost = pl.CostEstimate(
+        flops=2 * qpad * ppad * 6,
+        bytes_accessed=4 * (qpad * 4 + 3 * ppad + ppad),
+        transcendentals=qpad * ppad,
+    )
+    sw2, pw2, fa_rows, fb_cols, b_row = _unify_vma(
+        sw2, pw2, fa_rows, fb_cols, b_pad[None, :])
+    out = pl.pallas_call(
+        functools.partial(_atb_kernel, pt=pt),
+        grid=(qpad // TILE_Q, ppad // pt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE_Q), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_Q), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((1, qpad), fb_cols, b_row, fa_rows),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(sw2, pw2, fb_cols, b_row, fa_rows)
+    return out[0]
+
+
+def streaming_halfstep(fa_rows, fb_cols, mask, u_pad, sw, pw, eps,
                        unit_x=False, interpret=False):
     """Dispatch on the padded sample count: single-pass fused kernel while
     the whole (TILE_Q, Ppad) tile fits VMEM, two-pass p-tiled kernel
     beyond. The unit_x (s0 = phi^T @ ones) case on the p-tiled path has no
-    reciprocal half, so it runs a dedicated one-pass accumulation kernel
-    (every operand stays O(N) — an affinity matmul with the mask as right
-    factor would pad it to 128 f32 columns, ~512 B/pixel in HBM)."""
+    reciprocal half, so it runs the one-pass ap kernel instead."""
     if fa_rows.shape[1] <= MAX_STREAM_P_FUSED:
         return streaming_halfstep_pallas(
-            fa_rows, fb_pad, mask, u_pad, sw, pw, eps, unit_x=unit_x,
+            fa_rows, fb_cols, mask, u_pad, sw, pw, eps, unit_x=unit_x,
             interpret=interpret)
     if unit_x:
-        ap = streaming_s0_ptiled_pallas(fa_rows, fb_pad, mask, sw, pw,
-                                        interpret=interpret)
-        return mask[:, 0], ap
+        ap = streaming_ap_pallas(fa_rows, fb_cols, mask, sw, pw,
+                                 interpret=interpret)
+        return mask[0], ap
     return streaming_halfstep_ptiled_pallas(
-        fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
+        fa_rows, fb_cols, mask, u_pad, sw, pw, eps, interpret=interpret)
 
 
 def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):
@@ -369,8 +450,8 @@ def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):
         sb_ref[:] = jnp.zeros_like(sb_ref)
 
     A = _affinity_tile(sw_ref, pw_ref, fb_ref, fa_ref)        # (T, Ppad)
-    cphi = c_ref[:] * jnp.dot(A, uinv_ref[:],
-                              preferred_element_type=jnp.float32)  # (T, Mpad)
+    cphi = c_ref[:].T * jnp.dot(A, uinv_ref[:],
+                                preferred_element_type=jnp.float32)  # (T, Mpad)
     sb_ref[:] += jax.lax.dot_general(
         cphi, cphi,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -379,16 +460,17 @@ def _gram_kernel(sw_ref, pw_ref, uinv_ref, fb_ref, c_ref, fa_ref, sb_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
-                                 c_pad: jax.Array, uinv_pad: jax.Array,
+def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
+                                 c_row: jax.Array, uinv_pad: jax.Array,
                                  sw, pw, interpret: bool = False):
     """Sb = (c * phi_rest)^T (c * phi_rest) over the streamed rest block,
     with phi_rest = K_AB^T @ Uinv recomputed tile by tile.
 
-    c_pad: (Qpad, 1), zero on pad rows (zeroed rows contribute nothing).
-    uinv_pad: (Ppad, Mpad). Returns (Mpad, Mpad); caller slices [:m, :m].
+    c_row: (1, Qpad), zero on pad columns (zeroed pixels contribute
+    nothing). uinv_pad: (Ppad, Mpad). Returns (Mpad, Mpad); caller slices
+    [:m, :m].
     """
-    qpad = fb_pad.shape[0]
+    qpad = fb_cols.shape[1]
     ppad, mpad = uinv_pad.shape
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
@@ -397,8 +479,8 @@ def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
         bytes_accessed=4 * (qpad * 4 + 3 * ppad + ppad * mpad + mpad * mpad),
         transcendentals=qpad * ppad,
     )
-    sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows = _unify_vma(
-        sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows)
+    sw2, pw2, uinv_pad, fb_cols, c_row, fa_rows = _unify_vma(
+        sw2, pw2, uinv_pad, fb_cols, c_row, fa_rows)
     sb = pl.pallas_call(
         _gram_kernel,
         grid=(qpad // TILE_Q,),
@@ -406,21 +488,21 @@ def streaming_scaled_gram_pallas(fa_rows: jax.Array, fb_pad: jax.Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ppad, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_Q), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((mpad, mpad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((mpad, mpad), uinv_pad, fb_pad, c_pad, fa_rows),
+        out_shape=_out_struct((mpad, mpad), uinv_pad, fb_cols, c_row, fa_rows),
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, uinv_pad, fb_pad, c_pad, fa_rows)
+    )(sw2, pw2, uinv_pad, fb_cols, c_row, fa_rows)
     return sb
 
 
-def streaming_scaled_gram_xla(fa: jax.Array, fb_pad: jax.Array,
-                              c_pad: jax.Array, uinv: jax.Array, sw, pw,
+def streaming_scaled_gram_xla(fa: jax.Array, fb_cols: jax.Array,
+                              c_row: jax.Array, uinv: jax.Array, sw, pw,
                               tile: int = 8192):
     """XLA fallback for streaming_scaled_gram_pallas when (Ppad, Mpad) Uinv
     or the (Mpad, Mpad) Sb no longer fit VMEM (dense sampling grids): a
@@ -429,11 +511,11 @@ def streaming_scaled_gram_xla(fa: jax.Array, fb_pad: jax.Array,
     O(N + p*m). This runs once per train (vs 2*n_iter+1 halfstep sweeps),
     so the XLA-vs-Pallas rate difference is immaterial.
 
-    fb_pad/c_pad follow pad_stream_operands (c zero on pad rows); uinv is
-    the UNPADDED (p, m) factor. Returns (m, m)."""
+    fb_cols/c_row follow pad_stream_operands (c zero on pad columns); uinv
+    is the UNPADDED (p, m) factor. Returns (m, m)."""
     from nle_tpu.ops.affinity import affinity_block
 
-    qpad = fb_pad.shape[0]
+    qpad = fb_cols.shape[1]
     m = uinv.shape[1]
     tile = min(tile, qpad)
     while qpad % tile:
@@ -441,10 +523,10 @@ def streaming_scaled_gram_xla(fa: jax.Array, fb_pad: jax.Array,
     nt = qpad // tile
 
     def body(Sb, inp):
-        fb_t, c_t = inp
-        k = affinity_block(fb_t, fa, sw, pw)            # (tile, p)
-        cphi = c_t * jnp.dot(k, uinv,
-                             preferred_element_type=jnp.float32)
+        fb_t, c_t = inp                                  # (3, tile), (tile,)
+        k = affinity_block(fb_t.T, fa, sw, pw)           # (tile, p)
+        cphi = c_t[:, None] * jnp.dot(k, uinv,
+                                      preferred_element_type=jnp.float32)
         return Sb + jax.lax.dot_general(
             cphi, cphi,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -453,7 +535,8 @@ def streaming_scaled_gram_xla(fa: jax.Array, fb_pad: jax.Array,
 
     Sb, _ = jax.lax.scan(
         body, jnp.zeros((m, m), jnp.float32),
-        (fb_pad.reshape(nt, tile, 3), c_pad.reshape(nt, tile, 1)))
+        (fb_cols.reshape(3, nt, tile).transpose(1, 0, 2),
+         c_row[0].reshape(nt, tile)))
     return Sb
 
 
@@ -476,12 +559,12 @@ def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
 
     The p sampled rows of phi are Um (tiny, handled in XLA); the rest-block
     rows are recomputed from affinities every half-step by
-    `streaming_halfstep_pallas`.
+    `streaming_halfstep`.
     """
     p, m = Um.shape
     q = fb.shape[0]
-    fa_rows, fb_pad, mask = pad_stream_operands(fa, fb)
-    qpad = fb_pad.shape[0]
+    fa_rows, fb_cols, mask = pad_stream_operands(fa, fb)
+    qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
     lam = lam_m.astype(jnp.float32)
     Um32 = Um.astype(jnp.float32)
@@ -492,13 +575,13 @@ def streaming_sinkhorn_vectors(fa: jax.Array, fb: jax.Array, Um: jax.Array,
         u_pad = jnp.pad(u, (0, ppad - p))
         x_top = safe_reciprocal(Um32 @ t, eps)                # (p,)
         x_rest, ap = streaming_halfstep(
-            fa_rows, fb_pad, mask, u_pad, sw, pw, eps, interpret=interpret)
+            fa_rows, fb_cols, mask, u_pad, sw, pw, eps, interpret=interpret)
         s = Um32.T @ x_top + Uinv32.T @ ap[:p]
         return x_top, x_rest, s
 
     # s0 = phi^T @ ones: Um columns + one unit_x streaming pass.
     _, ap0 = streaming_halfstep(
-        fa_rows, fb_pad, mask, jnp.zeros((ppad,), jnp.float32), sw, pw, eps,
+        fa_rows, fb_cols, mask, jnp.zeros((ppad,), jnp.float32), sw, pw, eps,
         unit_x=True, interpret=interpret)
     s0 = jnp.sum(Um32, axis=0) + Uinv32.T @ ap0[:p]
 

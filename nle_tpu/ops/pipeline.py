@@ -486,20 +486,20 @@ def train_filter_stage2a_streaming(
         cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
         Sb_top = cu.T @ cu
         q = fb.shape[0]
-        fa_rows, fb_pad, _ = pad_stream_operands(fa, fb)
-        qpad = fb_pad.shape[0]
+        fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
+        qpad = fb_cols.shape[1]
         ppad = fa_rows.shape[1]
         mpad = -(-mb // 128) * 128
-        c_pad = jnp.pad(c[p:], (0, qpad - q))[:, None]
+        c_row = jnp.pad(c[p:], (0, qpad - q))[None, :]
         if gram_fits_vmem(p, mb):
             uinv_pad = jnp.pad(Uinv.astype(jnp.float32),
                                ((0, ppad - p), (0, mpad - mb)))
             Sb_rest = streaming_scaled_gram_pallas(
-                fa_rows, fb_pad, c_pad, uinv_pad, sw, pw,
+                fa_rows, fb_cols, c_row, uinv_pad, sw, pw,
                 interpret=interpret)[:mb, :mb]
         else:
             Sb_rest = streaming_scaled_gram_xla(
-                fa, fb_pad, c_pad, Uinv.astype(jnp.float32), sw, pw)
+                fa, fb_cols, c_row, Uinv.astype(jnp.float32), sw, pw)
         Sb = Sb_top + Sb_rest
         packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
     return packed, c
@@ -544,6 +544,74 @@ def train_filter_stage2b_streaming(
             Vb_raw = affinity_matmul_xla(fa, fb, B, sw, pw)
         Vb = c[p:, None] * Vb_raw
         return jnp.concatenate([V_head, Vb.astype(va_grt.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "mb"))
+def factored_filter_pieces(stage1_packed, c, va_grt, *, p: int, mb: int):
+    """Small matrices of the V-FREE factored filter (models/factored.py):
+    V_head (p, k) — the sampled-pixel rows of V (cu @ GrT with the Va
+    overlay, as in train_filter_stage2b_streaming) — and W = Uinv @ GrT
+    (p, k), the tail generator: V_rest = c_rest * (K_AB^T @ W), recomputed
+    from features at APPLY time instead of storing the (N, k) V."""
+    with jax.default_matmul_precision("highest"):
+        Um, _, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
+        k = va_grt.shape[1] // 2
+        Va = va_grt[:, :k]
+        GrT = va_grt[:, k:]
+        cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
+        V_head = (cu @ GrT).at[:mb].add(Va)
+        W = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)
+        return V_head, W
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
+                   *, p: int, interpret: bool = False):
+    """filtered = V diag(f(S)) V^T y WITHOUT a stored V: the tail rows of V
+    are regenerated from the training features per application. Two
+    streaming affinity passes (K_AB @ x for the projection, K_AB^T @ small
+    for the output) + O(k) matmuls; per-pixel state is features + c — the
+    capacity path past the (N, k) V. y, y_train (N,) packed; returns (N,)."""
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        pad_stream_operands,
+        streaming_ap_pallas,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        ft = features(rr, cc, y_train)
+        fa, fb = ft[:p], ft[p:]
+        q = fb.shape[0]
+        y = y.astype(jnp.float32)
+        if interpret:
+            from nle_tpu.ops.affinity import affinity_matmul_xla
+
+            cy = (c[p:] * y[p:])[:, None]
+            ap = affinity_matmul_xla(fb, fa, cy, sw, pw)[:, 0]
+        else:
+            fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
+            qpad = fb_cols.shape[1]
+            cy = jnp.pad(c[p:] * y[p:], (0, qpad - q))[None, :]
+            ap = streaming_ap_pallas(fa_rows, fb_cols, cy, sw, pw)[:p]
+        proj = v_head.T @ y[:p] + w.T @ ap
+        t = f_eigvals * proj
+        out_head = v_head @ t
+        b = w @ t                                          # (p,)
+        if interpret:
+            from nle_tpu.ops.affinity import affinity_matmul_xla
+
+            tail = affinity_matmul_xla(fa, fb, b[:, None], sw, pw)[:, 0]
+        else:
+            from nle_tpu.ops.pallas.streaming_kernel import (
+                streaming_atb_pallas,
+            )
+
+            # Dedicated row-output kernel: the general affinity matmul
+            # pads its output to 128 lanes (512 B/px — a no-go at the
+            # capacity sizes the factored path exists for).
+            ppad = fa_rows.shape[1]
+            tail = streaming_atb_pallas(
+                fa_rows, fb_cols, jnp.pad(b, (0, ppad - p)), sw, pw)[:q]
+        return jnp.concatenate([out_head, c[p:] * tail])
 
 
 @jax.jit

@@ -253,27 +253,27 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
             streaming_scaled_gram_xla,
         )
 
-        fa_rows, fb_pad, _ = pad_stream_operands(fa, fb_local)
+        fa_rows, fb_cols, _ = pad_stream_operands(fa, fb_local)
         ppad = fa_rows.shape[1]   # stream_p_alignment rule
         # The shard's own validity mask, not the helper's (global pad rows
         # inside this shard are marked invalid by mask_local).
-        mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[:, None]
+        mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[None, :]
 
         def stream_halfstep(u, unit_x=False):
             u_pad = jnp.pad(u, (0, ppad - p))
             x_bl, ap = _halfstep_dispatch(
-                fa_rows, fb_pad, mask_pad, u_pad, sw, pw, eps,
+                fa_rows, fb_cols, mask_pad, u_pad, sw, pw, eps,
                 unit_x=unit_x)
             return x_bl[:nb_local], ap[:p]
 
         def stream_gram(cbl):
-            c_pad = jnp.pad(cbl, (0, qpad - nb_local))[:, None]
+            c_row = jnp.pad(cbl, (0, qpad - nb_local))[None, :]
             if gram_fits_vmem(p, mb):
                 uinv_pad = jnp.pad(Uinv32, ((0, ppad - p), (0, mpad - mb)))
                 return streaming_scaled_gram_pallas(
-                    fa_rows, fb_pad, c_pad, uinv_pad, sw, pw)[:mb, :mb]
+                    fa_rows, fb_cols, c_row, uinv_pad, sw, pw)[:mb, :mb]
             return streaming_scaled_gram_xla(
-                fa, fb_pad, c_pad, Uinv32, sw, pw)
+                fa, fb_cols, c_row, Uinv32, sw, pw)
 
     def halfstep(s):
         t = lam_m * s

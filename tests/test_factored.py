@@ -1,0 +1,114 @@
+"""V-free factored filter (models/factored.py): the tail rows of V are
+regenerated from training features at apply time — results must match the
+dense TrainedFilter path to streaming-association noise."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nle_tpu.models.factored import FactoredFilter, train_filter_factored
+from nle_tpu.models.filter import NLEFilter, load_filter
+from nle_tpu.ops.pipeline import apply_filter, train_filter
+from nle_tpu.ops.transform import transform_eigenvalues
+
+
+@pytest.fixture()
+def image(rng):
+    return rng.integers(0, 256, (60, 70)).astype(np.float32)
+
+
+ARGS = (5, 6, 300.0, 40.0, 8, 4)
+W = [1.0, 2.0, 1.5, 1.1]
+
+
+def test_factored_apply_matches_dense(image):
+    ff = train_filter_factored(image, *ARGS)
+    V, S = train_filter(image, *ARGS)
+    np.testing.assert_allclose(np.asarray(ff.eigvals), np.asarray(S),
+                               rtol=1e-4, atol=1e-6)
+    w = jnp.asarray(W, jnp.float32)
+    out_d = np.asarray(apply_filter(V, transform_eigenvalues(S, w),
+                                    jnp.asarray(image)))
+    out_f = ff.apply(image, transform_eigenvalues(ff.eigvals, w))
+    assert np.abs(out_f - out_d).max() < 0.05
+
+
+def test_factored_apply_u8_multichannel(image, rng):
+    """(H, W, C) channels (the denoise chroma pair) go through per-channel
+    streaming passes and match the float path after clamp."""
+    ff = train_filter_factored(image, *ARGS)
+    fS = transform_eigenvalues(ff.eigvals, jnp.asarray(W, jnp.float32))
+    chans = rng.integers(0, 256, (60, 70, 2)).astype(np.uint8)
+    got = ff.apply_u8(chans, fS)
+    for j in range(2):
+        want = np.clip(np.rint(ff.apply(chans[..., j].astype(np.float32),
+                                        fS)), 0, 255)
+        assert np.abs(got[..., j].astype(np.float64) - want).max() <= 1.0
+
+
+def test_nlefilter_factored_enhance_matches_dense():
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/data/flower-50.bmp")
+    img = img[:100, :120]
+    params = (6, 8, 100.0, 30.0, 10, 6)
+    weights = [2.0, 3.0, 4.0, 1.0, 1.0, 1.0]
+    f_d = NLEFilter()
+    f_d.train_for_enhancement(img, *params)
+    out_d = f_d.enhance(img, weights)
+    f_f = NLEFilter(factored=True)
+    f_f.train_for_enhancement(img, *params)
+    out_f = f_f.enhance(img, weights)
+    # u8 outputs: identical up to clamp boundaries
+    assert np.abs(out_f.astype(int) - out_d.astype(int)).max() <= 1
+
+
+def test_factored_denoise_runs(image):
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread("/root/reference/data/taj-rgb-noise.jpg")[:80, :90]
+    f = NLEFilter(factored=True)
+    f.train_for_denoise(img, 5, 6, 200.0, 30.0, 5, 5)
+    out = f.denoise(img, 2.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_factored_save_load_roundtrip(tmp_path, image):
+    ff = train_filter_factored(image, *ARGS)
+    fS = transform_eigenvalues(ff.eigvals, jnp.asarray(W, jnp.float32))
+    want = ff.apply(image, fS)
+    path = str(tmp_path / "f")        # suffixless
+    ff.save(path)
+    ff2 = load_filter(path)
+    assert isinstance(ff2, FactoredFilter)
+    got = ff2.apply(image, fS)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_factored_size_guard(image):
+    ff = train_filter_factored(image, *ARGS)
+    with pytest.raises(ValueError, match="match"):
+        ff.apply(np.zeros((10, 10), np.float32), np.ones(4))
+
+
+def test_factored_cli_roundtrip(tmp_path, rng):
+    """--factored on nle-enhance; nle-apply auto-detects the filter kind."""
+    from nle_tpu.cli import apply as apply_cli
+    from nle_tpu.cli import enhance as enhance_cli
+    from nle_tpu.utils.imageio import imwrite_bgr
+
+    img = rng.integers(0, 256, (24, 30, 3), np.uint8)
+    src = str(tmp_path / "in.png")
+    imwrite_bgr(src, img)
+    fpath = str(tmp_path / "f.npz")
+    out1 = str(tmp_path / "o1.png")
+    rc = enhance_cli.main([src, out1, "3", "4", "100", "30", "5", "5",
+                           "1", "2", "--factored",
+                           f"--save-filter={fpath}"])
+    assert rc == 0 and os.path.exists(out1)
+    out2 = str(tmp_path / "o2.png")
+    assert apply_cli.main([fpath, src, out2, "1", "2"]) == 0
+    from nle_tpu.utils.imageio import imread_bgr
+
+    np.testing.assert_array_equal(imread_bgr(out2), imread_bgr(out1))

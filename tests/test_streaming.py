@@ -83,11 +83,11 @@ def test_streaming_gram_matches_dense(small_image):
     ppad = -(-p // 128) * 128
     mpad = -(-m // 128) * 128
     fa_rows = jnp.pad(f[:p].T, ((0, 0), (0, ppad - p)))
-    fb_pad = jnp.pad(f[p:], ((0, qpad - q), (0, 0)))
-    c_pad = jnp.pad(cvec, (0, qpad - q))[:, None]
+    fb_cols = jnp.pad(f[p:].T, ((0, 0), (0, qpad - q)))
+    c_row = jnp.pad(cvec, (0, qpad - q))[None, :]
     uinv_pad = jnp.pad(Uinv, ((0, ppad - p), (0, mpad - m)))
     got = np.asarray(streaming_scaled_gram_pallas(
-        fa_rows, fb_pad, c_pad, uinv_pad, sw, pw, interpret=True))[:m, :m]
+        fa_rows, fb_cols, c_row, uinv_pad, sw, pw, interpret=True))[:m, :m]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -202,7 +202,7 @@ def test_streaming_halfstep_dispatch_unit_x_large_p(rng):
     x, ap = streaming_halfstep(fa_rows, fb_pad, mask,
                                jnp.zeros((ppad,), jnp.float32),
                                sw, pw, 1e-10, unit_x=True, interpret=True)
-    np.testing.assert_array_equal(np.asarray(x), np.asarray(mask)[:, 0])
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(mask)[0])
     fa64, fb64 = np.asarray(fa, np.float64), np.asarray(fb, np.float64)
     A = np.exp(-(sw * ((fb64[:, None, 0] - fa64[None, :, 0]) ** 2
                        + (fb64[:, None, 1] - fa64[None, :, 1]) ** 2)
@@ -222,14 +222,14 @@ def test_streaming_gram_xla_matches_pallas(rng):
     fa = jnp.asarray(rng.integers(0, 64, (p, 3)), jnp.float32)
     fb = jnp.asarray(rng.integers(0, 64, (q, 3)), jnp.float32)
     uinv = jnp.asarray(rng.standard_normal((p, m)), jnp.float32) * 0.05
-    fa_rows, fb_pad, _ = pad_stream_operands(fa, fb)
-    qpad = fb_pad.shape[0]
-    c = jnp.pad(jnp.asarray(rng.random(q), jnp.float32), (0, qpad - q))[:, None]
+    fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
+    qpad = fb_cols.shape[1]
+    c = jnp.pad(jnp.asarray(rng.random(q), jnp.float32), (0, qpad - q))[None, :]
     uinv_pad = jnp.pad(uinv, ((0, fa_rows.shape[1] - p), (0, 128 * 2 - m)))
     want = np.asarray(streaming_scaled_gram_pallas(
-        fa_rows, fb_pad, c, uinv_pad, 1e-4, 1e-3, interpret=True))[:m, :m]
+        fa_rows, fb_cols, c, uinv_pad, 1e-4, 1e-3, interpret=True))[:m, :m]
     got = np.asarray(streaming_scaled_gram_xla(
-        fa, fb_pad, c, uinv, 1e-4, 1e-3))
+        fa, fb_cols, c, uinv, 1e-4, 1e-3))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -254,3 +254,26 @@ def test_streaming_tiny_and_fullgrid_edges():
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.abs(np.asarray(V_s)), np.abs(np.asarray(V_d)),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_streaming_atb_matches_dense(rng):
+    """K_AB^T @ b single-column kernel (the factored apply's tail)."""
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        pad_stream_operands,
+        streaming_atb_pallas,
+    )
+
+    for p, q in [(260, 1100), (2500, 700)]:
+        fa = jnp.asarray(rng.integers(0, 64, (p, 3)), jnp.float32)
+        fb = jnp.asarray(rng.integers(0, 64, (q, 3)), jnp.float32)
+        fa_rows, fb_pad, _ = pad_stream_operands(fa, fb)
+        ppad = fa_rows.shape[1]
+        b = jnp.pad(jnp.asarray(rng.random(p), jnp.float32), (0, ppad - p))
+        got = np.asarray(streaming_atb_pallas(fa_rows, fb_pad, b, 1e-4,
+                                              1e-3, interpret=True))[:q]
+        fa64, fb64 = np.asarray(fa, np.float64), np.asarray(fb, np.float64)
+        A = np.exp(-(1e-4 * ((fb64[:, None, 0] - fa64[None, :, 0]) ** 2
+                             + (fb64[:, None, 1] - fa64[None, :, 1]) ** 2)
+                     + 1e-3 * (fb64[:, None, 2] - fa64[None, :, 2]) ** 2))
+        want = A @ np.asarray(b, np.float64)[:p]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
