@@ -9,7 +9,11 @@ steady-state numbers are printed from the warm second run.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -19,6 +23,9 @@ def main():
     ap.add_argument("--mp", type=float, default=8.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--factored", action="store_true",
+                    help="V-free factored filter (models/factored.py): the "
+                         "capacity mode past the stored-V ceiling")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -41,6 +48,21 @@ def main():
 
     def run():
         t0 = time.time()
+        if args.factored:
+            from nle_tpu.models.factored import train_filter_factored
+
+            ff = train_filter_factored(chan, 24, 25, hx=5000.0, hy=30.0,
+                                       n_sinkhorn_iter=args.iters,
+                                       n_eig_vectors=50)
+            S = ff.eigvals
+            k = int(np.asarray(S).size)
+            t1 = time.time()
+            w = np.linspace(1.0, 1.5, k + 1).astype(np.float32)
+            fS = transform_eigenvalues(S, jnp.asarray(w))
+            out = ff.apply_u8(
+                np.clip(np.rint(chan), 0, 255).astype(np.uint8), fS)
+            t2 = time.time()
+            return t1 - t0, t2 - t1, out
         V, S = train_filter(chan, 24, 25, hx=5000.0, hy=30.0,
                             n_sinkhorn_iter=args.iters, n_eig_vectors=50)
         k = int(np.asarray(S).size)
