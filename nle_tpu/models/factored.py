@@ -58,6 +58,11 @@ class FactoredFilter:
     hx: float             # affinity bandwidths: the tail is regenerated
     hy: float             # from features, so they are part of the state
     perm: np.ndarray      # packed-order permutation
+    # Device-resident (rr, cc, y_train) uploads, built lazily: stored ON
+    # the filter so HBM frees when the filter is dropped (a module-level
+    # cache pins ~1 GB per 64 MP filter past its lifetime).
+    _dev: tuple | None = dataclasses.field(
+        default=None, init=False, repr=False, compare=False)
 
     @property
     def n_pixels(self) -> int:
@@ -109,7 +114,7 @@ class FactoredFilter:
         np.savez_compressed(
             path,
             y_train=self.y_train,
-            c=np.asarray(self.c),
+            c=fetch(self.c),
             v_head=np.asarray(self.v_head),
             w=np.asarray(self.w),
             eigvals=np.asarray(self.eigvals),
@@ -121,11 +126,9 @@ class FactoredFilter:
 
     @classmethod
     def load(cls, path: str) -> "FactoredFilter":
-        import os
+        from nle_tpu.models.filter import _resolve_npz_path
 
-        if not os.path.exists(path) and os.path.exists(path + ".npz"):
-            path = path + ".npz"
-        z = np.load(path)
+        z = np.load(_resolve_npz_path(path))
         return cls(
             y_train=z["y_train"],
             c=jnp.asarray(z["c"]),
@@ -140,25 +143,17 @@ class FactoredFilter:
         )
 
 
-# Per-filter device cache (packed coords + the training channel): repeated
-# applies re-use the same uploads — each host->device transfer over the
-# tunnel costs ~30 ms, and the coords alone are 8 B/pixel.
-_DEV_CACHE: dict[int, tuple] = {}
-
-
 def _device_state(flt: FactoredFilter):
-    key = id(flt)
-    hit = _DEV_CACHE.get(key)
-    if hit is None or hit[0] is not flt:
+    """Lazily-built device uploads (packed coords + training channel):
+    repeated applies re-use them (each tunnel transfer costs ~30 ms and the
+    coords are 8 B/pixel); stored on the filter so they free with it."""
+    if flt._dev is None:
         perm = jnp.asarray(flt.perm)
         rr = (perm // flt.ncols).astype(jnp.float32)
         cc = (perm % flt.ncols).astype(jnp.float32)
         y = _cast_channel(jnp.asarray(flt.y_train), jnp.float32)
-        if len(_DEV_CACHE) > 8:
-            _DEV_CACHE.clear()
-        _DEV_CACHE[key] = (flt, rr, cc, y)
-        hit = _DEV_CACHE[key]
-    return hit[1], hit[2], hit[3]
+        flt._dev = (rr, cc, y)
+    return flt._dev
 
 
 def train_filter_factored(

@@ -65,13 +65,7 @@ class TrainedFilter:
 
     @classmethod
     def load(cls, path: str) -> "TrainedFilter":
-        import os
-
-        # np.savez_compressed appends ".npz" when missing — mirror that on
-        # load so save(p) / load(p) round-trips for any p.
-        if not os.path.exists(path) and os.path.exists(path + ".npz"):
-            path = path + ".npz"
-        z = np.load(path)
+        z = np.load(_resolve_npz_path(path))
         return cls(
             eigvecs=jnp.asarray(z["eigvecs"]),
             eigvals=jnp.asarray(z["eigvals"]),
@@ -81,14 +75,20 @@ class TrainedFilter:
         )
 
 
+def _resolve_npz_path(path: str) -> str:
+    """np.savez_compressed appends ".npz" when missing — mirror that on
+    load so save(p) / load(p) round-trips for any p."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        return path + ".npz"
+    return path
+
+
 def load_filter(path: str):
     """Load a saved filter of either kind: TrainedFilter (.npz with
     eigvecs) or the V-free FactoredFilter (marked with factored=True)."""
-    import os
-
-    probe = path
-    if not os.path.exists(probe) and os.path.exists(probe + ".npz"):
-        probe = probe + ".npz"
+    probe = _resolve_npz_path(path)
     z = np.load(probe)
     if "factored" in z.files:
         from nle_tpu.models.factored import FactoredFilter
@@ -151,7 +151,14 @@ class NLEFilter:
             # V-free factored training (models/factored.py): the capacity
             # path — no (N, k) eigvec matrix is ever built.
             from nle_tpu.models.factored import train_filter_factored
+            from nle_tpu.utils.logging import logger
 
+            ignored = sorted(set(self._train_kwargs) - {"eps", "factored"})
+            if ignored:
+                logger.warning(
+                    "factored training ignores option(s): %s (the factored "
+                    "path is float32 Pallas-streaming only).",
+                    ", ".join(ignored))
             kw = {k: v for k, v in self._train_kwargs.items() if k == "eps"}
             self._packed_y_cache = None
             self._trained = train_filter_factored(
@@ -285,7 +292,7 @@ class NLEFilter:
                                 sigma_space)
         teig = shrink_eigenvalues(t.eigvals, shrink_factor)
         out = lab.copy()
-        out[..., 0] = np.asarray(L)
+        out[..., 0] = fetch(L)
         # Both chroma planes through one filter application
         # (src/filter.cpp:388-389), batched into a single dispatch.
         out[..., 1:] = self._apply_edit_u8(np.ascontiguousarray(lab[..., 1:]), teig)

@@ -42,6 +42,7 @@ from nle_tpu.config import default_eps
 from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
 from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.sampling import sample_grid
+from nle_tpu.utils.transfer import fetch
 
 
 @functools.lru_cache(maxsize=32)
@@ -472,7 +473,7 @@ def train_filter_sharded(
                 Vb = step2b(fa[idx], fb[idx], cphib, B, sw, pw)
             else:
                 Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
-        Vb_np = np.asarray(Vb[:, :nb, :])
+        Vb_np = fetch(Vb)[:, :nb, :]
         for j, i in enumerate(idx):
             V_out[i, grid.perm[p:], :] = Vb_np[j]
     return jnp.asarray(V_out), jnp.asarray(S_out)

@@ -71,7 +71,9 @@ def main():
         fS = transform_eigenvalues(S, jnp.asarray(w))
         y8 = jnp.asarray(
             np.clip(np.rint(chan), 0, 255).astype(np.uint8).reshape(-1))
-        out = np.asarray(apply_filter_u8(V.reshape(H * W, -1), fS, y8))
+        from nle_tpu.utils.transfer import fetch
+
+        out = fetch(apply_filter_u8(V.reshape(H * W, -1), fS, y8))
         t2 = time.time()
         return t1 - t0, t2 - t1, out
 
