@@ -336,6 +336,7 @@ def train_filter_sharded(
     eps: float | None = None,
     dtype=jnp.float32,
     streaming: bool = False,
+    factored: bool = False,
 ):
     """Train filters for a batch of channels (B, H, W) over the mesh.
 
@@ -348,7 +349,18 @@ def train_filter_sharded(
     recomputed every sweep): per-shard memory drops from O(nb_local * m) to
     O(nb_local), so capacity AND the VPU-bound sweep rate scale with the
     pixel-axis size — the multi-chip route past the single-chip ~50 MP.
+
+    factored=True (requires streaming=True) returns a list of V-FREE
+    FactoredFilters instead of (V, S): the (B, N, k) eigenvector build is
+    skipped entirely — the trainer already holds every piece a factored
+    filter needs (models/factored.py) — taking mesh capacity past the
+    stored-V ceiling. Apply with apply_filter_factored_sharded (or the
+    filters' own single-chip apply).
     """
+    if factored and not streaming:
+        raise ValueError(
+            "factored=True requires streaming=True (the dense path's "
+            "sharded factor is the scaled phi, not the c vector).")
     channels = np.asarray(channels)
     b, nrows, ncols = channels.shape
     grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
@@ -395,8 +407,15 @@ def train_filter_sharded(
             "Sharded batch: element with kept rank %d limits every "
             "element's eigenvector count to %d (requested %d).",
             int(ms.min()), k_out, n_eig_vectors)
-    V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
-    S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
+    if factored:
+        from nle_tpu.models.factored import FactoredFilter
+
+        filters: list = [None] * b
+        V_out = np.zeros((0,))    # unused in factored mode
+        S_out = np.zeros((0,))
+    else:
+        V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
+        S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
     from nle_tpu.ops.orthogonalize import host_chain64
 
@@ -444,6 +463,7 @@ def train_filter_sharded(
         cp64 = np.asarray(cp, np.float64)
         Sb64 = np.asarray(Sb, np.float64)
         grts = []
+        fact_pieces: dict = {}
         for j, i in enumerate(idx):
             m = int(ms[i])
             k = min(n_eig_vectors, m)
@@ -461,8 +481,29 @@ def train_filter_sharded(
             grt_pad[:m] = GrT[:, :k_out]
             grts.append(grt_pad)
             top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
+            if factored:
+                fact_pieces[j] = (top, (stage1[i][2] @ GrT).astype(np.float32),
+                                  Sq.astype(np.float32))
+                continue
             V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
             S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
+        if factored:
+            # cphib holds the sharded c vector; every other piece is on the
+            # host already — no (B, N, k) eigenvector build at all.
+            cbl_np = fetch(cphib)[:, :nb]
+            for j, i in enumerate(idx):
+                if filters[i] is not None:
+                    continue   # padded duplicate of the group's last element
+                v_head, W, Sq32 = fact_pieces[j]
+                c_full = np.concatenate(
+                    [cp64[j].astype(np.float32), cbl_np[j]])
+                filters[i] = FactoredFilter(
+                    y_train=flat[i], c=jnp.asarray(c_full),
+                    v_head=jnp.asarray(v_head, jnp.float32),
+                    w=jnp.asarray(W), eigvals=jnp.asarray(Sq32),
+                    nrows=nrows, ncols=ncols, hx=float(hx), hy=float(hy),
+                    perm=grid.perm)
+            continue
         with jax.default_matmul_precision("highest"):
             grt_dev = jnp.asarray(np.stack(grts), dtype)
             if streaming:
@@ -476,6 +517,8 @@ def train_filter_sharded(
         Vb_np = fetch(Vb)[:, :nb, :]
         for j, i in enumerate(idx):
             V_out[i, grid.perm[p:], :] = Vb_np[j]
+    if factored:
+        return filters
     return jnp.asarray(V_out), jnp.asarray(S_out)
 
 
@@ -489,3 +532,105 @@ def apply_filter_sharded(eigvecs, f_eigvals, channel, mesh: Mesh):
 
     out = _sharded_apply(mesh)(V, c, f_eigvals.astype(eigvecs.dtype))
     return out[:n].reshape(channel.shape)
+
+
+@functools.lru_cache(maxsize=32)
+def _factored_proj_step(mesh: Mesh, interpret: bool):
+    """proj_rest (k,) = sum over pixel shards of W^T (K_AB @ (c*y))_local."""
+    def body(fb_l, cy_l, fa, w, sw, pw):
+        if interpret:
+            ap = affinity_matmul_xla(fb_l, fa, cy_l[:, None], sw, pw)[:, 0]
+        else:
+            from nle_tpu.ops.pallas.streaming_kernel import (
+                pad_stream_operands,
+                streaming_ap_pallas,
+            )
+
+            fa_rows, fb_cols, _ = pad_stream_operands(fa, fb_l)
+            qpad = fb_cols.shape[1]
+            cy_row = jnp.pad(cy_l, (0, qpad - cy_l.shape[0]))[None, :]
+            ap = streaming_ap_pallas(fa_rows, fb_cols, cy_row, sw,
+                                     pw)[:fa.shape[0]]
+        return jax.lax.psum(w.T @ ap, "pixel")
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("pixel"), P("pixel"), P(), P(), P(), P()),
+        out_specs=P(),
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _factored_tail_step(mesh: Mesh, interpret: bool):
+    """out_local = c_local * (K_AB^T @ b)_local per pixel shard."""
+    def body(fb_l, c_l, fa, b, sw, pw):
+        if interpret:
+            tail = affinity_matmul_xla(fa, fb_l, b[:, None], sw, pw)[:, 0]
+        else:
+            from nle_tpu.ops.pallas.streaming_kernel import (
+                pad_stream_operands,
+                streaming_atb_pallas,
+            )
+
+            fa_rows, fb_cols, _ = pad_stream_operands(fa, fb_l)
+            ppad = fa_rows.shape[1]
+            b_pad = jnp.pad(b, (0, ppad - b.shape[0]))
+            tail = streaming_atb_pallas(fa_rows, fb_cols, b_pad, sw,
+                                        pw)[:fb_l.shape[0]]
+        return c_l * tail
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("pixel"), P("pixel"), P(), P(), P(), P()),
+        out_specs=P("pixel"),
+    ))
+
+
+def apply_filter_factored_sharded(flt, channel, transformed_eigvals,
+                                  mesh: Mesh):
+    """V-free factored filter application with the rest block sharded over
+    'pixel' (models/factored.py algebra; the multi-chip capacity route past
+    the stored-V ceiling). channel is a pixel-order (H, W) host array;
+    returns the filtered channel (host, pixel order).
+
+    Two shard_map rounds with one k-sized psum between them: the projection
+    proj = V_head^T y_head + sum_shards W^T (K_AB @ (c*y))_local, then the
+    sharded tail out_local = c_local * (K_AB^T @ (W (fS*proj)))_local."""
+    channel_np = np.asarray(channel)
+    if channel_np.size != flt.n_pixels:
+        raise ValueError(
+            "Number of values in channel must match that of training image.")
+    p = flt.v_head.shape[0]
+    n = flt.n_pixels
+    nb = n - p
+    n_pixel = mesh.shape["pixel"]
+    nb_pad = -(-max(nb, 1) // n_pixel) * n_pixel
+
+    y = channel_np.reshape(-1).astype(np.float32)[flt.perm]
+    rrcc = flt.perm
+    rr = jnp.asarray((rrcc // flt.ncols).astype(np.float32))
+    cc = jnp.asarray((rrcc % flt.ncols).astype(np.float32))
+    yt = jnp.asarray(np.asarray(flt.y_train, np.float32))
+    feats = features(rr, cc, yt)
+    fa = feats[:p]
+    fb = jnp.pad(feats[p:], ((0, nb_pad - nb), (0, 0)))
+    sw, pw = bandwidth_weights(flt.hx, flt.hy)
+    interpret = mesh.devices.flat[0].platform != "tpu"
+
+    c_rest = jnp.pad(flt.c[p:], (0, nb_pad - nb))
+    y_rest = jnp.pad(jnp.asarray(y[p:]), (0, nb_pad - nb))
+    cy = c_rest * y_rest
+    with jax.default_matmul_precision("highest"):
+        proj_rest = _factored_proj_step(mesh, interpret)(
+            fb, cy, fa, flt.w, sw, pw)
+        fS = jnp.asarray(transformed_eigvals, jnp.float32)
+        proj = flt.v_head.T @ jnp.asarray(y[:p]) + proj_rest
+        t = fS * proj
+        out_head = flt.v_head @ t
+        b_vec = flt.w @ t
+        out_rest = _factored_tail_step(mesh, interpret)(
+            fb, c_rest, fa, b_vec, sw, pw)
+    out = np.concatenate([fetch(out_head), fetch(out_rest)[:nb]])
+    unpacked = np.empty_like(out)
+    unpacked[flt.perm] = out
+    return unpacked.reshape(channel_np.shape)

@@ -112,3 +112,49 @@ def test_factored_cli_roundtrip(tmp_path, rng):
     from nle_tpu.utils.imageio import imread_bgr
 
     np.testing.assert_array_equal(imread_bgr(out2), imread_bgr(out1))
+
+
+def test_sharded_factored_matches_single_chip():
+    """train_filter_sharded(factored=True) on the 8-device CPU mesh returns
+    FactoredFilters matching the single-chip factored trainer; the
+    pixel-sharded apply matches the filters' own apply."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nle_tpu.parallel.sharded import (
+        apply_filter_factored_sharded,
+        make_mesh,
+        train_filter_sharded,
+    )
+
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, (2, 40, 52)).astype(np.float32)
+    args = (5, 5, 30.0, 10.0, 8, 4)
+    mesh = make_mesh(2, 4)
+    flts = train_filter_sharded(batch, *args, mesh, streaming=True,
+                                factored=True)
+    assert len(flts) == 2 and all(f is not None for f in flts)
+    w = jnp.asarray(W, jnp.float32)
+    for i in range(2):
+        ff_1 = train_filter_factored(batch[i], *args)
+        fS = transform_eigenvalues(ff_1.eigvals, w)
+        out_1 = ff_1.apply(batch[i], fS)
+        fS_s = transform_eigenvalues(flts[i].eigvals, w)
+        out_s = flts[i].apply(batch[i], fS_s)
+        assert np.abs(out_s - out_1).max() < 0.05
+        out_ms = apply_filter_factored_sharded(flts[i], batch[i], fS_s,
+                                               make_mesh(1, 8))
+        assert np.abs(out_ms - out_s).max() < 0.01
+
+
+def test_sharded_factored_requires_streaming():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nle_tpu.parallel.sharded import make_mesh, train_filter_sharded
+
+    with pytest.raises(ValueError, match="streaming"):
+        train_filter_sharded(np.zeros((1, 8, 8), np.float32), 2, 2, 10.0,
+                             10.0, 2, 2, make_mesh(1, 8), factored=True)
