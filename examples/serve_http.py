@@ -116,10 +116,16 @@ class _Service:
                 float(q["hy"][0]), int(q.get("iters", ["10"])[0]),
                 int(q.get("k", ["5"])[0]))
 
+    @staticmethod
+    def _factored(q) -> bool:
+        return q.get("factored", ["0"])[0].lower() in ("1", "true", "yes")
+
     def _make_filter(self, img, q, denoise: bool):
         from nle_tpu.models.filter import NLEFilter
 
-        f = NLEFilter()
+        # factored=1: V-free capacity mode — kept filters cost ~17 B/pixel
+        # instead of 4k B/pixel (models/factored.py).
+        f = NLEFilter(factored=True) if self._factored(q) else NLEFilter()
         args = (img,) + self._params(q)
         if denoise:
             f.train_for_denoise(
@@ -134,6 +140,12 @@ class _Service:
 
         img = _decode_bgr(body)
         w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        if self._factored(q):
+            # V-free capacity mode: trains through the streaming stage 2
+            # (no pipelined coalescing — it is the huge-image path).
+            with self.lock:
+                f = self._make_filter(img, q, denoise=False)
+                return _encode_png(f.enhance(img, w))
         # Coalescing path: blocks until the worker trained our filter —
         # concurrent same-shape/params requests share one pipelined batch.
         flt = self.trainer.train_enhancement(img, self._params(q))

@@ -113,3 +113,21 @@ def test_concurrent_enhance_coalesces(server, small_png):
         t.join()
     for got in results:
         assert got == want
+
+
+def test_factored_query_param(server, small_png):
+    """factored=1 trains a V-free filter; /train + /apply keep and reuse
+    it like any other."""
+    img, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4&factored=1"
+    with _post(f"{server}/train?name=vfree&{cfg}", png) as r:
+        meta = json.loads(r.read())
+    assert meta["k"] == 4
+    with _post(f"{server}/apply?name=vfree&w=1,2,2,1", png) as r:
+        out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                           cv2.IMREAD_COLOR)
+    assert out.shape == img.shape
+    with _post(f"{server}/enhance?{cfg}&w=1,2,2,1", png) as r:
+        out2 = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                            cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(out2, out)
