@@ -350,8 +350,9 @@ def train_filter_sharded(
     O(nb_local), so capacity AND the VPU-bound sweep rate scale with the
     pixel-axis size — the multi-chip route past the single-chip ~50 MP.
 
-    factored=True (requires streaming=True) returns a list of V-FREE
-    FactoredFilters instead of (V, S): the (B, N, k) eigenvector build is
+    factored=True (requires streaming=True, float32) returns a list of
+    V-FREE FactoredFilters instead of (V, S) — each keeps its OWN
+    k = min(n_eig_vectors, m_i) (no batch-wide k truncation): the (B, N, k) eigenvector build is
     skipped entirely — the trainer already holds every piece a factored
     filter needs (models/factored.py) — taking mesh capacity past the
     stored-V ceiling. Apply with apply_filter_factored_sharded (or the
@@ -361,6 +362,10 @@ def train_filter_sharded(
         raise ValueError(
             "factored=True requires streaming=True (the dense path's "
             "sharded factor is the scaled phi, not the c vector).")
+    if factored and jnp.dtype(dtype) != jnp.float32:
+        raise ValueError(
+            "factored=True is float32-only (models/factored.py); got "
+            f"dtype {jnp.dtype(dtype).name}.")
     channels = np.asarray(channels)
     b, nrows, ncols = channels.shape
     grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
@@ -402,7 +407,9 @@ def train_filter_sharded(
     mbs = np.array([bucket_m(int(m), p) for m in ms])
 
     k_out = min(n_eig_vectors, int(ms.min()))
-    if k_out < n_eig_vectors:
+    if k_out < n_eig_vectors and not factored:
+        # (factored filters each keep their own k = min(n_eig, m) — no
+        # batch-wide truncation happens there)
         logger.warning(
             "Sharded batch: element with kept rank %d limits every "
             "element's eigenvector count to %d (requested %d).",
@@ -477,14 +484,14 @@ def train_filter_sharded(
             Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], Ga, rt64,
                                        k, eps)
             Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
-            grt_pad = np.zeros((mb, k_out))
-            grt_pad[:m] = GrT[:, :k_out]
-            grts.append(grt_pad)
             top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
             if factored:
                 fact_pieces[j] = (top, (stage1[i][2] @ GrT).astype(np.float32),
                                   Sq.astype(np.float32))
                 continue
+            grt_pad = np.zeros((mb, k_out))
+            grt_pad[:m] = GrT[:, :k_out]
+            grts.append(grt_pad)
             V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
             S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
         if factored:
@@ -606,11 +613,10 @@ def apply_filter_factored_sharded(flt, channel, transformed_eigvals,
     n_pixel = mesh.shape["pixel"]
     nb_pad = -(-max(nb, 1) // n_pixel) * n_pixel
 
+    from nle_tpu.models.factored import _device_state
+
     y = channel_np.reshape(-1).astype(np.float32)[flt.perm]
-    rrcc = flt.perm
-    rr = jnp.asarray((rrcc // flt.ncols).astype(np.float32))
-    cc = jnp.asarray((rrcc % flt.ncols).astype(np.float32))
-    yt = jnp.asarray(np.asarray(flt.y_train, np.float32))
+    rr, cc, yt = _device_state(flt)   # cached per-filter device uploads
     feats = features(rr, cc, yt)
     fa = feats[:p]
     fb = jnp.pad(feats[p:], ((0, nb_pad - nb), (0, 0)))
