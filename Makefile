@@ -23,3 +23,12 @@ bench-capacity:
 
 bench-batch:
 	python tools/bench_batch.py
+
+bench-capacity-factored:
+	python tools/bench_capacity.py --factored --mp=64
+
+serve:
+	python examples/serve_http.py
+
+serve-selftest:
+	python examples/serve_http.py --selftest --platform=cpu
