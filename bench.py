@@ -75,7 +75,10 @@ def main():
 
         rng = np.random.default_rng(0)
         frames_bgr = []
-        for d in rng.integers(-4, 5, repeats):
+        # Distinct offsets (sampled without replacement) so no two frames
+        # are byte-identical — the no-cross-frame-caching premise.
+        span = np.arange(-2 * repeats, 2 * repeats + 1)
+        for d in rng.choice(span, size=repeats, replace=False):
             lab = bgr_to_lab_u8_np(img)
             lab[..., 0] = np.clip(lab[..., 0].astype(np.int32) + int(d),
                                   0, 255).astype(np.uint8)

@@ -23,7 +23,13 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     image = imread_bgr(image_path)
 
-    filter_path = os.path.join(out_dir, "filter.npz")
+    # Key the cached filter by the image content — a filter trained on a
+    # different image must not be silently applied (same-size images would
+    # produce garbage edits; different sizes a ValueError).
+    import hashlib
+
+    digest = hashlib.sha1(image.tobytes()).hexdigest()[:12]
+    filter_path = os.path.join(out_dir, f"filter-{digest}.npz")
     if os.path.exists(filter_path):
         flt = NLEFilter(trained=TrainedFilter.load(filter_path))
         print(f"loaded filter from {filter_path}")

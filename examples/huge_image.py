@@ -37,7 +37,9 @@ def main():
     from nle_tpu.models.filter import NLEFilter
 
     enable_persistent_cache()
-    img = cv2.imread(src)
+    from nle_tpu.utils.imageio import imread_bgr
+
+    img = imread_bgr(src)   # raises FileNotFoundError on a bad path
     h, w = img.shape[:2]
     scale = (target_mp * 1e6 / (h * w)) ** 0.5
     img = cv2.resize(img, (int(w * scale), int(h * scale)),
@@ -50,6 +52,11 @@ def main():
     t0 = time.time()
     f.train_for_enhancement(img, 24, 25, hx=5000, hy=30,
                             n_sinkhorn_iter=50, n_eigen_vectors=50)
+    # Force the async stage-2b eigvec build before stamping the split (a
+    # scalar fetch; plain block_until_ready can return early on axon).
+    import numpy as _np
+
+    _np.asarray(f.trained.eigvecs[:1, :1])
     t1 = time.time()
     out = f.enhance(img, [2, 3, 3, 1])
     t2 = time.time()

@@ -15,17 +15,24 @@ import numpy as np
 
 
 def main():
+    # Platform choice must happen BEFORE any backend initialization:
+    # jax.config.update("jax_platforms", ...) is a no-op once jax.devices()
+    # has run. Under the pinned single-chip axon platform, a CPU mesh needs
+    # the non-default cpu backend, reachable only by asking for it first.
     import jax
 
-    if len(jax.devices()) < 2:
+    if "--platform=cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    devices = jax.devices()
+    if len(devices) < 2:
         try:
-            cpu = jax.devices("cpu")
+            devices = jax.devices("cpu")
         except RuntimeError:
-            jax.config.update("jax_platforms", "cpu")
-            cpu = jax.devices("cpu")
-        devices = cpu
-    else:
-        devices = jax.devices()
+            print("fewer than 2 devices and no cpu backend reachable; "
+                  "re-run with --platform=cpu and "
+                  "XLA_FLAGS=--xla_force_host_platform_device_count=8",
+                  file=sys.stderr)
+            return
     import jax.numpy as jnp
 
     from nle_tpu.color.lab import bgr_to_lab_u8_np

@@ -55,10 +55,11 @@ class _CoalescingTrainer:
     1.64x on 1 MP streams). Mixed shapes/params fall back to per-request
     training within the same worker (device work stays serialized)."""
 
-    def __init__(self):
+    def __init__(self, device_lock: threading.Lock):
         self._cv = threading.Condition()
         self._queue: list = []   # (key, L, params, result_box)
         self._worker: threading.Thread | None = None
+        self._device_lock = device_lock
 
     def train_enhancement(self, img_bgr, params):
         """Blocking: returns a TrainedFilter for img's Lab L channel."""
@@ -69,7 +70,10 @@ class _CoalescingTrainer:
         box = {"event": threading.Event()}
         with self._cv:
             self._queue.append((key, L, params, box))
-            if self._worker is None or not self._worker.is_alive():
+            # The worker clears self._worker UNDER this lock before
+            # exiting, so checking it here cannot race with a worker that
+            # already decided to die (which would strand this request).
+            if self._worker is None:
                 self._worker = threading.Thread(target=self._drain,
                                                 daemon=True)
                 self._worker.start()
@@ -84,14 +88,19 @@ class _CoalescingTrainer:
         while True:
             with self._cv:
                 if not self._queue:
+                    self._worker = None
                     return
                 key = self._queue[0][0]
                 group = [r for r in self._queue if r[0] == key]
                 self._queue = [r for r in self._queue if r[0] != key]
             _, _, params, _ = group[0]
             try:
-                flts = train_filters_pipelined(
-                    [r[1] for r in group], *params)
+                # Hold the service's device lock while training: /train,
+                # /denoise and factored /enhance train under it, and two
+                # co-resident trainings can exceed HBM on multi-MP images.
+                with self._device_lock:
+                    flts = train_filters_pipelined(
+                        [r[1] for r in group], *params)
                 for (_, _, _, box), flt in zip(group, flts):
                     box["filter"] = flt
             except Exception as e:
@@ -108,7 +117,7 @@ class _Service:
     def __init__(self):
         self.lock = threading.Lock()
         self.filters: dict[str, object] = {}
-        self.trainer = _CoalescingTrainer()
+        self.trainer = _CoalescingTrainer(self.lock)
 
     @staticmethod
     def _params(q):

@@ -56,6 +56,7 @@ def main():
                                        n_eig_vectors=50)
             S = ff.eigvals
             k = int(np.asarray(S).size)
+            np.asarray(ff.v_head[:1, :1])   # force async dispatches
             t1 = time.time()
             w = np.linspace(1.0, 1.5, k + 1).astype(np.float32)
             fS = transform_eigenvalues(S, jnp.asarray(w))
@@ -66,6 +67,9 @@ def main():
         V, S = train_filter(chan, 24, 25, hx=5000.0, hy=30.0,
                             n_sinkhorn_iter=args.iters, n_eig_vectors=50)
         k = int(np.asarray(S).size)
+        # Force the async stage-2b build before the train/apply split (a
+        # scalar fetch; block_until_ready can return early on axon).
+        np.asarray(V[:1, :1])
         t1 = time.time()
         w = np.linspace(1.0, 1.5, k + 1).astype(np.float32)
         fS = transform_eigenvalues(S, jnp.asarray(w))

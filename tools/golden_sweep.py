@@ -2,7 +2,6 @@
 reference's shipped outputs (BASELINE.md table). Usage:
 
     python tools/golden_sweep.py [--platform=cpu|axon] [--precision=float64]
-        [--configs=flower,bird,...] [--repeat-timing]
 """
 
 import json
