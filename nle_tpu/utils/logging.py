@@ -26,8 +26,15 @@ def stage(name: str):
     logger.debug("%s took %.1f ms", name, (time.perf_counter() - t0) * 1e3)
 
 
+# Truncation geometry is a property of the (grid, image) pair, not of the
+# individual train call: the pipelined/serving paths retrain per frame and
+# would otherwise repeat the identical line dozens of times per run.
+_seen_truncations: set = set()
+
+
 def warn_truncation(p: int, m: int, eps: float) -> None:
-    if m < p:
+    if m < p and (p, m, eps) not in _seen_truncations:
+        _seen_truncations.add((p, m, eps))
         logger.warning(
             "Nystrom spectrum truncated: kept %d of %d eigenvalues above "
             "eps=%g; the balanced block boundary moves to m=%d "

@@ -13,6 +13,7 @@ Small arrays go through plain np.asarray — they are dominated by the
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -21,6 +22,21 @@ import numpy as np
 _SMALL_BYTES = 4 << 20
 _CHUNK_BYTES = 2 << 20
 _WORKERS = 8
+
+_executor: ThreadPoolExecutor | None = None
+_executor_lock = threading.Lock()
+
+
+def _pool() -> ThreadPoolExecutor:
+    # One long-lived pool: fetch() runs on every device->host transfer and
+    # per-call pool construction/teardown costs ~ms against ~50 ms fetches.
+    global _executor
+    if _executor is None:
+        with _executor_lock:
+            if _executor is None:
+                _executor = ThreadPoolExecutor(
+                    _WORKERS, thread_name_prefix="nle-fetch")
+    return _executor
 
 
 def fetch(arr) -> np.ndarray:
@@ -34,7 +50,15 @@ def fetch(arr) -> np.ndarray:
     row_bytes = max(1, nbytes // n)
     rows_per_chunk = max(1, _CHUNK_BYTES // row_bytes)
     bounds = list(range(0, n, rows_per_chunk)) + [n]
-    chunks = [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
-    with ThreadPoolExecutor(_WORKERS) as ex:
-        parts = list(ex.map(np.asarray, chunks))
-    return np.concatenate(parts, axis=0)
+    out = np.empty(arr.shape, dtype=arr.dtype)
+
+    def _copy(a: int, b: int) -> None:
+        # Write straight into the destination slab: avoids holding every
+        # chunk copy alive for a final concatenate (2x peak host memory).
+        out[a:b] = np.asarray(arr[a:b])
+
+    futures = [_pool().submit(_copy, a, b)
+               for a, b in zip(bounds[:-1], bounds[1:])]
+    for f in futures:
+        f.result()
+    return out
