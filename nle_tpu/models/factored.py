@@ -96,16 +96,14 @@ class FactoredFilter:
 
     def apply_u8(self, channels_u8: np.ndarray, scale_vals) -> np.ndarray:
         """Filter + clamp 8-bit channel(s), pixel order in/out. (H, W) or
-        (H, W, C); each channel is one pair of streaming passes."""
+        (H, W, C); all C channels ride ONE pair of streaming passes (extra
+        kernel rows — the denoise chroma pair costs 2 pass-pairs total,
+        not 4)."""
         shape = channels_u8.shape
         flat = channels_u8.reshape(self.n_pixels, -1)[self.perm]
-        outs = []
-        for j in range(flat.shape[1]):
-            y = _cast_channel(jnp.asarray(flat[:, j]), jnp.float32)
-            filt = self._apply_packed(y, scale_vals)
-            outs.append(fetch(
-                jnp.clip(jnp.rint(filt), 0, 255).astype(jnp.uint8)))
-        out = np.stack(outs, axis=-1)
+        y = _cast_channel(jnp.asarray(flat), jnp.float32)
+        filt = self._apply_packed(y, scale_vals)
+        out = fetch(jnp.clip(jnp.rint(filt), 0, 255).astype(jnp.uint8))
         unpacked = np.empty_like(out)
         unpacked[self.perm] = out
         return unpacked.reshape(shape)

@@ -297,11 +297,13 @@ def streaming_halfstep_ptiled_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
     return x[0], jnp.sum(ap8, axis=0)
 
 
-def _ap_kernel(sw_ref, pw_ref, fb_ref, x_ref, fa_ref, ap_ref, *, pt: int):
+def _ap_kernel(sw_ref, pw_ref, fb_ref, x_ref, fa_ref, ap_ref, *, pt: int,
+               nrows: int):
     """ap = K_AB @ x over (q_tiles, p_tiles): one accumulation pass with no
     operand wider than the feature tiles (O(N) memory). Used for the s0 =
     phi^T @ ones pass (x = validity mask) and for the V-free factored
-    apply's projection (x = c * y)."""
+    apply's projection (x = c * y, one row per channel — the denoise path
+    ships both chroma planes through a single sweep)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -314,33 +316,35 @@ def _ap_kernel(sw_ref, pw_ref, fb_ref, x_ref, fa_ref, ap_ref, *, pt: int):
         x_ref[:], A,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                       # (1, pt)
-    row = i % 8
+    )                                                       # (R, pt)
+    row = (i % 8) * nrows
     col = j * pt
-    ap_ref[pl.ds(row, 1), pl.ds(col, pt)] = (
-        ap_ref[pl.ds(row, 1), pl.ds(col, pt)] + part)
+    ap_ref[pl.ds(row, nrows), pl.ds(col, pt)] = (
+        ap_ref[pl.ds(row, nrows), pl.ds(col, pt)] + part)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def streaming_ap_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
                         x_row: jax.Array, sw, pw,
                         interpret: bool = False):
-    """ap (Ppad,) = K_AB @ x for x (1, Qpad), zero on pad columns. Works
-    for any sampling-grid density (the sample dimension is tiled)."""
+    """ap (R, Ppad) = K_AB @ x for x (R, Qpad), zero on pad columns. Works
+    for any sampling-grid density (the sample dimension is tiled); R is
+    the channel count (1 for the Sinkhorn s0 pass)."""
     qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
+    nrows = x_row.shape[0]
     pt = _ptile(ppad)
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
     cost = pl.CostEstimate(
-        flops=2 * qpad * ppad * 6,
-        bytes_accessed=4 * (qpad * 4 + 3 * ppad + 2 * ppad),
+        flops=2 * qpad * ppad * (5 + nrows),
+        bytes_accessed=4 * (qpad * (3 + nrows) + 3 * ppad + 2 * nrows * ppad),
         transcendentals=qpad * ppad,
     )
     sw2, pw2, fa_rows, fb_cols, x_row = _unify_vma(
         sw2, pw2, fa_rows, fb_cols, x_row)
     ap8 = pl.pallas_call(
-        functools.partial(_ap_kernel, pt=pt),
+        functools.partial(_ap_kernel, pt=pt, nrows=nrows),
         grid=(qpad // TILE_Q, ppad // pt),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -349,25 +353,26 @@ def streaming_ap_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_Q), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Q), lambda i, j: (0, i),
+            pl.BlockSpec((nrows, TILE_Q), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, ppad), lambda i, j: (0, 0),
+        out_specs=pl.BlockSpec((8 * nrows, ppad), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((8, ppad), fb_cols, x_row, fa_rows),
+        out_shape=_out_struct((8 * nrows, ppad), fb_cols, x_row, fa_rows),
         cost_estimate=cost,
         interpret=interpret,
     )(sw2, pw2, fb_cols, x_row, fa_rows)
-    return jnp.sum(ap8, axis=0)
+    return jnp.sum(ap8.reshape(8, nrows, ppad), axis=0)
 
 
 def _atb_kernel(sw_ref, pw_ref, fb_ref, b_ref, fa_ref, out_ref, *, pt: int):
-    """out = K_AB^T @ b for a single b row (the factored apply's tail):
-    per q-tile accumulate over the p tiles. The output is a (1, Qpad) row —
-    a column output would be relayout-copied to 128 padded lanes
-    (512 B/pixel) at exactly the capacity sizes this path exists for."""
+    """out = K_AB^T @ b for R b rows (one per channel in the factored
+    apply's tail): per q-tile accumulate over the p tiles. The output is an
+    (R, Qpad) row block — a column output would be relayout-copied to 128
+    padded lanes (512 B/pixel) at exactly the capacity sizes this path
+    exists for."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -379,27 +384,31 @@ def _atb_kernel(sw_ref, pw_ref, fb_ref, b_ref, fa_ref, out_ref, *, pt: int):
         b_ref[:], A,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                       # (1, T)
+    )                                                       # (R, T)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def streaming_atb_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
-                         b_pad: jax.Array, sw, pw,
+                         b_rows: jax.Array, sw, pw,
                          interpret: bool = False):
-    """out (Qpad,) = K_AB^T @ b for b (Ppad,) (zero beyond the true p).
-    Works for any sampling-grid density; every buffer is O(N) or O(p)."""
+    """out (R, Qpad) = K_AB^T @ b for b (R, Ppad) (zero beyond the true p;
+    also accepts a bare (Ppad,) vector, returning (1, Qpad)). Works for any
+    sampling-grid density; every buffer is O(N) or O(p)."""
+    if b_rows.ndim == 1:
+        b_rows = b_rows[None, :]
     qpad = fb_cols.shape[1]
     ppad = fa_rows.shape[1]
+    nrows = b_rows.shape[0]
     pt = _ptile(ppad)
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
     cost = pl.CostEstimate(
-        flops=2 * qpad * ppad * 6,
-        bytes_accessed=4 * (qpad * 4 + 3 * ppad + ppad),
+        flops=2 * qpad * ppad * (5 + nrows),
+        bytes_accessed=4 * (qpad * (3 + nrows) + 3 * ppad + nrows * ppad),
         transcendentals=qpad * ppad,
     )
-    sw2, pw2, fa_rows, fb_cols, b_row = _unify_vma(
-        sw2, pw2, fa_rows, fb_cols, b_pad[None, :])
+    sw2, pw2, fa_rows, fb_cols, b_rows = _unify_vma(
+        sw2, pw2, fa_rows, fb_cols, b_rows)
     out = pl.pallas_call(
         functools.partial(_atb_kernel, pt=pt),
         grid=(qpad // TILE_Q, ppad // pt),
@@ -410,18 +419,18 @@ def streaming_atb_pallas(fa_rows: jax.Array, fb_cols: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_Q), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pt), lambda i, j: (0, j),
+            pl.BlockSpec((nrows, pt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, pt), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_Q), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((nrows, TILE_Q), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=_out_struct((1, qpad), fb_cols, b_row, fa_rows),
+        out_shape=_out_struct((nrows, qpad), fb_cols, b_rows, fa_rows),
         cost_estimate=cost,
         interpret=interpret,
-    )(sw2, pw2, fb_cols, b_row, fa_rows)
-    return out[0]
+    )(sw2, pw2, fb_cols, b_rows, fa_rows)
+    return out
 
 
 def streaming_halfstep(fa_rows, fb_cols, mask, u_pad, sw, pw, eps,
@@ -436,7 +445,7 @@ def streaming_halfstep(fa_rows, fb_cols, mask, u_pad, sw, pw, eps,
             interpret=interpret)
     if unit_x:
         ap = streaming_ap_pallas(fa_rows, fb_cols, mask, sw, pw,
-                                 interpret=interpret)
+                                 interpret=interpret)[0]
         return mask[0], ap
     return streaming_halfstep_ptiled_pallas(
         fa_rows, fb_cols, mask, u_pad, sw, pw, eps, interpret=interpret)

@@ -571,10 +571,16 @@ def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
     are regenerated from the training features per application. Two
     streaming affinity passes (K_AB @ x for the projection, K_AB^T @ small
     for the output) + O(k) matmuls; per-pixel state is features + c — the
-    capacity path past the (N, k) V. y, y_train (N,) packed; returns (N,)."""
+    capacity path past the (N, k) V.
+
+    y is (N,) or (N, C) packed — multiple channels (the denoise path
+    filters both chroma planes with one filter, reference
+    src/filter.cpp:388-389) ride the SAME two streaming passes as extra
+    kernel rows, not extra pass-pairs. y_train (N,); returns y's shape."""
     from nle_tpu.ops.pallas.streaming_kernel import (
         pad_stream_operands,
         streaming_ap_pallas,
+        streaming_atb_pallas,
     )
 
     with jax.default_matmul_precision("highest"):
@@ -582,36 +588,37 @@ def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
         fa, fb = ft[:p], ft[p:]
         q = fb.shape[0]
         y = y.astype(jnp.float32)
+        one_d = y.ndim == 1
+        if one_d:
+            y = y[:, None]
         if interpret:
             from nle_tpu.ops.affinity import affinity_matmul_xla
 
-            cy = (c[p:] * y[p:])[:, None]
-            ap = affinity_matmul_xla(fb, fa, cy, sw, pw)[:, 0]
+            cy = c[p:, None] * y[p:]                         # (q, C)
+            ap = affinity_matmul_xla(fb, fa, cy, sw, pw)     # (p, C)
         else:
             fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
             qpad = fb_cols.shape[1]
-            cy = jnp.pad(c[p:] * y[p:], (0, qpad - q))[None, :]
-            ap = streaming_ap_pallas(fa_rows, fb_cols, cy, sw, pw)[:p]
-        proj = v_head.T @ y[:p] + w.T @ ap
-        t = f_eigvals * proj
-        out_head = v_head @ t
-        b = w @ t                                          # (p,)
+            cy = jnp.pad((c[p:, None] * y[p:]).T, ((0, 0), (0, qpad - q)))
+            ap = streaming_ap_pallas(fa_rows, fb_cols, cy, sw, pw)[:, :p].T
+        proj = v_head.T @ y[:p] + w.T @ ap                   # (k, C)
+        t = f_eigvals[:, None] * proj
+        out_head = v_head @ t                                # (p, C)
+        b = w @ t                                            # (p, C)
         if interpret:
             from nle_tpu.ops.affinity import affinity_matmul_xla
 
-            tail = affinity_matmul_xla(fa, fb, b[:, None], sw, pw)[:, 0]
+            tail = affinity_matmul_xla(fa, fb, b, sw, pw)    # (q, C)
         else:
-            from nle_tpu.ops.pallas.streaming_kernel import (
-                streaming_atb_pallas,
-            )
-
             # Dedicated row-output kernel: the general affinity matmul
             # pads its output to 128 lanes (512 B/px — a no-go at the
             # capacity sizes the factored path exists for).
             ppad = fa_rows.shape[1]
             tail = streaming_atb_pallas(
-                fa_rows, fb_cols, jnp.pad(b, (0, ppad - p)), sw, pw)[:q]
-        return jnp.concatenate([out_head, c[p:] * tail])
+                fa_rows, fb_cols, jnp.pad(b.T, ((0, 0), (0, ppad - p))),
+                sw, pw)[:, :q].T
+        out = jnp.concatenate([out_head, c[p:, None] * tail])
+        return out[:, 0] if one_d else out
 
 
 @jax.jit

@@ -557,7 +557,7 @@ def _factored_proj_step(mesh: Mesh, interpret: bool):
             qpad = fb_cols.shape[1]
             cy_row = jnp.pad(cy_l, (0, qpad - cy_l.shape[0]))[None, :]
             ap = streaming_ap_pallas(fa_rows, fb_cols, cy_row, sw,
-                                     pw)[:fa.shape[0]]
+                                     pw)[0, :fa.shape[0]]
         return jax.lax.psum(w.T @ ap, "pixel")
 
     return jax.jit(jax.shard_map(
@@ -583,7 +583,7 @@ def _factored_tail_step(mesh: Mesh, interpret: bool):
             ppad = fa_rows.shape[1]
             b_pad = jnp.pad(b, (0, ppad - b.shape[0]))
             tail = streaming_atb_pallas(fa_rows, fb_cols, b_pad, sw,
-                                        pw)[:fb_l.shape[0]]
+                                        pw)[0, :fb_l.shape[0]]
         return c_l * tail
 
     return jax.jit(jax.shard_map(

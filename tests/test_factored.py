@@ -37,8 +37,8 @@ def test_factored_apply_matches_dense(image):
 
 
 def test_factored_apply_u8_multichannel(image, rng):
-    """(H, W, C) channels (the denoise chroma pair) go through per-channel
-    streaming passes and match the float path after clamp."""
+    """(H, W, C) channels (the denoise chroma pair) ride ONE batched pair
+    of streaming passes and match the per-channel float path after clamp."""
     ff = train_filter_factored(image, *ARGS)
     fS = transform_eigenvalues(ff.eigvals, jnp.asarray(W, jnp.float32))
     chans = rng.integers(0, 256, (60, 70, 2)).astype(np.uint8)

@@ -270,7 +270,7 @@ def test_streaming_atb_matches_dense(rng):
         ppad = fa_rows.shape[1]
         b = jnp.pad(jnp.asarray(rng.random(p), jnp.float32), (0, ppad - p))
         got = np.asarray(streaming_atb_pallas(fa_rows, fb_pad, b, 1e-4,
-                                              1e-3, interpret=True))[:q]
+                                              1e-3, interpret=True))[0, :q]
         fa64, fb64 = np.asarray(fa, np.float64), np.asarray(fb, np.float64)
         A = np.exp(-(1e-4 * ((fb64[:, None, 0] - fa64[None, :, 0]) ** 2
                              + (fb64[:, None, 1] - fa64[None, :, 1]) ** 2)
