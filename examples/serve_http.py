@@ -10,6 +10,7 @@ support, exposed as a service.
 Endpoints (image bytes in the request body, PNG bytes or JSON back):
 
     GET  /healthz                           liveness + device platform
+    GET  /metrics                           request/latency/filter counters
     POST /enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1
                                             one-shot train + enhance
     POST /denoise?...&shrink=2&sigma_color=10&sigma_space=10
@@ -18,10 +19,21 @@ Endpoints (image bytes in the request body, PNG bytes or JSON back):
     POST /apply?name=scene1&w=2,3,4,1       edit with a kept filter
                                             (train once, edit many)
 
-Device work is serialized with a lock (one chip); decoding/encoding and the
-HTTP plumbing run on the request threads. Run:
+Hardening:
+  - request bodies above --max-bytes (default 64 MiB) are rejected with 413
+    before any decode work;
+  - --token=SECRET (or NLE_SERVE_TOKEN) requires `Authorization: Bearer
+    SECRET` on every POST (GET /healthz & /metrics stay open — probes);
+  - named filters live in a bounded LRU (--max-filters, default 8); evicted
+    filters SPILL to disk (TrainedFilter/FactoredFilter.save) and reload
+    transparently on the next /apply — eviction degrades to a cold load,
+    never to a 404.
 
-    python examples/serve_http.py [--port=8807]
+Device work is serialized with a lock (one chip); decoding/encoding and the
+HTTP plumbing run on the request threads (PNG encode happens OUTSIDE the
+device lock). Run:
+
+    python examples/serve_http.py [--port=8807] [--token=SECRET]
     curl -s --data-binary @/root/reference/data/flower-50.bmp \
         'localhost:8807/enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1' \
         -o /tmp/flower_enhanced.png
@@ -33,7 +45,10 @@ real socket, checks the PSNR gate, and exits (used by the tests).
 import json
 import os
 import sys
+import tempfile
 import threading
+import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -43,6 +58,9 @@ import numpy as np
 
 from nle_tpu.utils.imageio import imdecode_bgr as _decode_bgr
 from nle_tpu.utils.imageio import imencode_png as _encode_png
+
+DEFAULT_MAX_BYTES = 64 << 20
+DEFAULT_MAX_FILTERS = 8
 
 
 class _CoalescingTrainer:
@@ -110,14 +128,137 @@ class _CoalescingTrainer:
                 box["event"].set()
 
 
+class _FilterStore:
+    """Bounded LRU of named NLEFilters with disk spill.
+
+    /train inserts; /apply looks up (touching recency). When the resident
+    count exceeds `max_filters` the least-recently-used filter's state is
+    saved to `spill_dir` (TrainedFilter/FactoredFilter.save — the same
+    checkpoint format nle-apply consumes) and dropped from memory — its
+    device buffers free with it. A later /apply for a spilled name reloads
+    it (possibly evicting another), so capacity bounds memory, not the
+    namespace."""
+
+    def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
+                 spill_dir: str | None = None):
+        self.max_filters = max(1, int(max_filters))
+        self._spill_dir = spill_dir
+        self._lock = threading.Lock()
+        self._resident: OrderedDict[str, object] = OrderedDict()
+        self._spilled: set[str] = set()
+
+    def _dir(self) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="nle-filters-")
+        else:
+            os.makedirs(self._spill_dir, exist_ok=True)
+        return self._spill_dir
+
+    def _path(self, name: str) -> str:
+        # Names come from URLs; keep the file name safe.
+        import hashlib
+
+        return os.path.join(
+            self._dir(), hashlib.sha1(name.encode()).hexdigest() + ".npz")
+
+    def _evict_locked(self):
+        while len(self._resident) > self.max_filters:
+            name, f = self._resident.popitem(last=False)
+            f.trained.save(self._path(name))
+            self._spilled.add(name)
+
+    def put(self, name: str, f) -> None:
+        with self._lock:
+            self._resident[name] = f
+            self._resident.move_to_end(name)
+            self._spilled.discard(name)
+            self._evict_locked()
+
+    def get(self, name: str):
+        """Resident hit, spilled reload, or KeyError."""
+        from nle_tpu.models.filter import NLEFilter, load_filter
+
+        with self._lock:
+            f = self._resident.get(name)
+            if f is not None:
+                self._resident.move_to_end(name)
+                return f
+            if name not in self._spilled:
+                raise KeyError(
+                    f"no trained filter named {name!r} "
+                    f"(have: {sorted(self.names())})")
+            f = NLEFilter(trained=load_filter(self._path(name)))
+            self._spilled.discard(name)
+            self._resident[name] = f
+            self._evict_locked()
+            return f
+
+    def names(self) -> list:
+        # Callers may already hold self._lock (get's error path) — plain
+        # reads of the two containers are atomic enough for a name listing.
+        return sorted(set(self._resident) | self._spilled)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"resident": len(self._resident),
+                    "spilled": len(self._spilled)}
+
+
+class _Metrics:
+    """Per-endpoint request counters and wall-clock, plus train/edit
+    totals (the observability VERDICT of a serving subsystem: how many
+    filters were built, how many edits served, how slow)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.endpoints: dict[str, dict] = {}
+        self.trains = 0
+        self.edits = 0
+        self.errors = 0
+        self.rejected = 0       # auth / size-limit refusals
+
+    def record(self, endpoint: str, seconds: float, ok: bool,
+               trains: int = 0, edits: int = 0):
+        with self._lock:
+            e = self.endpoints.setdefault(
+                endpoint, {"count": 0, "errors": 0, "total_sec": 0.0,
+                           "last_sec": 0.0})
+            e["count"] += 1
+            e["total_sec"] += seconds
+            e["last_sec"] = seconds
+            if not ok:
+                e["errors"] += 1
+                self.errors += 1
+            self.trains += trains
+            self.edits += edits
+
+    def reject(self):
+        with self._lock:
+            self.rejected += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            eps = {
+                k: {**v, "total_sec": round(v["total_sec"], 3),
+                    "last_sec": round(v["last_sec"], 3),
+                    "mean_sec": round(v["total_sec"] / max(1, v["count"]), 3)}
+                for k, v in self.endpoints.items()
+            }
+            return {"trains": self.trains, "edits": self.edits,
+                    "errors": self.errors, "rejected": self.rejected,
+                    "endpoints": eps}
+
+
 class _Service:
     """One device, many requests: filters by name + a device lock; one-shot
     enhance trainings coalesce into pipelined batches."""
 
-    def __init__(self):
+    def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
+                 spill_dir: str | None = None):
         self.lock = threading.Lock()
-        self.filters: dict[str, object] = {}
+        self.store = _FilterStore(max_filters, spill_dir)
         self.trainer = _CoalescingTrainer(self.lock)
+        self.metrics = _Metrics()
 
     @staticmethod
     def _params(q):
@@ -154,48 +295,60 @@ class _Service:
             # (no pipelined coalescing — it is the huge-image path).
             with self.lock:
                 f = self._make_filter(img, q, denoise=False)
-                return _encode_png(f.enhance(img, w))
-        # Coalescing path: blocks until the worker trained our filter —
-        # concurrent same-shape/params requests share one pipelined batch.
-        flt = self.trainer.train_enhancement(img, self._params(q))
-        with self.lock:
-            return _encode_png(NLEFilter(trained=flt).enhance(img, w))
+                out = f.enhance(img, w)
+        else:
+            # Coalescing path: blocks until the worker trained our filter —
+            # concurrent same-shape/params requests share one pipelined
+            # batch.
+            flt = self.trainer.train_enhancement(img, self._params(q))
+            with self.lock:
+                out = NLEFilter(trained=flt).enhance(img, w)
+        # PNG encode is pure host CPU — never under the device lock.
+        return _encode_png(out)
 
     def denoise(self, body, q):
         img = _decode_bgr(body)
         with self.lock:
             f = self._make_filter(img, q, denoise=True)
-            return _encode_png(f.denoise(
+            out = f.denoise(
                 img, float(q.get("shrink", ["2"])[0]),
                 sigma_color=float(q.get("sigma_color", ["10"])[0]),
-                sigma_space=float(q.get("sigma_space", ["10"])[0])))
+                sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        return _encode_png(out)
 
     def train(self, body, q):
         img = _decode_bgr(body)
         name = q.get("name", ["default"])[0]
         with self.lock:
             f = self._make_filter(img, q, denoise=False)
-            self.filters[name] = f
-            t = f.trained
-            return json.dumps({
-                "name": name, "k": int(t.eigvals.shape[0]),
-                "shape": [int(t.nrows), int(t.ncols)],
-            }).encode()
+        self.store.put(name, f)
+        t = f.trained
+        k = int(t.eigvals.shape[0])
+        return json.dumps({
+            "name": name, "k": k,
+            "shape": [int(t.nrows), int(t.ncols)],
+        }).encode()
 
     def apply(self, body, q):
         img = _decode_bgr(body)
         name = q.get("name", ["default"])[0]
-        f = self.filters.get(name)
-        if f is None:
-            raise KeyError(f"no trained filter named {name!r} "
-                           f"(have: {sorted(self.filters)})")
+        f = self.store.get(name)
         w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
         with self.lock:
-            return _encode_png(f.enhance(img, w))
+            out = f.enhance(img, w)
+        return _encode_png(out)
 
 
-def make_server(port: int = 0) -> ThreadingHTTPServer:
-    svc = _Service()
+def make_server(port: int = 0, token: str | None = None,
+                max_bytes: int = DEFAULT_MAX_BYTES,
+                max_filters: int = DEFAULT_MAX_FILTERS,
+                spill_dir: str | None = None) -> ThreadingHTTPServer:
+    svc = _Service(max_filters=max_filters, spill_dir=spill_dir)
+    token = token if token is not None else os.environ.get("NLE_SERVE_TOKEN")
+
+    # Which endpoints count as train vs edit in /metrics.
+    TRAINS = {"/enhance": 1, "/denoise": 1, "/train": 1, "/apply": 0}
+    EDITS = {"/enhance": 1, "/denoise": 1, "/train": 0, "/apply": 1}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -208,38 +361,59 @@ def make_server(port: int = 0) -> ThreadingHTTPServer:
             self.end_headers()
             self.wfile.write(body)
 
+        def _json_err(self, code, msg):
+            return self._reply(code, json.dumps({"error": msg}).encode(),
+                               "application/json")
+
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 import jax
 
                 body = json.dumps({
                     "ok": True, "platform": jax.default_backend(),
-                    "filters": sorted(svc.filters),
+                    "filters": svc.store.names(),
                 }).encode()
                 return self._reply(200, body, "application/json")
-            return self._reply(404, b'{"error": "not found"}',
-                               "application/json")
+            if path == "/metrics":
+                body = json.dumps({**svc.metrics.snapshot(),
+                                   "filters": svc.store.stats()}).encode()
+                return self._reply(200, body, "application/json")
+            return self._json_err(404, "not found")
 
         def do_POST(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            if token:
+                auth = self.headers.get("Authorization", "")
+                if auth != f"Bearer {token}":
+                    svc.metrics.reject()
+                    return self._json_err(401, "missing or bad bearer token")
             n = int(self.headers.get("Content-Length", "0"))
+            if n > max_bytes:
+                svc.metrics.reject()
+                # Drain nothing: close without reading the oversized body.
+                self.close_connection = True
+                return self._json_err(
+                    413, f"request body {n} bytes exceeds limit {max_bytes}")
             body = self.rfile.read(n)
             route = {"/enhance": svc.enhance, "/denoise": svc.denoise,
                      "/train": svc.train, "/apply": svc.apply}.get(u.path)
             if route is None:
-                return self._reply(404, b'{"error": "not found"}',
-                                   "application/json")
+                return self._json_err(404, "not found")
+            t0 = time.perf_counter()
             try:
                 out = route(body, q)
             except (ValueError, KeyError, IndexError) as e:
                 # input-validation class: bad image bytes, bad params,
                 # unknown filter name
-                msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
-                return self._reply(400, msg.encode(), "application/json")
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
+                return self._json_err(400, f"{type(e).__name__}: {e}")
             except Exception as e:  # server-side fault (device, compile...)
-                msg = json.dumps({"error": f"{type(e).__name__}: {e}"})
-                return self._reply(500, msg.encode(), "application/json")
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
+                return self._json_err(500, f"{type(e).__name__}: {e}")
+            svc.metrics.record(u.path, time.perf_counter() - t0, True,
+                               trains=TRAINS[u.path], edits=EDITS[u.path])
             ctype = ("application/json" if out[:1] == b"{" else "image/png")
             return self._reply(200, out, ctype)
 
@@ -283,6 +457,9 @@ def selftest(platform: str | None = None) -> float:
         with urllib.request.urlopen(req, timeout=600) as r:
             out2 = _decode_bgr(r.read())
         assert np.array_equal(out, out2), "apply != one-shot enhance"
+        with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["trains"] >= 2 and m["edits"] >= 2, m
         golden = _decode_bgr(
             open("/root/reference/data/flower-filtered.png", "rb").read())
         mse = np.mean((out.astype(np.float64) - golden.astype(np.float64)) ** 2)
@@ -296,6 +473,11 @@ def main():
     port = 8807
     run_selftest = False
     platform = None
+    token = None
+    max_bytes = int(os.environ.get("NLE_SERVE_MAX_BYTES", DEFAULT_MAX_BYTES))
+    max_filters = int(os.environ.get("NLE_SERVE_MAX_FILTERS",
+                                     DEFAULT_MAX_FILTERS))
+    spill_dir = None
     for a in sys.argv[1:]:
         if a.startswith("--port="):
             port = int(a.split("=", 1)[1])
@@ -303,6 +485,14 @@ def main():
             run_selftest = True
         elif a.startswith("--platform="):
             platform = a.split("=", 1)[1]
+        elif a.startswith("--token="):
+            token = a.split("=", 1)[1]
+        elif a.startswith("--max-bytes="):
+            max_bytes = int(a.split("=", 1)[1])
+        elif a.startswith("--max-filters="):
+            max_filters = int(a.split("=", 1)[1])
+        elif a.startswith("--spill-dir="):
+            spill_dir = a.split("=", 1)[1]
     if run_selftest:
         psnr = selftest(platform)
         print(f"selftest PSNR: {psnr:.2f} dB")
@@ -314,9 +504,11 @@ def main():
     from nle_tpu.config import enable_persistent_cache
 
     enable_persistent_cache()
-    srv = make_server(port)
+    srv = make_server(port, token=token, max_bytes=max_bytes,
+                      max_filters=max_filters, spill_dir=spill_dir)
     print(f"nle-tpu edit service on http://127.0.0.1:{port} "
-          "(POST /enhance /denoise /train /apply, GET /healthz)", flush=True)
+          "(POST /enhance /denoise /train /apply, GET /healthz /metrics)",
+          flush=True)
     srv.serve_forever()
 
 

@@ -115,6 +115,95 @@ def test_concurrent_enhance_coalesces(server, small_png):
         assert got == want
 
 
+def test_metrics_endpoint(server, small_png):
+    """/metrics counts trains/edits and reports per-endpoint latency."""
+    _, png = small_png
+    with _post(f"{server}/enhance?nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+               "&w=1,1,1,1", png) as r:
+        r.read()
+    with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+        m = json.loads(r.read())
+    assert m["trains"] >= 1 and m["edits"] >= 1
+    e = m["endpoints"]["/enhance"]
+    assert e["count"] >= 1 and e["last_sec"] > 0 and "mean_sec" in e
+    assert "resident" in m["filters"]
+
+
+@pytest.fixture()
+def locked_server(tmp_path):
+    import serve_http
+
+    srv = serve_http.make_server(
+        token="sekrit", max_bytes=1 << 20, max_filters=2,
+        spill_dir=str(tmp_path / "spill"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post_auth(url, data, token=None, timeout=300):
+    req = urllib.request.Request(url, data=data)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_auth_required(locked_server, small_png):
+    """POSTs without (or with a wrong) bearer token get 401; probes stay
+    open."""
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    for tok in (None, "wrong"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_auth(f"{locked_server}/train?name=a&{cfg}", png, tok)
+        assert ei.value.code == 401
+    with urllib.request.urlopen(f"{locked_server}/healthz", timeout=10) as r:
+        assert json.loads(r.read())["ok"]
+    with _post_auth(f"{locked_server}/train?name=a&{cfg}", png,
+                    "sekrit") as r:
+        assert json.loads(r.read())["k"] == 3
+    with urllib.request.urlopen(f"{locked_server}/metrics", timeout=10) as r:
+        assert json.loads(r.read())["rejected"] >= 2
+
+
+def test_request_size_limit(locked_server, small_png):
+    """Bodies above max_bytes are refused with 413 before any decoding."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_auth(f"{locked_server}/enhance?nr=2&nc=2&hx=50&hy=30",
+                   b"x" * (2 << 20), "sekrit")
+    assert ei.value.code == 413
+
+
+def test_lru_eviction_spills_and_reloads(locked_server, small_png):
+    """max_filters=2: training a third filter spills the LRU one to disk;
+    a later /apply for it reloads transparently (same bytes)."""
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    for name in ("f1", "f2"):
+        with _post_auth(f"{locked_server}/train?name={name}&{cfg}", png,
+                        "sekrit") as r:
+            r.read()
+    with _post_auth(f"{locked_server}/apply?name=f1&w=1,2,2,1", png,
+                    "sekrit") as r:
+        want = r.read()
+    with _post_auth(f"{locked_server}/train?name=f3&{cfg}", png,
+                    "sekrit") as r:
+        r.read()
+    with urllib.request.urlopen(f"{locked_server}/metrics", timeout=10) as r:
+        m = json.loads(r.read())["filters"]
+    assert m == {"resident": 2, "spilled": 1}
+    # All three names remain applicable; f2 (the spilled LRU victim)
+    # reloads from disk — same filter, same bytes (all three were trained
+    # on identical input/params).
+    with urllib.request.urlopen(f"{locked_server}/healthz", timeout=10) as r:
+        assert json.loads(r.read())["filters"] == ["f1", "f2", "f3"]
+    with _post_auth(f"{locked_server}/apply?name=f2&w=1,2,2,1", png,
+                    "sekrit") as r:
+        got = r.read()
+    assert got == want
+
+
 def test_factored_query_param(server, small_png):
     """factored=1 trains a V-free filter; /train + /apply keep and reuse
     it like any other."""
