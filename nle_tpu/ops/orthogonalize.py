@@ -89,7 +89,8 @@ def orthogonalize_factored(
     return V, Sq
 
 
-def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float):
+def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
+                 q_solver: str = "auto"):
     """Float64 host (NumPy) evaluation of the orthogonalization small-matrix
     chain (reference src/filter.cpp:282-331 semantics: lower-triangle eigh,
     eps truncation via masking). The chain is chaos-sensitive — eig(Wa) has
@@ -98,6 +99,27 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float):
     (tests/test_golden.py), so it runs at f64 on the host between the two
     jitted device stages (the matrices are m x m, m ~ hundreds).
 
+    The chain is evaluated in eig(Wa)'s basis: with Wa = Uw L Uw^T and
+    E = Uw^T diag(r) Ga,
+
+        Q~ = Uw^T Q Uw = L + D (E Sb E^T) D,   D = diag(rsqrt-safe(L))
+
+    is SIMILAR to the reference's Q (same eigenvalues; eigenvectors rotate
+    by Uw, which the final T = Uw X undoes) but costs 3 m^3 GEMMs instead
+    of 5 — Wa^{-1/2} is never formed and E is reused for GrT = E^T X.
+    Because Q's symmetrization reads the lower triangle (== the mirrored
+    Wa used for eig(Wa)), the similarity is exact, not approximate.
+
+    eig(Q~) only needs the top n_eig_vectors pairs — the reference's
+    optional Spectra build swaps a Lanczos top-k solver in exactly here
+    (src/filter.cpp:308-316, USE_SPECTRA). q_solver:
+      "auto"  — ARPACK top-k when it measures faster (m >= 128 and
+                4k <= m: 92 -> 31 ms at m = 600, k = 5; 515 -> 91 ms at
+                m = 1446), full LAPACK otherwise.
+      "evd"   — always the full solver.
+      "topk"  — always ARPACK (reference USE_SPECTRA behavior, incl. the
+                warn-and-continue non-convergence semantics).
+
     Returns float64 (Va (m, k), GrT (m, k), Sq (k,)).
     """
     wa = np.asarray(wa, np.float64)
@@ -105,25 +127,48 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float):
     sb = np.asarray(sb, np.float64)
     ga = np.asarray(ga, np.float64)
     ra = np.asarray(ra, np.float64)
+    m = wa.shape[0]
 
-    def eigh_desc(M):
+    def eigh_desc_raw(M):
         low = np.tril(M)
         lam, U = _eigh64(low + np.tril(M, -1).T)
-        lam = lam[::-1].copy()
-        U = U[:, ::-1].copy()
-        return U, np.where(lam >= eps, lam, 0.0)
+        return U[:, ::-1].copy(), lam[::-1].copy()
 
     def rsqrt_safe(x):
         valid = np.abs(x) >= eps
         return np.where(valid, 1.0 / np.sqrt(np.where(valid, x, 1.0)), 0.0)
 
-    Uw, lw = eigh_desc(wa)
-    inv_root = (Uw * rsqrt_safe(lw)[None, :]) @ Uw.T
-    Q = wa + inv_root @ (rga @ sb @ rga.T) @ inv_root
-    Uq, lq = eigh_desc(Q)
-    Vq = Uq[:, :k]
-    Sq = lq[:k]
-    T = inv_root @ (Vq * rsqrt_safe(Sq)[None, :])
+    Uw, lw_raw = eigh_desc_raw(wa)
+    d = rsqrt_safe(np.where(lw_raw >= eps, lw_raw, 0.0))
+    E = Uw.T @ rga                                     # (m, m)
+    Qt = (d[:, None] * ((E @ sb) @ E.T)) * d[None, :]
+    # Uw^T (mirrored wa) Uw = diag(lw_raw) exactly up to f64 roundoff; the
+    # reference adds the *unmasked* Wa here, so the raw spectrum goes on
+    # the diagonal.
+    Qt[np.arange(m), np.arange(m)] += lw_raw
+
+    if q_solver == "auto":
+        q_solver = "topk" if (m >= 128 and 4 * k <= m) else "evd"
+    Vq = np.zeros((m, k))
+    Sq = np.zeros(k)
+    if q_solver == "topk":
+        from nle_tpu.ops.linalg import topk_eigendecomposition
+
+        Uq, lq = topk_eigendecomposition(
+            0.5 * (Qt + Qt.T), min(k, m - 1), eps)
+        r = min(k, Uq.shape[1])
+        Vq[:, :r] = Uq[:, :r]
+        Sq[:r] = lq[:r]
+    else:
+        Uq, lq = eigh_desc_raw(Qt)
+        lq = np.where(lq >= eps, lq, 0.0)
+        Vq[:, : min(k, m)] = Uq[:, :k]
+        Sq[: min(k, m)] = lq[:k]
+    # X = D Vq Sq^{-1/2}; back in pixel basis T = Uw X. Va keeps the
+    # reference's use of the RAW (possibly slightly asymmetric) Wa in the
+    # final product (src/filter.cpp:323-327: tmp << Wa, Wab^T).
+    X = d[:, None] * (Vq * rsqrt_safe(Sq)[None, :])
+    T = Uw @ X
     va = wa @ T
-    grt = ga.T @ (ra[:, None] * T)
+    grt = E.T @ X
     return va, grt, Sq

@@ -131,15 +131,10 @@ def ka_eigh_stage(
     return U, lam
 
 
-def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
-    """Stage 1 (default): exact float64 Ka + LAPACK eigh on the host.
-
-    Mirrors the reference computation op-for-op (src/filter.cpp:114-145,
-    204-228): squared integer distances, sw = 1/hx^2, pw = 1/hy^2, bulk exp,
-    descending eigenvalues truncated at eps. Returns float64
-    (U (p, m), lam (m,), U * Lambda^{-1} (p, m)) — the caller casts to the
-    device dtype, keeping the f64-chosen eigenbasis.
-    """
+def _build_ka64(y_sel, rows_sel, cols_sel, hx, hy) -> np.ndarray:
+    """Exact float64 Ka on the host, op-for-op with the reference
+    (src/filter.cpp:114-145): squared integer distances, sw = 1/hx^2,
+    pw = 1/hy^2, bulk exp."""
     r = np.asarray(rows_sel, np.float64)
     c = np.asarray(cols_sel, np.float64)
     y = np.asarray(y_sel, np.float64)
@@ -147,7 +142,18 @@ def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
     pw = 1.0 / (float(hy) * float(hy))
     d2s = (r[:, None] - r[None, :]) ** 2 + (c[:, None] - c[None, :]) ** 2
     d2i = (y[:, None] - y[None, :]) ** 2
-    Ka = np.exp(-sw * d2s - pw * d2i)
+    return np.exp(-sw * d2s - pw * d2i)
+
+
+def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
+    """Stage 1 (default): exact float64 Ka + LAPACK eigh on the host.
+
+    Mirrors the reference computation op-for-op (src/filter.cpp:114-145,
+    204-228): descending eigenvalues truncated at eps. Returns float64
+    (U (p, m), lam (m,), U * Lambda^{-1} (p, m)) — the caller casts to the
+    device dtype, keeping the f64-chosen eigenbasis.
+    """
+    Ka = _build_ka64(y_sel, rows_sel, cols_sel, hx, hy)
     lam, U = _eigh64(Ka)
     lam = lam[::-1]
     U = U[:, ::-1]
@@ -156,6 +162,40 @@ def ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps):
     U_m = U[:, :m]
     lam_m = lam[:m]
     return U_m, lam_m, U_m / lam_m[None, :]
+
+
+def ka_eigh_topk_host64(y_sel, rows_sel, cols_sel, hx, hy, eps, k0: int = 64):
+    """Stage 1 via the iterative top-k solver — the reference's USE_SPECTRA
+    build path (topkEigenDecomposition, src/filter.cpp:169-200), applied to
+    eig(Ka) with k doubling until the eps tail is captured.
+
+    Pays off only when the Ka spectrum truncates hard (m << p). Measured on
+    this host for a DENSE grid (p = 2400 on rock2, m = 1446): ARPACK 165 s
+    vs full LAPACK 5.3 s — Gaussian-kernel spectra at eps = 1e-10 keep most
+    of their eigenvalues, so the full solver stays the right default and
+    this knob exists for reference parity + genuinely-truncating regimes
+    (e.g. tight hy on smooth scenes). Falls back to the full solver when
+    doubling reaches p - 1 without capturing the tail.
+    """
+    from nle_tpu.ops.linalg import topk_eigendecomposition
+
+    Ka = _build_ka64(y_sel, rows_sel, cols_sel, hx, hy)
+    p = Ka.shape[0]
+    if p <= 2:
+        return ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps)
+    k = min(max(k0, 8), p - 1)
+    while True:
+        U, lam = topk_eigendecomposition(Ka, k, eps)
+        if lam.size < k:
+            break                    # truncation happened: tail captured
+        if k >= p - 1:
+            # Spectrum may extend beyond the n-1 pairs ARPACK can deliver;
+            # the full solver is both exact and faster by this point.
+            return ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps)
+        k = min(2 * k, p - 1)
+    if lam.size == 0:
+        return U[:, :0], lam, U[:, :0]
+    return U, lam, U / lam[None, :]
 
 
 @functools.partial(
@@ -255,18 +295,24 @@ def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
 
 
 def host_orthogonalize(packed_np, Um64, lam64, m: int, mb: int, k: int,
-                       eps: float):
+                       eps: float, q_solver: str | None = None):
     """The host-f64 side between stage 2a and 2b: rebuild the balanced-
     block small matrices from stage 1's f64 eigensystem, run the
     orthogonalization chain, and pack [Va | GrT] zero-padded to the rank
     bucket for the single (mb, 2k) upload. Returns (va_np f64, Sq).
-    Shared by train_filter and the pipelined batch trainer."""
+    Shared by train_filter and the pipelined batch trainer.
+
+    q_solver picks the eig(Q) solver inside host_chain64 ("auto" default:
+    ARPACK top-k where it measures faster); NLE_Q_SOLVER overrides."""
+    if q_solver is None:
+        q_solver = os.environ.get("NLE_Q_SOLVER", "auto")
     rt, ct, Sb = packed_np[0][:m], packed_np[1][:m], packed_np[2:][:m, :m]
     phi_top = Um64[:m]
     Ga = phi_top * lam64[None, :]
     RGa = rt[:, None] * Ga
     Wa = RGa @ (ct[:, None] * phi_top).T
-    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps)
+    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps,
+                               q_solver=q_solver)
     warn_rank_deficient("orthogonalize eig(Q)", int(np.count_nonzero(Sq)), k)
     va_np = np.zeros((mb, 2 * k))
     va_np[:m, :k] = Va
@@ -654,6 +700,7 @@ def train_filter(
 
     Host-level wrapper: builds the static SampleGrid, packs the channel,
     resolves stage 1 (Ka eigensystem; "host64" = float64 LAPACK on host,
+    "topk" = the reference's USE_SPECTRA iterative solver with doubling k,
     "device" = jitted on-device), runs the jitted stage 2, and (by default)
     scatters eigenvectors back to pixel order (the reference's
     `m_eigvecs = P * V`, src/filter.cpp:502). With pixel_order=False the
@@ -707,8 +754,12 @@ def train_filter(
     p = grid.n_samples
 
     with stage("Computing kernel"):  # + Nystrom eigh (reference stage prints)
-        if stage1 == "host64":
-            Um64, lam64, Uinv64 = ka_eigh_host64(
+        if stage1 in ("host64", "topk"):
+            # "topk" = the reference's USE_SPECTRA solver for eig(Ka)
+            # (src/filter.cpp:169-200) with doubling k; same downstream.
+            s1_fn = ka_eigh_host64 if stage1 == "host64" \
+                else ka_eigh_topk_host64
+            Um64, lam64, Uinv64 = s1_fn(
                 channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
                 grid.sel_rows, grid.sel_cols, hx, hy, float(eps),
             )
