@@ -103,6 +103,10 @@ def main():
         "value": round(value, 3),
         "unit": "MP/s",
         "vs_baseline": round(value / 1.0, 3),
+        # stream = pipelined serving throughput (the default headline);
+        # single = sequential per-image latency. Distinguishable so
+        # historical comparisons never mix the two regimes silently.
+        "mode": mode,
     }))
     return 0
 

@@ -16,6 +16,7 @@ import sys
 from nle_tpu.cli.common import (
     add_common_flags,
     apply_common_flags,
+    maybe_show,
     split_flags,
     validate_flags,
 )
@@ -71,6 +72,7 @@ def main(argv=None) -> int:
         return 0
     imwrite_bgr(output_path, result)
     print("Done.")
+    maybe_show(result, flags)
     return 0
 
 

@@ -19,14 +19,20 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --platform=cpu|tpu            select JAX platform
   --profile=DIR                 capture a jax.profiler trace of the run
   --check-nans                  abort on NaN in any device computation
+  --stage1=host64|topk|device   Ka eigensolver (topk = the reference's
+                                USE_SPECTRA iterative solver)
+  --show                        display the result in a blocking window
+                                (the reference's imshow/waitKey end
+                                behavior; needs a display)
   --verbose                     stage progress + timings on stderr"""
 
 
 # Flags that require `--name=value`; the rest are boolean switches.
 _VALUE_FLAGS = frozenset(
     {"precision", "eps", "save-filter", "debug-eigvecs", "platform",
-     "profile"})
-_BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose", "factored"})
+     "profile", "stage1"})
+_BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose", "factored",
+                         "show"})
 
 
 def add_common_flags() -> str:
@@ -115,11 +121,31 @@ def make_filter(flags):
         kwargs["use_pallas"] = False
     if flags.get("factored"):
         kwargs["factored"] = True
+    if "stage1" in flags:
+        kwargs["stage1"] = flags["stage1"]
     if flags.get("precision") == "float64":
         import jax.numpy as jnp
 
         kwargs["dtype"] = jnp.float64
     return NLEFilter(**kwargs)
+
+
+def maybe_show(result, flags, title: str = "Output image") -> None:
+    """Optional strict-parity end behavior: the reference blocks on an
+    imshow/waitKey(-1) window after writing the output (reference
+    src/enhance.cpp:47-49, src/filter.cpp:504-511). Headless is the
+    default; --show restores the blocking window where a display exists."""
+    if not flags.get("show"):
+        return
+    try:
+        import cv2
+
+        cv2.imshow(title, result)
+        cv2.waitKey(-1)
+        cv2.destroyAllWindows()
+    except Exception as e:
+        print(f"--show: cannot open a display window ({e}); the output "
+              "was written to disk.", file=sys.stderr)
 
 
 def maybe_dump_eigvecs(flt, flags) -> None:

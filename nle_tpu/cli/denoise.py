@@ -16,6 +16,7 @@ from nle_tpu.cli.common import (
     apply_common_flags,
     make_filter,
     maybe_dump_eigvecs,
+    maybe_show,
     profiled,
     split_flags,
     validate_flags,
@@ -77,6 +78,7 @@ def main(argv=None) -> int:
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])
     print("Done.")
+    maybe_show(result, flags)
     return 0
 
 

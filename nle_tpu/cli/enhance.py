@@ -18,6 +18,7 @@ from nle_tpu.cli.common import (
     apply_common_flags,
     make_filter,
     maybe_dump_eigvecs,
+    maybe_show,
     profiled,
     split_flags,
     validate_flags,
@@ -76,6 +77,7 @@ def main(argv=None) -> int:
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])
     print("Done.")
+    maybe_show(result, flags, "Enhanced image")
     return 0
 
 
