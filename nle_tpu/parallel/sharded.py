@@ -337,6 +337,7 @@ def train_filter_sharded(
     dtype=jnp.float32,
     streaming: bool = False,
     factored: bool = False,
+    stage1: str = "host64",
 ):
     """Train filters for a batch of channels (B, H, W) over the mesh.
 
@@ -390,12 +391,19 @@ def train_filter_sharded(
 
     # Stage 1 (host, float64): Ka eigensystem per batch element — the
     # chaos-sensitive eigenbasis must be chosen at f64 (see ops/pipeline.py).
-    from nle_tpu.ops.pipeline import bucket_m, ka_eigh_host64
+    # Serial on the single host core; stage1="topk" swaps in the doubling
+    # ARPACK solver (wins only in truncating regimes, see ka_eigh_topk_host64).
+    from nle_tpu.ops.pipeline import (
+        bucket_m,
+        ka_eigh_host64,
+        ka_eigh_topk_host64,
+    )
 
     from nle_tpu.utils.logging import logger, warn_truncation
 
+    s1_fn = ka_eigh_topk_host64 if stage1 == "topk" else ka_eigh_host64
     stage1 = [
-        ka_eigh_host64(
+        s1_fn(
             channels[i][grid.sel_rows, grid.sel_cols],
             grid.sel_rows, grid.sel_cols, hx, hy, eps,
         )

@@ -144,3 +144,22 @@ def test_train_filter_stage1_topk_parity():
     out_h = np.asarray(apply_filter(V_h, transform_eigenvalues(S_h, w), chan))
     out_t = np.asarray(apply_filter(V_t, transform_eigenvalues(S_t, w), chan))
     np.testing.assert_allclose(out_t, out_h, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_stage1_topk_parity():
+    """train_filter_sharded(stage1='topk') matches the default on the
+    gapped truncating config (the sharded trainer's serial stage-1 loop
+    accepts the same solver knob)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from nle_tpu.parallel.sharded import make_mesh, train_filter_sharded
+
+    batch = _truncating_channel()[None]
+    mesh = make_mesh(1, 4)
+    args = (10, 10, HX_HUGE, 30.0, 8, 4)
+    V_h, S_h = train_filter_sharded(batch, *args, mesh)
+    V_t, S_t = train_filter_sharded(batch, *args, mesh, stage1="topk")
+    np.testing.assert_allclose(np.asarray(S_t), np.asarray(S_h),
+                               rtol=1e-5, atol=1e-8)
