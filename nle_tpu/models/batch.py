@@ -47,6 +47,7 @@ from nle_tpu.ops.pipeline import (
 )
 from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.logging import warn_truncation
+from nle_tpu.utils.transfer import transfer_pool
 
 import jax
 
@@ -122,19 +123,21 @@ def train_filters_iter(
             y = _cast_channel(jnp.asarray(packed_np), jnp.float32)
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
-        packed, phi_store, c_rest = train_filter_stage2a(
+        rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
             y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb)),
             sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
             small=stage2_dense_small(grid.n_pixels, mb),
         )
-        return (packed, phi_store, c_rest, Um64, lam64, m, mb)
+        return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb)
 
     def finish(state):
         """Blocking fetch + host f64 chain + async device stage 2b."""
-        packed, phi_store, c_rest, Um64, lam64, m, mb = state
-        arr = np.asarray(packed, np.float64)   # waits for this image's 2a
+        rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb = state
+        rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
+        sb_fut = transfer_pool().submit(np.asarray, sb_dev)
         k = min(n_eig_vectors, m)
-        va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k, eps)
+        va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+                                       m, mb, k, eps)
         va_grt = jnp.asarray(va_np, jnp.float32)
         V_packed = train_filter_stage2b(
             phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,

@@ -41,7 +41,7 @@ from nle_tpu.ops.pipeline import (
 )
 from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.logging import stage, warn_truncation
-from nle_tpu.utils.transfer import fetch
+from nle_tpu.utils.transfer import fetch, transfer_pool
 
 
 @dataclasses.dataclass
@@ -194,15 +194,16 @@ def train_filter_factored(
     stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
     interpret = jax.default_backend() != "tpu"
     with stage("Nystrom approximation + Sinkhorn"):
-        packed, c_full = train_filter_stage2a_streaming(
+        rc_dev, sb_dev, c_full = train_filter_stage2a_streaming(
             y, rr, cc, stage1_dev, sw, pw,
             p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
             interpret=interpret)
-        arr = np.asarray(packed, np.float64)
+        rc_np = np.asarray(rc_dev, np.float64)
+        sb_fut = transfer_pool().submit(np.asarray, sb_dev)
     k = min(n_eig_vectors, m)
     with stage("Orthogonalize"):
-        va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k,
-                                       float(eps))
+        va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+                                       m, mb, k, float(eps))
         va_grt = jnp.asarray(va_np, jnp.float32)
         V_head, W = factored_filter_pieces(stage1_dev, c_full, va_grt,
                                            p=p, mb=mb)

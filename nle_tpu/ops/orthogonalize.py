@@ -124,7 +124,6 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
     """
     wa = np.asarray(wa, np.float64)
     rga = np.asarray(rga, np.float64)
-    sb = np.asarray(sb, np.float64)
     ga = np.asarray(ga, np.float64)
     ra = np.asarray(ra, np.float64)
     m = wa.shape[0]
@@ -141,6 +140,10 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
     Uw, lw_raw = eigh_desc_raw(wa)
     d = rsqrt_safe(np.where(lw_raw >= eps, lw_raw, 0.0))
     E = Uw.T @ rga                                     # (m, m)
+    # sb may be a zero-arg callable (an in-flight device fetch): it is
+    # resolved only HERE, after eig(Wa) + E — callers overlap the transfer
+    # with that work (see ops/pipeline.py host_orthogonalize).
+    sb = np.asarray(sb() if callable(sb) else sb, np.float64)
     Qt = (d[:, None] * ((E @ sb) @ E.T)) * d[None, :]
     # Uw^T (mirrored wa) Uw = diag(lw_raw) exactly up to f64 roundoff; the
     # reference adds the *unmasked* Wa here, so the raw spectrum goes on

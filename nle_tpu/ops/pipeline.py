@@ -76,6 +76,7 @@ from nle_tpu.utils.logging import (
     warn_rank_deficient,
     warn_truncation,
 )
+from nle_tpu.utils.transfer import transfer_pool
 
 
 _GRID_CACHE: dict = {}
@@ -294,7 +295,7 @@ def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
     return (not fused) or stage2_dense_small(n, mb)
 
 
-def host_orthogonalize(packed_np, Um64, lam64, m: int, mb: int, k: int,
+def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
                        eps: float, q_solver: str | None = None):
     """The host-f64 side between stage 2a and 2b: rebuild the balanced-
     block small matrices from stage 1's f64 eigensystem, run the
@@ -302,16 +303,26 @@ def host_orthogonalize(packed_np, Um64, lam64, m: int, mb: int, k: int,
     bucket for the single (mb, 2k) upload. Returns (va_np f64, Sq).
     Shared by train_filter and the pipelined batch trainer.
 
+    rc_np: (2, mb) host f64 [r; c] rows. sb: the (>=m, >=m) Sb gram as a
+    host array, a device array, or a ZERO-ARG CALLABLE producing either —
+    the callable is resolved only after eig(Wa)+E (~160 ms of host work),
+    so callers can hand in a concurrent fetch and hide the transfer.
+
     q_solver picks the eig(Q) solver inside host_chain64 ("auto" default:
     ARPACK top-k where it measures faster); NLE_Q_SOLVER overrides."""
     if q_solver is None:
         q_solver = os.environ.get("NLE_Q_SOLVER", "auto")
-    rt, ct, Sb = packed_np[0][:m], packed_np[1][:m], packed_np[2:][:m, :m]
+    rt, ct = rc_np[0][:m], rc_np[1][:m]
     phi_top = Um64[:m]
     Ga = phi_top * lam64[None, :]
     RGa = rt[:, None] * Ga
     Wa = RGa @ (ct[:, None] * phi_top).T
-    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, eps,
+
+    def sb_resolved():
+        raw = sb() if callable(sb) else sb
+        return np.asarray(raw, np.float64)[:m, :m]
+
+    Va, GrT, Sq = host_chain64(Wa, RGa, sb_resolved, Ga, rt, k, eps,
                                q_solver=q_solver)
     warn_rank_deficient("orthogonalize eig(Q)", int(np.count_nonzero(Sq)), k)
     va_np = np.zeros((mb, 2 * k))
@@ -381,11 +392,13 @@ def train_filter_stage2a(
     small: bool | None = None,
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
-    Sinkhorn, balanced-block pieces, and the Sb reduction. Returns the small
-    matrices for the host-f64 chain packed into ONE (mb+2, mb) array (a
-    single device->host transfer — each transfer over a tunnel-attached TPU
-    costs ~30 ms of latency) plus the device-resident factor and the
-    Sinkhorn column vector.
+    Sinkhorn, balanced-block pieces, and the Sb reduction. Returns
+    (rc (2, mb), Sb (mb, mb), factor, c_rest): rc carries the balancing
+    vectors — a tiny fetch (~30 ms latency floor) that unblocks the host
+    chain's Wa rebuild + eig(Wa) + E — while the ~MB-sized Sb (which the
+    chain needs only AFTER those, ~160 ms of host work) is fetched
+    asynchronously and overlaps them (the tunnel moves ~1.4 MB in ~150 ms,
+    so the split hides nearly the whole transfer).
 
     Shapes are static in the rank BUCKET mb = bucket_m(m, p); the true m
     arrives as a traced scalar inside stage1_packed and only drives the
@@ -436,9 +449,8 @@ def train_filter_stage2a(
                 # exact zeros, so the full-extent gram equals the sliced one.
                 cphi = c_rest * phi
                 Sb = cphi.T @ cphi
-                packed = jnp.concatenate(
-                    [r[None, :mb], c[None, :mb], Sb[:mb, :mb]], axis=0)
-                return packed, cphi, c_rest
+                rc = jnp.stack([r[:mb], c[:mb]])
+                return rc, Sb[:mb, :mb], cphi, c_rest
             # Large images: fuse the scaling into the Sb/Vb kernels so phi is
             # the only N-scale buffer (doubles single-chip image capacity).
             Sb = scaled_gram_pallas(phi, c_rest, interpret=interpret)[:mb, :mb]
@@ -448,13 +460,13 @@ def train_filter_stage2a(
             c_rest = jnp.where(jnp.arange(n) >= m_dyn, c, 0.0)[:, None]
             cphi = c_rest * phi
             Sb = cphi.T @ cphi
-            packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
-            return packed, cphi, c_rest
+            rc = jnp.stack([r[:mb], c[:mb]])
+            return rc, Sb[:mb, :mb], cphi, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
         # precision).
-        packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
-    return packed, phi, c_rest
+        rc = jnp.stack([r[:mb], c[:mb]])
+    return rc, Sb, phi, c_rest
 
 
 @functools.partial(jax.jit, static_argnames=("n", "mb", "scaled", "interpret"))
@@ -506,7 +518,9 @@ def train_filter_stage2a_streaming(
     """phi-free device half 1 for images whose phi would not fit in HBM:
     Sinkhorn and the Sb gram recompute affinity tiles on the fly
     (ops/pallas/streaming_kernel.py) — per-pixel HBM state is just the
-    features and the balancing vectors. Returns (packed (mb+2, mb), c (N,)).
+    features and the balancing vectors. Returns (rc (2, mb), Sb (mb, mb),
+    c (N,)) — rc/Sb split so the caller can overlap the Sb fetch with the
+    host chain's eig(Wa) phase (see train_filter_stage2a).
     Shapes are static in the rank bucket mb (see bucket_m); the true m rides
     in stage1_packed and drives only the c mask at the balanced-block
     boundary. Dense sampling grids dispatch to the two-pass p-tiled
@@ -547,8 +561,8 @@ def train_filter_stage2a_streaming(
             Sb_rest = streaming_scaled_gram_xla(
                 fa, fb_cols, c_row, Uinv.astype(jnp.float32), sw, pw)
         Sb = Sb_top + Sb_rest
-        packed = jnp.concatenate([r[None, :mb], c[None, :mb], Sb], axis=0)
-    return packed, c
+        rc = jnp.stack([r[:mb], c[:mb]])
+    return rc, Sb, c
 
 
 @functools.partial(
@@ -818,26 +832,30 @@ def train_filter(
                 logger.info(
                     "phi (%d x %d) exceeds NLE_STREAM_BYTES: using the "
                     "phi-free streaming stage 2.", grid.n_pixels, m)
-                packed, c_full = train_filter_stage2a_streaming(
+                rc_dev, sb_dev, c_full = train_filter_stage2a_streaming(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
                     eps=float(eps), interpret=interpret_stream,
                 )
             else:
-                packed, phi_store, c_rest = train_filter_stage2a(
+                rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                     use_pallas=use_pallas,
                     small=stage2_dense_small(grid.n_pixels, mb),
                 )
-            arr = np.asarray(packed, np.float64)  # one device->host transfer
+            # Tiny blocking fetch (waits for the device program); the
+            # MB-sized Sb rides a concurrent fetch that the host chain's
+            # eig(Wa) phase hides (host_orthogonalize resolves it late).
+            rc_np = np.asarray(rc_dev, np.float64)
+            sb_fut = transfer_pool().submit(np.asarray, sb_dev)
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host
             # from stage 1's f64 eigensystem (cheaper than fetching them and
             # slightly more accurate).
-            va_np, Sq = host_orthogonalize(arr, Um64, lam64, m, mb, k,
-                                           float(eps))
+            va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+                                           m, mb, k, float(eps))
             va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
             if streaming:
                 V_packed = train_filter_stage2b_streaming(

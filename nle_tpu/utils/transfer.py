@@ -27,6 +27,12 @@ _executor: ThreadPoolExecutor | None = None
 _executor_lock = threading.Lock()
 
 
+def transfer_pool() -> ThreadPoolExecutor:
+    """The shared device<->host transfer executor — also used to overlap
+    one-off fetches with host compute (ops/pipeline.py host chain)."""
+    return _pool()
+
+
 def _pool() -> ThreadPoolExecutor:
     # One long-lived pool: fetch() runs on every device->host transfer and
     # per-call pool construction/teardown costs ~ms against ~50 ms fetches.

@@ -103,11 +103,12 @@ def _stage2_manual(img, nr, nc, hx, hy, mb_env, monkeypatch, *, fused,
     s1 = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
     if small is None:
         small = stage2_dense_small(grid.n_pixels, mb)
-    packed, factor, c_rest = train_filter_stage2a(
+    rc, sb, factor, c_rest = train_filter_stage2a(
         y, rr, cc, s1, sw, pw, p=p, mb=mb, n_sinkhorn_iter=6, eps=1e-10,
         use_pallas=fused, interpret=fused, small=small)
-    arr = np.asarray(packed, np.float64)
-    rt, ct, Sb = arr[0][:m], arr[1][:m], arr[2:][:m, :m]
+    rc_np = np.asarray(rc, np.float64)
+    rt, ct = rc_np[0][:m], rc_np[1][:m]
+    Sb = np.asarray(sb, np.float64)[:m, :m]
     k = min(4, m)
     phi_top = Um64[:m]
     Ga = phi_top * lam64[None, :]
