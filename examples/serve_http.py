@@ -392,7 +392,15 @@ def make_server(port: int = 0, token: str | None = None,
             n = int(self.headers.get("Content-Length", "0"))
             if n > max_bytes:
                 svc.metrics.reject()
-                # Drain nothing: close without reading the oversized body.
+                # Drain (bounded, chunked — never buffered) so the client
+                # finishes sending and reliably sees the 413 instead of a
+                # broken pipe; give up past 8x the limit and just close.
+                remaining = min(n, 8 * max_bytes)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 16))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
                 self.close_connection = True
                 return self._json_err(
                     413, f"request body {n} bytes exceeds limit {max_bytes}")
