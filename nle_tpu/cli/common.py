@@ -137,6 +137,13 @@ def maybe_show(result, flags, title: str = "Output image") -> None:
     default; --show restores the blocking window where a display exists."""
     if not flags.get("show"):
         return
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+            or sys.platform == "darwin"):
+        # cv2.imshow can hard-abort (not raise) on display-less builds —
+        # probe the environment instead of trying and catching.
+        print("--show: no display available; the output was written to "
+              "disk.", file=sys.stderr)
+        return
     try:
         import cv2
 

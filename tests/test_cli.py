@@ -175,3 +175,32 @@ def test_apply_size_mismatch_message(tmp_path, small_image, capsys, rng):
     rc = apply_cli.main([fpath, other, str(tmp_path / "o3.png"), "1", "2"])
     assert rc == 0  # message, not a traceback
     assert "different size" in capsys.readouterr().err
+
+
+def test_stage1_flag_end_to_end(tmp_path, small_image):
+    """--stage1=topk (the reference's USE_SPECTRA solver) produces a valid
+    edit; --stage1 without a value is rejected before training."""
+    path, _ = small_image
+    out = str(tmp_path / "out.png")
+    rc = enhance_cli.main([path, out, "3", "4", "100", "30", "5", "5",
+                           "1", "2", "--stage1=topk"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_stage1_flag_requires_value(capsys, small_image):
+    path, _ = small_image
+    rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
+                           "5", "1", "2", "--stage1"])
+    assert rc == 0
+    assert "requires a value" in capsys.readouterr().err
+
+
+def test_show_flag_headless_fallback(tmp_path, small_image, capsys):
+    """--show on a display-less machine degrades to a note on stderr, not a
+    crash; the output file is still written (reference end behavior is a
+    blocking window, src/enhance.cpp:47-49)."""
+    path, _ = small_image
+    out = str(tmp_path / "out.png")
+    rc = enhance_cli.main([path, out, "3", "4", "100", "30", "5", "5",
+                           "1", "2", "--show"])
+    assert rc == 0 and os.path.exists(out)
