@@ -73,11 +73,12 @@ class _CoalescingTrainer:
     1.64x on 1 MP streams). Mixed shapes/params fall back to per-request
     training within the same worker (device work stays serialized)."""
 
-    def __init__(self, device_lock: threading.Lock):
+    def __init__(self, device_lock: threading.Lock, metrics=None):
         self._cv = threading.Condition()
         self._queue: list = []   # (key, L, params, result_box)
         self._worker: threading.Thread | None = None
         self._device_lock = device_lock
+        self._metrics = metrics
 
     def train_enhancement(self, img_bgr, params):
         """Blocking: returns a TrainedFilter for img's Lab L channel."""
@@ -119,6 +120,8 @@ class _CoalescingTrainer:
                 with self._device_lock:
                     flts = train_filters_pipelined(
                         [r[1] for r in group], *params)
+                if self._metrics is not None:
+                    self._metrics.count_batch(len(group))
                 for (_, _, _, box), flt in zip(group, flts):
                     box["filter"] = flt
             except Exception as e:
@@ -146,6 +149,12 @@ class _FilterStore:
         self._lock = threading.Lock()
         self._resident: OrderedDict[str, object] = OrderedDict()
         self._spilled: set[str] = set()
+        # Names whose on-disk checkpoint matches the resident filter
+        # (i.e. reloaded-and-unmodified): evicting them skips the save —
+        # filters are immutable post-train, so a round-robin /apply over
+        # max_filters+1 names must not pay a device fetch + npz compress
+        # per request.
+        self._on_disk: set[str] = set()
 
     def _dir(self) -> str:
         if self._spill_dir is None:
@@ -164,7 +173,9 @@ class _FilterStore:
     def _evict_locked(self):
         while len(self._resident) > self.max_filters:
             name, f = self._resident.popitem(last=False)
-            f.trained.save(self._path(name))
+            if name not in self._on_disk:
+                f.trained.save(self._path(name))
+                self._on_disk.add(name)
             self._spilled.add(name)
 
     def put(self, name: str, f) -> None:
@@ -172,6 +183,7 @@ class _FilterStore:
             self._resident[name] = f
             self._resident.move_to_end(name)
             self._spilled.discard(name)
+            self._on_disk.discard(name)   # a fresh training invalidates it
             self._evict_locked()
 
     def get(self, name: str):
@@ -189,6 +201,7 @@ class _FilterStore:
                     f"(have: {sorted(self.names())})")
             f = NLEFilter(trained=load_filter(self._path(name)))
             self._spilled.discard(name)
+            # The checkpoint on disk stays valid for this reloaded copy.
             self._resident[name] = f
             self._evict_locked()
             return f
@@ -212,10 +225,16 @@ class _Metrics:
     def __init__(self):
         self._lock = threading.Lock()
         self.endpoints: dict[str, dict] = {}
-        self.trains = 0
-        self.edits = 0
-        self.errors = 0
+        self.trains = 0         # filters built (one per request even when
+        self.edits = 0          # coalesced — each request gets its own)
+        self.train_batches = 0  # device training dispatches (coalesced
+        self.errors = 0         # groups count once)
         self.rejected = 0       # auth / size-limit refusals
+
+    def count_batch(self, n_filters: int):
+        """One pipelined training dispatch covering n_filters filters."""
+        with self._lock:
+            self.train_batches += 1
 
     def record(self, endpoint: str, seconds: float, ok: bool,
                trains: int = 0, edits: int = 0):
@@ -245,6 +264,7 @@ class _Metrics:
                 for k, v in self.endpoints.items()
             }
             return {"trains": self.trains, "edits": self.edits,
+                    "train_batches": self.train_batches,
                     "errors": self.errors, "rejected": self.rejected,
                     "endpoints": eps}
 
@@ -257,8 +277,8 @@ class _Service:
                  spill_dir: str | None = None):
         self.lock = threading.Lock()
         self.store = _FilterStore(max_filters, spill_dir)
-        self.trainer = _CoalescingTrainer(self.lock)
         self.metrics = _Metrics()
+        self.trainer = _CoalescingTrainer(self.lock, self.metrics)
 
     @staticmethod
     def _params(q):
@@ -283,6 +303,7 @@ class _Service:
                 sigma_space=float(q.get("sigma_space", ["10"])[0]))
         else:
             f.train_for_enhancement(*args)
+        self.metrics.count_batch(1)
         return f
 
     def enhance(self, body, q):
@@ -381,27 +402,32 @@ def make_server(port: int = 0, token: str | None = None,
                 return self._reply(200, body, "application/json")
             return self._json_err(404, "not found")
 
+        def _drain_body(self, n: int):
+            """Read and discard up to n bytes (bounded, chunked — never
+            buffered) so a mid-upload client finishes sending and reliably
+            sees the error status instead of a broken pipe; give up past
+            8x the limit and just close."""
+            remaining = min(n, 8 * max_bytes)
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 16))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            self.close_connection = True
+
         def do_POST(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            n = int(self.headers.get("Content-Length", "0"))
             if token:
                 auth = self.headers.get("Authorization", "")
                 if auth != f"Bearer {token}":
                     svc.metrics.reject()
+                    self._drain_body(n)
                     return self._json_err(401, "missing or bad bearer token")
-            n = int(self.headers.get("Content-Length", "0"))
             if n > max_bytes:
                 svc.metrics.reject()
-                # Drain (bounded, chunked — never buffered) so the client
-                # finishes sending and reliably sees the 413 instead of a
-                # broken pipe; give up past 8x the limit and just close.
-                remaining = min(n, 8 * max_bytes)
-                while remaining > 0:
-                    chunk = self.rfile.read(min(remaining, 1 << 16))
-                    if not chunk:
-                        break
-                    remaining -= len(chunk)
-                self.close_connection = True
+                self._drain_body(n)
                 return self._json_err(
                     413, f"request body {n} bytes exceeds limit {max_bytes}")
             body = self.rfile.read(n)

@@ -67,6 +67,15 @@ def validate_flags(flags) -> str | None:
             return f"Flag --{k} requires a value (--{k}=...)"
         if k in _BOOL_FLAGS and v is not True:
             return f"Flag --{k} takes no value"
+    # A typo'd solver name would otherwise fall through train_filter's
+    # dispatch into the f32 on-device branch and silently degrade the
+    # fidelity-critical eigenbasis after minutes of training.
+    if flags.get("stage1") not in (None, "host64", "topk", "device"):
+        return (f"Flag --stage1={flags['stage1']} invalid "
+                "(expected host64|topk|device)")
+    if flags.get("precision") not in (None, "float32", "float64"):
+        return (f"Flag --precision={flags['precision']} invalid "
+                "(expected float32|float64)")
     return None
 
 

@@ -47,7 +47,7 @@ from nle_tpu.ops.pipeline import (
 )
 from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.logging import warn_truncation
-from nle_tpu.utils.transfer import transfer_pool
+from nle_tpu.utils.transfer import fetch as transfer_fetch, transfer_pool
 
 import jax
 
@@ -134,7 +134,7 @@ def train_filters_iter(
         """Blocking fetch + host f64 chain + async device stage 2b."""
         rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb = state
         rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
-        sb_fut = transfer_pool().submit(np.asarray, sb_dev)
+        sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
         k = min(n_eig_vectors, m)
         va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
                                        m, mb, k, eps)

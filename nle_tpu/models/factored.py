@@ -199,7 +199,7 @@ def train_filter_factored(
             p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
             interpret=interpret)
         rc_np = np.asarray(rc_dev, np.float64)
-        sb_fut = transfer_pool().submit(np.asarray, sb_dev)
+        sb_fut = transfer_pool().submit(fetch, sb_dev)
     k = min(n_eig_vectors, m)
     with stage("Orthogonalize"):
         va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,

@@ -89,7 +89,7 @@ def orthogonalize_factored(
     return V, Sq
 
 
-def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
+def host_chain64(wa, rga, sb, k: int, eps: float,
                  q_solver: str = "auto"):
     """Float64 host (NumPy) evaluation of the orthogonalization small-matrix
     chain (reference src/filter.cpp:282-331 semantics: lower-triangle eigh,
@@ -124,8 +124,6 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
     """
     wa = np.asarray(wa, np.float64)
     rga = np.asarray(rga, np.float64)
-    ga = np.asarray(ga, np.float64)
-    ra = np.asarray(ra, np.float64)
     m = wa.shape[0]
 
     def eigh_desc_raw(M):
@@ -157,8 +155,13 @@ def host_chain64(wa, rga, sb, ga, ra, k: int, eps: float,
     if q_solver == "topk":
         from nle_tpu.ops.linalg import topk_eigendecomposition
 
+        # Same lower-triangle-mirror convention as eigh_desc_raw (the
+        # repo-wide eigh rule): Qt is symmetric only to f64 roundoff, and
+        # averaging would make the two solver modes disagree at the
+        # chaos-amplifiable 1e-16 level for no reason.
+        qt_low = np.tril(Qt)
         Uq, lq = topk_eigendecomposition(
-            0.5 * (Qt + Qt.T), min(k, m - 1), eps)
+            qt_low + np.tril(Qt, -1).T, min(k, m - 1), eps)
         r = min(k, Uq.shape[1])
         Vq[:, :r] = Uq[:, :r]
         Sq[:r] = lq[:r]

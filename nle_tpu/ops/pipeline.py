@@ -76,7 +76,7 @@ from nle_tpu.utils.logging import (
     warn_rank_deficient,
     warn_truncation,
 )
-from nle_tpu.utils.transfer import transfer_pool
+from nle_tpu.utils.transfer import fetch as transfer_fetch, transfer_pool
 
 
 _GRID_CACHE: dict = {}
@@ -322,7 +322,7 @@ def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
         raw = sb() if callable(sb) else sb
         return np.asarray(raw, np.float64)[:m, :m]
 
-    Va, GrT, Sq = host_chain64(Wa, RGa, sb_resolved, Ga, rt, k, eps,
+    Va, GrT, Sq = host_chain64(Wa, RGa, sb_resolved, k, eps,
                                q_solver=q_solver)
     warn_rank_deficient("orthogonalize eig(Q)", int(np.count_nonzero(Sq)), k)
     va_np = np.zeros((mb, 2 * k))
@@ -848,7 +848,7 @@ def train_filter(
             # MB-sized Sb rides a concurrent fetch that the host chain's
             # eig(Wa) phase hides (host_orthogonalize resolves it late).
             rc_np = np.asarray(rc_dev, np.float64)
-            sb_fut = transfer_pool().submit(np.asarray, sb_dev)
+            sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host

@@ -489,8 +489,7 @@ def train_filter_sharded(
             rt64 = rp64[j][:m]
             RGa = rt64[:, None] * Ga
             Wa = RGa @ (cp64[j][:m, None] * phi_top).T
-            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], Ga, rt64,
-                                       k, eps)
+            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], k, eps)
             Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
             top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
             if factored:

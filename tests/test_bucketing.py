@@ -114,7 +114,7 @@ def _stage2_manual(img, nr, nc, hx, hy, mb_env, monkeypatch, *, fused,
     Ga = phi_top * lam64[None, :]
     RGa = rt[:, None] * Ga
     Wa = RGa @ (ct[:, None] * phi_top).T
-    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, Ga, rt, k, 1e-10)
+    Va, GrT, Sq = host_chain64(Wa, RGa, Sb, k, 1e-10)
     va_np = np.zeros((mb, 2 * k))
     va_np[:m, :k] = Va
     va_np[:m, k:] = GrT

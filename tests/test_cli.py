@@ -195,12 +195,27 @@ def test_stage1_flag_requires_value(capsys, small_image):
     assert "requires a value" in capsys.readouterr().err
 
 
-def test_show_flag_headless_fallback(tmp_path, small_image, capsys):
+def test_show_flag_headless_fallback(tmp_path, small_image, capsys,
+                                     monkeypatch):
     """--show on a display-less machine degrades to a note on stderr, not a
     crash; the output file is still written (reference end behavior is a
-    blocking window, src/enhance.cpp:47-49)."""
+    blocking window, src/enhance.cpp:47-49). DISPLAY is cleared so the test
+    exercises the headless branch even on a workstation (where imshow +
+    waitKey(-1) would block the suite forever)."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    monkeypatch.setattr("sys.platform", "linux")
     path, _ = small_image
     out = str(tmp_path / "out.png")
     rc = enhance_cli.main([path, out, "3", "4", "100", "30", "5", "5",
                            "1", "2", "--show"])
     assert rc == 0 and os.path.exists(out)
+    assert "no display available" in capsys.readouterr().err
+
+
+def test_bad_stage1_value_rejected(capsys, small_image):
+    path, _ = small_image
+    rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
+                           "5", "1", "2", "--stage1=hots64"])
+    assert rc == 0
+    assert "invalid" in capsys.readouterr().err

@@ -27,17 +27,17 @@ def _chain_inputs(rng, m):
     wa = rga @ (ct[:, None] * phi_top).T
     B = rng.standard_normal((3 * m, m)) / np.sqrt(3 * m)
     sb = B.T @ B
-    return wa, rga, sb, ga, ra
+    return wa, rga, sb
 
 
 def test_host_chain_topk_matches_evd(rng):
     """ARPACK eig(Q) and full LAPACK give the same Va/GrT/Sq (the top-k
     pairs are well-separated here, so signs aside the subspaces match)."""
     m, k = 200, 5
-    wa, rga, sb, ga, ra = _chain_inputs(rng, m)
-    va_e, grt_e, sq_e = host_chain64(wa, rga, sb, ga, ra, k, 1e-10,
+    wa, rga, sb = _chain_inputs(rng, m)
+    va_e, grt_e, sq_e = host_chain64(wa, rga, sb, k, 1e-10,
                                      q_solver="evd")
-    va_t, grt_t, sq_t = host_chain64(wa, rga, sb, ga, ra, k, 1e-10,
+    va_t, grt_t, sq_t = host_chain64(wa, rga, sb, k, 1e-10,
                                      q_solver="topk")
     np.testing.assert_allclose(sq_t, sq_e, rtol=1e-9, atol=1e-12)
     # Eigenvector columns are sign-ambiguous between solvers.
@@ -60,12 +60,12 @@ def test_host_chain_auto_picks_topk(rng, monkeypatch):
 
     monkeypatch.setattr(L, "topk_eigendecomposition", spy)
     m = 160
-    wa, rga, sb, ga, ra = _chain_inputs(rng, m)
-    host_chain64(wa, rga, sb, ga, ra, 5, 1e-10, q_solver="auto")
+    wa, rga, sb = _chain_inputs(rng, m)
+    host_chain64(wa, rga, sb, 5, 1e-10, q_solver="auto")
     assert calls.get("topk")
     calls.clear()
-    wa, rga, sb, ga, ra = _chain_inputs(rng, 64)
-    host_chain64(wa, rga, sb, ga, ra, 5, 1e-10, q_solver="auto")
+    wa, rga, sb = _chain_inputs(rng, 64)
+    host_chain64(wa, rga, sb, 5, 1e-10, q_solver="auto")
     assert not calls.get("topk")
 
 
