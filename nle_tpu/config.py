@@ -11,8 +11,6 @@ the amplified Lambda^{-1} factors by Lambda, cancelling the amplification.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 # Reference absolute cutoff (include/filter.hpp:14), used for all dtypes.
 EPS = 1e-10
 

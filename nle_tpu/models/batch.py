@@ -49,7 +49,6 @@ from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.logging import warn_truncation
 from nle_tpu.utils.transfer import fetch as transfer_fetch, transfer_pool
 
-import jax
 
 
 def train_filters_pipelined(
