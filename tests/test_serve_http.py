@@ -220,3 +220,42 @@ def test_factored_query_param(server, small_png):
         out2 = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
                             cv2.IMREAD_COLOR)
     np.testing.assert_array_equal(out2, out)
+
+
+def test_lru_clean_eviction_skips_resave(tmp_path, small_png):
+    """A reloaded-and-unmodified filter must NOT be re-serialized when it
+    is evicted again (round-robin /apply over max_filters+1 names would
+    otherwise pay a device fetch + npz compress per request)."""
+    import serve_http
+
+    store = serve_http._FilterStore(max_filters=1,
+                                    spill_dir=str(tmp_path / "s"))
+
+    class FakeTrained:
+        def __init__(self):
+            self.saves = 0
+
+        def save(self, path):
+            self.saves += 1
+            open(path, "wb").write(b"x")
+
+    class FakeFilter:
+        def __init__(self):
+            self.trained = FakeTrained()
+
+    f1, f2 = FakeFilter(), FakeFilter()
+    store.put("a", f1)
+    store.put("b", f2)          # evicts a -> 1 save
+    assert f1.trained.saves == 1
+    # Reload "a" without modifying it (monkey: load_filter would hit the
+    # real loader — intercept by injecting the resident entry the way a
+    # reload leaves it: present AND on disk).
+    store._resident["a"] = f1
+    store._on_disk.add("a")
+    store._spilled.discard("a")
+    store._evict_locked()       # over capacity again: evicts b or a
+    # Neither filter was re-saved for a clean eviction of "a".
+    assert f1.trained.saves == 1
+    store.put("a", f1)          # fresh training invalidates the checkpoint
+    store.put("c", FakeFilter())
+    assert f1.trained.saves == 2

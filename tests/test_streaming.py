@@ -277,3 +277,39 @@ def test_streaming_atb_matches_dense(rng):
                      + 1e-3 * (fb64[:, None, 2] - fa64[None, :, 2]) ** 2))
         want = A @ np.asarray(b, np.float64)[:p]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_streaming_multirow_ap_atb_match_single(rng):
+    """The R-row generalization (multi-channel factored apply) must equal R
+    independent single-row calls."""
+    from nle_tpu.ops.pallas.streaming_kernel import (
+        pad_stream_operands,
+        streaming_ap_pallas,
+        streaming_atb_pallas,
+    )
+
+    p, q, R = 260, 1100, 3
+    fa = jnp.asarray(rng.integers(0, 64, (p, 3)), jnp.float32)
+    fb = jnp.asarray(rng.integers(0, 64, (q, 3)), jnp.float32)
+    fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
+    qpad = fb_cols.shape[1]
+    ppad = fa_rows.shape[1]
+    X = np.zeros((R, qpad), np.float32)
+    X[:, :q] = rng.random((R, q)).astype(np.float32)
+    got = np.asarray(streaming_ap_pallas(fa_rows, fb_cols, jnp.asarray(X),
+                                         1e-4, 1e-3, interpret=True))
+    for j in range(R):
+        want = np.asarray(streaming_ap_pallas(
+            fa_rows, fb_cols, jnp.asarray(X[j:j + 1]), 1e-4, 1e-3,
+            interpret=True))[0]
+        np.testing.assert_allclose(got[j], want, rtol=1e-6, atol=1e-6)
+    B = np.zeros((R, ppad), np.float32)
+    B[:, :p] = rng.random((R, p)).astype(np.float32)
+    got_t = np.asarray(streaming_atb_pallas(fa_rows, fb_cols,
+                                            jnp.asarray(B), 1e-4, 1e-3,
+                                            interpret=True))
+    for j in range(R):
+        want = np.asarray(streaming_atb_pallas(
+            fa_rows, fb_cols, jnp.asarray(B[j]), 1e-4, 1e-3,
+            interpret=True))[0]
+        np.testing.assert_allclose(got_t[j], want, rtol=1e-6, atol=1e-6)
