@@ -17,7 +17,9 @@ Endpoints (image bytes in the request body, PNG bytes or JSON back):
                                             one-shot train + denoise
     POST /train?name=scene1&nr=..&nc=..     train a filter, keep it by name
     POST /apply?name=scene1&w=2,3,4,1       edit with a kept filter
-                                            (train once, edit many)
+                                            (train once, edit many;
+                                            op=denoise&shrink=2 runs the
+                                            GLIDE application instead)
 
 Hardening:
   - request bodies above --max-bytes (default 64 MiB) are rejected with 413
@@ -354,9 +356,21 @@ class _Service:
         img = _decode_bgr(body)
         name = q.get("name", ["default"])[0]
         f = self.store.get(name)
-        w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
-        with self.lock:
-            out = f.enhance(img, w)
+        op = q.get("op", ["enhance"])[0]
+        if op == "denoise":
+            # GLIDE application of a kept filter: shrink + chroma-only
+            # spectral filtering (models/filter.py denoise).
+            with self.lock:
+                out = f.denoise(
+                    img, float(q.get("shrink", ["2"])[0]),
+                    sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                    sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        elif op == "enhance":
+            w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+            with self.lock:
+                out = f.enhance(img, w)
+        else:
+            raise ValueError(f"unknown op {op!r} (enhance|denoise)")
         return _encode_png(out)
 
 

@@ -259,3 +259,18 @@ def test_lru_clean_eviction_skips_resave(tmp_path, small_png):
     store.put("a", f1)          # fresh training invalidates the checkpoint
     store.put("c", FakeFilter())
     assert f1.trained.saves == 2
+
+
+def test_apply_denoise_op(server, small_png):
+    """/apply?op=denoise runs the GLIDE application of a kept filter."""
+    img, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4"
+    with _post(f"{server}/train?name=dn&{cfg}", png) as r:
+        r.read()
+    with _post(f"{server}/apply?name=dn&op=denoise&shrink=2", png) as r:
+        out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                           cv2.IMREAD_COLOR)
+    assert out.shape == img.shape
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/apply?name=dn&op=sharpen", png)
+    assert ei.value.code == 400
