@@ -13,16 +13,28 @@ filter is a pytree `(eigvecs, eigvals)` and every stage is a jitted pure
 function designed for the TPU MXU/VPU rather than a port of the Eigen code.
 """
 
-from nle_tpu.models.filter import NLEFilter, TrainedFilter
+from nle_tpu.models.filter import NLEFilter, TrainedFilter, load_filter
 from nle_tpu.ops.pipeline import train_filter, apply_filter
 from nle_tpu.ops.transform import transform_eigenvalues
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "NLEFilter",
     "TrainedFilter",
+    "FactoredFilter",
+    "load_filter",
     "train_filter",
     "apply_filter",
     "transform_eigenvalues",
 ]
+
+
+def __getattr__(name):
+    # FactoredFilter lazily: models.factored pulls the Pallas kernels in,
+    # which plain enhance/denoise users never need at import time.
+    if name == "FactoredFilter":
+        from nle_tpu.models.factored import FactoredFilter
+
+        return FactoredFilter
+    raise AttributeError(name)
