@@ -28,6 +28,9 @@ def main():
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from bench_input import load_input
     from nle_tpu.color.lab import bgr_to_lab_u8_np

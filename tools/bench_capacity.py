@@ -34,6 +34,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from nle_tpu.ops.pipeline import apply_filter_u8, train_filter
     from nle_tpu.ops.transform import transform_eigenvalues
 

@@ -46,6 +46,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
     if precision == "float64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -29,6 +29,9 @@ def main():
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
 
     logging.basicConfig(level=logging.DEBUG,
                         format="%(relativeCreated)8.0fms %(message)s")
