@@ -150,6 +150,10 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
 
     if q_solver == "auto":
         q_solver = "topk" if (m >= 128 and 4 * k <= m) else "evd"
+    if q_solver not in ("evd", "topk"):
+        raise ValueError(
+            f"q_solver={q_solver!r}: expected auto|evd|topk "
+            "(NLE_Q_SOLVER?)")
     Vq = np.zeros((m, k))
     Sq = np.zeros(k)
     if q_solver == "topk":

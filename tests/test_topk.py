@@ -163,3 +163,30 @@ def test_sharded_stage1_topk_parity():
     V_t, S_t = train_filter_sharded(batch, *args, mesh, stage1="topk")
     np.testing.assert_allclose(np.asarray(S_t), np.asarray(S_h),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_host_orthogonalize_callable_sb(rng, monkeypatch):
+    """The Sb operand may arrive as a zero-arg callable (an in-flight
+    fetch): result identical to the eager array, and the callable resolves
+    AFTER eig(Wa)+E (i.e., lazily)."""
+    from nle_tpu.ops.pipeline import host_orthogonalize
+
+    m, mb, k = 24, 32, 4
+    Um = np.linalg.qr(rng.standard_normal((40, m)))[0][:, :m]
+    lam = np.geomspace(1e-6, 1.0, m)[::-1]
+    rc = np.zeros((2, mb))
+    rc[0, :m] = 1.0 + 0.1 * rng.random(m)
+    rc[1, :m] = 1.0 + 0.1 * rng.random(m)
+    B = rng.standard_normal((3 * mb, mb)) / np.sqrt(3 * mb)
+    sb = B.T @ B
+    va_e, sq_e = host_orthogonalize(rc, sb, Um, lam, m, mb, k, 1e-10)
+    resolved = []
+    va_l, sq_l = host_orthogonalize(
+        rc, lambda: resolved.append(1) or sb, Um, lam, m, mb, k, 1e-10)
+    assert resolved == [1]
+    np.testing.assert_array_equal(va_l, va_e)
+    np.testing.assert_array_equal(sq_l, sq_e)
+    # NLE_Q_SOLVER env override reaches host_chain64.
+    monkeypatch.setenv("NLE_Q_SOLVER", "bogus")
+    with pytest.raises(Exception):
+        host_orthogonalize(rc, sb, Um, lam, m, mb, k, 1e-10)
