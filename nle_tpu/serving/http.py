@@ -1,0 +1,562 @@
+"""HTTP edit service: the train-once / edit-many flow over a real transport.
+
+A stdlib ThreadingHTTPServer wrapping NLEFilter (models/filter.py) — the
+serving-path counterpart of examples/serving_stream.py (which is the
+in-process pipeline). No reference counterpart (the reference trains one
+filter per process run, reference src/enhance.cpp:33-49); this is the
+deployment shape the TrainedFilter checkpoint + nle-apply CLI already
+support, exposed as a service.
+
+Endpoints (image bytes in the request body, PNG bytes or JSON back):
+
+    GET  /healthz                           liveness + device platform
+    GET  /metrics                           request/latency/filter counters
+    POST /enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1
+                                            one-shot train + enhance
+    POST /denoise?...&shrink=2&sigma_color=10&sigma_space=10
+                                            one-shot train + denoise
+    POST /train?name=scene1&nr=..&nc=..     train a filter, keep it by name
+    POST /apply?name=scene1&w=2,3,4,1       edit with a kept filter
+                                            (train once, edit many;
+                                            op=denoise&shrink=2 runs the
+                                            GLIDE application instead)
+
+Hardening:
+  - request bodies above --max-bytes (default 64 MiB) are rejected with 413
+    before any decode work;
+  - --token=SECRET (or NLE_SERVE_TOKEN) requires `Authorization: Bearer
+    SECRET` on every POST (GET /healthz & /metrics stay open — probes);
+  - named filters live in a bounded LRU (--max-filters, default 8); evicted
+    filters SPILL to disk (TrainedFilter/FactoredFilter.save) and reload
+    transparently on the next /apply — eviction degrades to a cold load,
+    never to a 404.
+
+Device work is serialized with a lock (one chip); decoding/encoding and the
+HTTP plumbing run on the request threads (PNG encode happens OUTSIDE the
+device lock). Run:
+
+    nle-serve [--port=8807] [--token=SECRET]
+    curl -s --data-binary @/root/reference/data/flower-50.bmp \
+        'localhost:8807/enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1' \
+        -o /tmp/flower_enhanced.png
+
+`nle-serve --selftest` starts the server, POSTs the flower golden config through a
+real socket, checks the PSNR gate, and exits (used by the tests).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from nle_tpu.utils.imageio import imdecode_bgr as _decode_bgr
+from nle_tpu.utils.imageio import imencode_png as _encode_png
+
+DEFAULT_MAX_BYTES = 64 << 20
+DEFAULT_MAX_FILTERS = 8
+
+
+class _CoalescingTrainer:
+    """Turns concurrent enhance-training requests into pipelined batches.
+
+    Requests that arrive while the device is busy queue up; the worker
+    drains every queued request whose (image shape, train params) match in
+    ONE `train_filters_pipelined` call — image i+1's device Sinkhorn runs
+    while image i's host-f64 chain executes (models/batch.py, measured
+    1.64x on 1 MP streams). Mixed shapes/params fall back to per-request
+    training within the same worker (device work stays serialized)."""
+
+    def __init__(self, device_lock: threading.Lock, metrics=None):
+        self._cv = threading.Condition()
+        self._queue: list = []   # (key, L, params, result_box)
+        self._worker: threading.Thread | None = None
+        self._device_lock = device_lock
+        self._metrics = metrics
+
+    def train_enhancement(self, img_bgr, params):
+        """Blocking: returns a TrainedFilter for img's Lab L channel."""
+        from nle_tpu.color.lab import bgr_to_lab_u8_np
+
+        L = bgr_to_lab_u8_np(img_bgr)[..., 0].astype(np.float32)
+        key = (L.shape, params)
+        box = {"event": threading.Event()}
+        with self._cv:
+            self._queue.append((key, L, params, box))
+            # The worker clears self._worker UNDER this lock before
+            # exiting, so checking it here cannot race with a worker that
+            # already decided to die (which would strand this request).
+            if self._worker is None:
+                self._worker = threading.Thread(target=self._drain,
+                                                daemon=True)
+                self._worker.start()
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["filter"]
+
+    def _drain(self):
+        from nle_tpu.models.batch import train_filters_pipelined
+
+        while True:
+            with self._cv:
+                if not self._queue:
+                    self._worker = None
+                    return
+                key = self._queue[0][0]
+                group = [r for r in self._queue if r[0] == key]
+                self._queue = [r for r in self._queue if r[0] != key]
+            _, _, params, _ = group[0]
+            try:
+                # Hold the service's device lock while training: /train,
+                # /denoise and factored /enhance train under it, and two
+                # co-resident trainings can exceed HBM on multi-MP images.
+                with self._device_lock:
+                    flts = train_filters_pipelined(
+                        [r[1] for r in group], *params)
+                if self._metrics is not None:
+                    self._metrics.count_batch(len(group))
+                for (_, _, _, box), flt in zip(group, flts):
+                    box["filter"] = flt
+            except Exception as e:
+                for _, _, _, box in group:
+                    box["error"] = e
+            for _, _, _, box in group:
+                box["event"].set()
+
+
+class _FilterStore:
+    """Bounded LRU of named NLEFilters with disk spill.
+
+    /train inserts; /apply looks up (touching recency). When the resident
+    count exceeds `max_filters` the least-recently-used filter's state is
+    saved to `spill_dir` (TrainedFilter/FactoredFilter.save — the same
+    checkpoint format nle-apply consumes) and dropped from memory — its
+    device buffers free with it. A later /apply for a spilled name reloads
+    it (possibly evicting another), so capacity bounds memory, not the
+    namespace."""
+
+    def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
+                 spill_dir: str | None = None):
+        self.max_filters = max(1, int(max_filters))
+        self._spill_dir = spill_dir
+        self._lock = threading.Lock()
+        self._resident: OrderedDict[str, object] = OrderedDict()
+        self._spilled: set[str] = set()
+        # Names whose on-disk checkpoint matches the resident filter
+        # (i.e. reloaded-and-unmodified): evicting them skips the save —
+        # filters are immutable post-train, so a round-robin /apply over
+        # max_filters+1 names must not pay a device fetch + npz compress
+        # per request.
+        self._on_disk: set[str] = set()
+
+    def _dir(self) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="nle-filters-")
+        else:
+            os.makedirs(self._spill_dir, exist_ok=True)
+        return self._spill_dir
+
+    def _path(self, name: str) -> str:
+        # Names come from URLs; keep the file name safe.
+        import hashlib
+
+        return os.path.join(
+            self._dir(), hashlib.sha1(name.encode()).hexdigest() + ".npz")
+
+    def _evict_locked(self):
+        while len(self._resident) > self.max_filters:
+            name, f = self._resident.popitem(last=False)
+            if name not in self._on_disk:
+                f.trained.save(self._path(name))
+                self._on_disk.add(name)
+            self._spilled.add(name)
+
+    def put(self, name: str, f) -> None:
+        with self._lock:
+            self._resident[name] = f
+            self._resident.move_to_end(name)
+            self._spilled.discard(name)
+            self._on_disk.discard(name)   # a fresh training invalidates it
+            self._evict_locked()
+
+    def get(self, name: str):
+        """Resident hit, spilled reload, or KeyError."""
+        from nle_tpu.models.filter import NLEFilter, load_filter
+
+        with self._lock:
+            f = self._resident.get(name)
+            if f is not None:
+                self._resident.move_to_end(name)
+                return f
+            if name not in self._spilled:
+                raise KeyError(
+                    f"no trained filter named {name!r} "
+                    f"(have: {sorted(self.names())})")
+            f = NLEFilter(trained=load_filter(self._path(name)))
+            self._spilled.discard(name)
+            # The checkpoint on disk stays valid for this reloaded copy.
+            self._resident[name] = f
+            self._evict_locked()
+            return f
+
+    def names(self) -> list:
+        # Callers may already hold self._lock (get's error path) — plain
+        # reads of the two containers are atomic enough for a name listing.
+        return sorted(set(self._resident) | self._spilled)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"resident": len(self._resident),
+                    "spilled": len(self._spilled)}
+
+
+class _Metrics:
+    """Per-endpoint request counters and wall-clock, plus train/edit
+    totals (the observability VERDICT of a serving subsystem: how many
+    filters were built, how many edits served, how slow)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.endpoints: dict[str, dict] = {}
+        self.trains = 0         # filters built (one per request even when
+        self.edits = 0          # coalesced — each request gets its own)
+        self.train_batches = 0  # device training dispatches (coalesced
+        self.errors = 0         # groups count once)
+        self.rejected = 0       # auth / size-limit refusals
+
+    def count_batch(self, n_filters: int):
+        """One pipelined training dispatch covering n_filters filters."""
+        with self._lock:
+            self.train_batches += 1
+
+    def record(self, endpoint: str, seconds: float, ok: bool,
+               trains: int = 0, edits: int = 0):
+        with self._lock:
+            e = self.endpoints.setdefault(
+                endpoint, {"count": 0, "errors": 0, "total_sec": 0.0,
+                           "last_sec": 0.0})
+            e["count"] += 1
+            e["total_sec"] += seconds
+            e["last_sec"] = seconds
+            if not ok:
+                e["errors"] += 1
+                self.errors += 1
+            self.trains += trains
+            self.edits += edits
+
+    def reject(self):
+        with self._lock:
+            self.rejected += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            eps = {
+                k: {**v, "total_sec": round(v["total_sec"], 3),
+                    "last_sec": round(v["last_sec"], 3),
+                    "mean_sec": round(v["total_sec"] / max(1, v["count"]), 3)}
+                for k, v in self.endpoints.items()
+            }
+            return {"trains": self.trains, "edits": self.edits,
+                    "train_batches": self.train_batches,
+                    "errors": self.errors, "rejected": self.rejected,
+                    "endpoints": eps}
+
+
+class _Service:
+    """One device, many requests: filters by name + a device lock; one-shot
+    enhance trainings coalesce into pipelined batches."""
+
+    def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
+                 spill_dir: str | None = None):
+        self.lock = threading.Lock()
+        self.store = _FilterStore(max_filters, spill_dir)
+        self.metrics = _Metrics()
+        self.trainer = _CoalescingTrainer(self.lock, self.metrics)
+
+    @staticmethod
+    def _params(q):
+        return (int(q["nr"][0]), int(q["nc"][0]), float(q["hx"][0]),
+                float(q["hy"][0]), int(q.get("iters", ["10"])[0]),
+                int(q.get("k", ["5"])[0]))
+
+    @staticmethod
+    def _factored(q) -> bool:
+        return q.get("factored", ["0"])[0].lower() in ("1", "true", "yes")
+
+    def _make_filter(self, img, q, denoise: bool):
+        from nle_tpu.models.filter import NLEFilter
+
+        # factored=1: V-free capacity mode — kept filters cost ~17 B/pixel
+        # instead of 4k B/pixel (models/factored.py).
+        f = NLEFilter(factored=True) if self._factored(q) else NLEFilter()
+        args = (img,) + self._params(q)
+        if denoise:
+            f.train_for_denoise(
+                *args, sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        else:
+            f.train_for_enhancement(*args)
+        self.metrics.count_batch(1)
+        return f
+
+    def enhance(self, body, q):
+        from nle_tpu.models.filter import NLEFilter
+
+        img = _decode_bgr(body)
+        w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        if self._factored(q):
+            # V-free capacity mode: trains through the streaming stage 2
+            # (no pipelined coalescing — it is the huge-image path).
+            with self.lock:
+                f = self._make_filter(img, q, denoise=False)
+                out = f.enhance(img, w)
+        else:
+            # Coalescing path: blocks until the worker trained our filter —
+            # concurrent same-shape/params requests share one pipelined
+            # batch.
+            flt = self.trainer.train_enhancement(img, self._params(q))
+            with self.lock:
+                out = NLEFilter(trained=flt).enhance(img, w)
+        # PNG encode is pure host CPU — never under the device lock.
+        return _encode_png(out)
+
+    def denoise(self, body, q):
+        img = _decode_bgr(body)
+        with self.lock:
+            f = self._make_filter(img, q, denoise=True)
+            out = f.denoise(
+                img, float(q.get("shrink", ["2"])[0]),
+                sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        return _encode_png(out)
+
+    def train(self, body, q):
+        img = _decode_bgr(body)
+        name = q.get("name", ["default"])[0]
+        with self.lock:
+            f = self._make_filter(img, q, denoise=False)
+        self.store.put(name, f)
+        t = f.trained
+        k = int(t.eigvals.shape[0])
+        return json.dumps({
+            "name": name, "k": k,
+            "shape": [int(t.nrows), int(t.ncols)],
+        }).encode()
+
+    def apply(self, body, q):
+        img = _decode_bgr(body)
+        name = q.get("name", ["default"])[0]
+        f = self.store.get(name)
+        op = q.get("op", ["enhance"])[0]
+        if op == "denoise":
+            # GLIDE application of a kept filter: shrink + chroma-only
+            # spectral filtering (models/filter.py denoise).
+            with self.lock:
+                out = f.denoise(
+                    img, float(q.get("shrink", ["2"])[0]),
+                    sigma_color=float(q.get("sigma_color", ["10"])[0]),
+                    sigma_space=float(q.get("sigma_space", ["10"])[0]))
+        elif op == "enhance":
+            w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+            with self.lock:
+                out = f.enhance(img, w)
+        else:
+            raise ValueError(f"unknown op {op!r} (enhance|denoise)")
+        return _encode_png(out)
+
+
+def make_server(port: int = 0, token: str | None = None,
+                max_bytes: int = DEFAULT_MAX_BYTES,
+                max_filters: int = DEFAULT_MAX_FILTERS,
+                spill_dir: str | None = None) -> ThreadingHTTPServer:
+    svc = _Service(max_filters=max_filters, spill_dir=spill_dir)
+    token = token if token is not None else os.environ.get("NLE_SERVE_TOKEN")
+
+    # Which endpoints count as train vs edit in /metrics.
+    TRAINS = {"/enhance": 1, "/denoise": 1, "/train": 1, "/apply": 0}
+    EDITS = {"/enhance": 1, "/denoise": 1, "/train": 0, "/apply": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json_err(self, code, msg):
+            return self._reply(code, json.dumps({"error": msg}).encode(),
+                               "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                body = json.dumps({
+                    "ok": True, "platform": jax.default_backend(),
+                    "filters": svc.store.names(),
+                }).encode()
+                return self._reply(200, body, "application/json")
+            if path == "/metrics":
+                body = json.dumps({**svc.metrics.snapshot(),
+                                   "filters": svc.store.stats()}).encode()
+                return self._reply(200, body, "application/json")
+            return self._json_err(404, "not found")
+
+        def _drain_body(self, n: int):
+            """Read and discard up to n bytes (bounded, chunked — never
+            buffered) so a mid-upload client finishes sending and reliably
+            sees the error status instead of a broken pipe; give up past
+            8x the limit and just close."""
+            remaining = min(n, 8 * max_bytes)
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 16))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            self.close_connection = True
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            n = int(self.headers.get("Content-Length", "0"))
+            if token:
+                auth = self.headers.get("Authorization", "")
+                if auth != f"Bearer {token}":
+                    svc.metrics.reject()
+                    self._drain_body(n)
+                    return self._json_err(401, "missing or bad bearer token")
+            if n > max_bytes:
+                svc.metrics.reject()
+                self._drain_body(n)
+                return self._json_err(
+                    413, f"request body {n} bytes exceeds limit {max_bytes}")
+            body = self.rfile.read(n)
+            route = {"/enhance": svc.enhance, "/denoise": svc.denoise,
+                     "/train": svc.train, "/apply": svc.apply}.get(u.path)
+            if route is None:
+                return self._json_err(404, "not found")
+            t0 = time.perf_counter()
+            try:
+                out = route(body, q)
+            except (ValueError, KeyError, IndexError) as e:
+                # input-validation class: bad image bytes, bad params,
+                # unknown filter name
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
+                return self._json_err(400, f"{type(e).__name__}: {e}")
+            except Exception as e:  # server-side fault (device, compile...)
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
+                return self._json_err(500, f"{type(e).__name__}: {e}")
+            svc.metrics.record(u.path, time.perf_counter() - t0, True,
+                               trains=TRAINS[u.path], edits=EDITS[u.path])
+            ctype = ("application/json" if out[:1] == b"{" else "image/png")
+            return self._reply(200, out, ctype)
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def selftest(platform: str | None = None) -> float:
+    """Start the server on an ephemeral port, run the flower golden config
+    through real HTTP round trips (train-once + edit-many included), return
+    the PSNR vs the reference golden output."""
+    import urllib.request
+
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    srv = make_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+        data = open("/root/reference/data/flower-50.bmp", "rb").read()
+        cfg = "nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1"
+        req = urllib.request.Request(f"{base}/enhance?{cfg}", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = _decode_bgr(r.read())
+        # train-once / edit-many round trip
+        req = urllib.request.Request(
+            f"{base}/train?name=flower&{cfg}", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            meta = json.loads(r.read())
+        assert meta["k"] == 30, meta
+        req = urllib.request.Request(
+            f"{base}/apply?name=flower&w=2,3,4,1", data=data)
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out2 = _decode_bgr(r.read())
+        assert np.array_equal(out, out2), "apply != one-shot enhance"
+        with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["trains"] >= 2 and m["edits"] >= 2, m
+        golden = _decode_bgr(
+            open("/root/reference/data/flower-filtered.png", "rb").read())
+        mse = np.mean((out.astype(np.float64) - golden.astype(np.float64)) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        return float(psnr)
+    finally:
+        srv.shutdown()
+
+
+def main():
+    port = 8807
+    run_selftest = False
+    platform = None
+    token = None
+    max_bytes = int(os.environ.get("NLE_SERVE_MAX_BYTES", DEFAULT_MAX_BYTES))
+    max_filters = int(os.environ.get("NLE_SERVE_MAX_FILTERS",
+                                     DEFAULT_MAX_FILTERS))
+    spill_dir = None
+    for a in sys.argv[1:]:
+        if a.startswith("--port="):
+            port = int(a.split("=", 1)[1])
+        elif a == "--selftest":
+            run_selftest = True
+        elif a.startswith("--platform="):
+            platform = a.split("=", 1)[1]
+        elif a.startswith("--token="):
+            token = a.split("=", 1)[1]
+        elif a.startswith("--max-bytes="):
+            max_bytes = int(a.split("=", 1)[1])
+        elif a.startswith("--max-filters="):
+            max_filters = int(a.split("=", 1)[1])
+        elif a.startswith("--spill-dir="):
+            spill_dir = a.split("=", 1)[1]
+    if run_selftest:
+        psnr = selftest(platform)
+        print(f"selftest PSNR: {psnr:.2f} dB")
+        sys.exit(0 if psnr >= 45.0 else 1)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    srv = make_server(port, token=token, max_bytes=max_bytes,
+                      max_filters=max_filters, spill_dir=spill_dir)
+    print(f"nle-tpu edit service on http://127.0.0.1:{port} "
+          "(POST /enhance /denoise /train /apply, GET /healthz /metrics)",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
