@@ -35,7 +35,7 @@ Device work is serialized with a lock (one chip); decoding/encoding and the
 HTTP plumbing run on the request threads (PNG encode happens OUTSIDE the
 device lock). Run:
 
-    nle-serve [--port=8807] [--token=SECRET]
+    nle-serve [--port=8807] [--token=SECRET] [--access-log=PATH|-]
     curl -s --data-binary @/root/reference/data/flower-50.bmp \
         'localhost:8807/enhance?nr=10&nc=20&hx=100&hy=30&iters=50&k=30&w=2,3,4,1' \
         -o /tmp/flower_enhanced.png
@@ -375,9 +375,29 @@ class _Service:
 def make_server(port: int = 0, token: str | None = None,
                 max_bytes: int = DEFAULT_MAX_BYTES,
                 max_filters: int = DEFAULT_MAX_FILTERS,
-                spill_dir: str | None = None) -> ThreadingHTTPServer:
+                spill_dir: str | None = None,
+                access_log=None) -> ThreadingHTTPServer:
+    """access_log: None (off), or a write()-able stream that receives one
+    JSON line per request: ts, client, method, path, status, ms, bytes_in,
+    bytes_out (structured access logging for the serving subsystem)."""
     svc = _Service(max_filters=max_filters, spill_dir=spill_dir)
     token = token if token is not None else os.environ.get("NLE_SERVE_TOKEN")
+    log_lock = threading.Lock()
+
+    def access(handler, status: int, ms: float, n_in: int, n_out: int):
+        if access_log is None:
+            return
+        line = json.dumps({
+            "ts": round(time.time(), 3),
+            "client": handler.client_address[0],
+            "method": handler.command,
+            "path": handler.path,
+            "status": status, "ms": round(ms, 1),
+            "bytes_in": n_in, "bytes_out": n_out,
+        })
+        with log_lock:
+            access_log.write(line + "\n")
+            access_log.flush()
 
     # Which endpoints count as train vs edit in /metrics.
     TRAINS = {"/enhance": 1, "/denoise": 1, "/train": 1, "/apply": 0}
@@ -387,16 +407,18 @@ def make_server(port: int = 0, token: str | None = None,
         def log_message(self, fmt, *args):  # quiet
             pass
 
-        def _reply(self, code, body, ctype):
+        def _reply(self, code, body, ctype, ms: float = 0.0,
+                   n_in: int = 0):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            access(self, code, ms, n_in, len(body))
 
-        def _json_err(self, code, msg):
+        def _json_err(self, code, msg, ms: float = 0.0, n_in: int = 0):
             return self._reply(code, json.dumps({"error": msg}).encode(),
-                               "application/json")
+                               "application/json", ms=ms, n_in=n_in)
 
         def do_GET(self):
             path = urlparse(self.path).path
@@ -453,15 +475,20 @@ def make_server(port: int = 0, token: str | None = None,
             except (ValueError, KeyError, IndexError) as e:
                 # input-validation class: bad image bytes, bad params,
                 # unknown filter name
-                svc.metrics.record(u.path, time.perf_counter() - t0, False)
-                return self._json_err(400, f"{type(e).__name__}: {e}")
+                dt = time.perf_counter() - t0
+                svc.metrics.record(u.path, dt, False)
+                return self._json_err(400, f"{type(e).__name__}: {e}",
+                                      ms=dt * 1e3, n_in=n)
             except Exception as e:  # server-side fault (device, compile...)
-                svc.metrics.record(u.path, time.perf_counter() - t0, False)
-                return self._json_err(500, f"{type(e).__name__}: {e}")
-            svc.metrics.record(u.path, time.perf_counter() - t0, True,
+                dt = time.perf_counter() - t0
+                svc.metrics.record(u.path, dt, False)
+                return self._json_err(500, f"{type(e).__name__}: {e}",
+                                      ms=dt * 1e3, n_in=n)
+            dt = time.perf_counter() - t0
+            svc.metrics.record(u.path, dt, True,
                                trains=TRAINS[u.path], edits=EDITS[u.path])
             ctype = ("application/json" if out[:1] == b"{" else "image/png")
-            return self._reply(200, out, ctype)
+            return self._reply(200, out, ctype, ms=dt * 1e3, n_in=n)
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
@@ -524,6 +551,7 @@ def main():
     max_filters = int(os.environ.get("NLE_SERVE_MAX_FILTERS",
                                      DEFAULT_MAX_FILTERS))
     spill_dir = None
+    access_log_path = None
     for a in sys.argv[1:]:
         if a.startswith("--port="):
             port = int(a.split("=", 1)[1])
@@ -539,6 +567,8 @@ def main():
             max_filters = int(a.split("=", 1)[1])
         elif a.startswith("--spill-dir="):
             spill_dir = a.split("=", 1)[1]
+        elif a.startswith("--access-log="):
+            access_log_path = a.split("=", 1)[1]
     if run_selftest:
         psnr = selftest(platform)
         print(f"selftest PSNR: {psnr:.2f} dB")
@@ -550,8 +580,12 @@ def main():
     from nle_tpu.config import enable_persistent_cache
 
     enable_persistent_cache()
+    access_log = (sys.stdout if access_log_path == "-"
+                  else open(access_log_path, "a")
+                  if access_log_path else None)
     srv = make_server(port, token=token, max_bytes=max_bytes,
-                      max_filters=max_filters, spill_dir=spill_dir)
+                      max_filters=max_filters, spill_dir=spill_dir,
+                      access_log=access_log)
     print(f"nle-tpu edit service on http://127.0.0.1:{port} "
           "(POST /enhance /denoise /train /apply, GET /healthz /metrics)",
           flush=True)

@@ -274,3 +274,32 @@ def test_apply_denoise_op(server, small_png):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"{server}/apply?name=dn&op=sharpen", png)
     assert ei.value.code == 400
+
+
+def test_access_log_lines(tmp_path, small_png):
+    """One JSON line per request with status/latency/byte counts."""
+    import io
+
+    import serve_http
+
+    buf = io.StringIO()
+    srv = serve_http.make_server(access_log=buf)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        _, png = small_png
+        with _post(f"{base}/enhance?nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+                   "&w=1,1,1,1", png) as r:
+            r.read()
+        with pytest.raises(urllib.error.HTTPError):
+            _post(f"{base}/nope", png)
+    finally:
+        srv.shutdown()
+    lines = [json.loads(x) for x in buf.getvalue().splitlines()]
+    assert len(lines) == 2
+    ok = lines[0]
+    assert (ok["status"] == 200 and ok["path"].startswith("/enhance")
+            and ok["ms"] > 0 and ok["bytes_in"] == len(png)
+            and ok["bytes_out"] > 0 and ok["method"] == "POST")
+    assert lines[1]["status"] == 404
