@@ -144,3 +144,15 @@ def test_stage1_device_host64_chain(rng):
     out_d = np.asarray(apply_filter(V_d, transform_eigenvalues(S_d, w),
                                     jnp.asarray(img)))
     assert np.abs(out_d - out_h).max() < 0.5
+
+
+def test_training_is_deterministic(rng):
+    """The sanitizer/race-detection analog of the reference's single-thread
+    guarantee (SURVEY §5): two identical train runs produce BITWISE-equal
+    filters — jit programs are deterministic, the host-f64 chain is
+    sequential, and the async Sb fetch cannot reorder arithmetic."""
+    chan = rng.integers(0, 256, (48, 56)).astype(np.float32)
+    V1, S1 = train_filter(chan, 5, 6, 200.0, 30.0, 8, 5)
+    V2, S2 = train_filter(chan, 5, 6, 200.0, 30.0, 8, 5)
+    np.testing.assert_array_equal(np.asarray(V1), np.asarray(V2))
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S2))
