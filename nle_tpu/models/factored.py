@@ -96,16 +96,43 @@ class FactoredFilter:
 
     def apply_u8(self, channels_u8: np.ndarray, scale_vals) -> np.ndarray:
         """Filter + clamp 8-bit channel(s), pixel order in/out. (H, W) or
-        (H, W, C); all C channels ride ONE pair of streaming passes (extra
-        kernel rows — the denoise chroma pair costs 2 pass-pairs total,
-        not 4)."""
+        (H, W, C).
+
+        Small images batch all C channels through ONE pair of streaming
+        passes as extra kernel rows (channel-major (C, N) on device — an
+        (N, C) array would pad its minor dim to 128 lanes); the fixed
+        dispatch + tunnel latency dominates there, so one pass-pair wins.
+        At capacity sizes the measured reality is the reverse: the R-row
+        kernels run slower per pass than R single-row passes on this
+        hardware (8 MP, C=2: batched 1.39 s vs 2x0.52 s), so large images
+        dispatch per channel. NLE_FACTORED_BATCH_PIXELS overrides the
+        threshold."""
+        import os
+
         shape = channels_u8.shape
         flat = channels_u8.reshape(self.n_pixels, -1)[self.perm]
-        y = _cast_channel(jnp.asarray(flat), jnp.float32)
-        filt = self._apply_packed(y, scale_vals)
-        out = fetch(jnp.clip(jnp.rint(filt), 0, 255).astype(jnp.uint8))
-        unpacked = np.empty_like(out)
-        unpacked[self.perm] = out
+        limit = int(os.environ.get("NLE_FACTORED_BATCH_PIXELS",
+                                   str(2_000_000)))
+        if flat.shape[1] > 1 and self.n_pixels > limit:
+            outs = [
+                fetch(jnp.clip(jnp.rint(self._apply_packed(
+                    _cast_channel(jnp.asarray(flat[:, j]), jnp.float32),
+                    scale_vals)), 0, 255).astype(jnp.uint8))
+                for j in range(flat.shape[1])
+            ]
+            out_t = np.stack(outs, axis=0)
+        else:
+            # Host-side transpose to channel-major (cheap memcpy) so every
+            # N-sized device array stays row-major in N.
+            y = _cast_channel(jnp.asarray(np.ascontiguousarray(flat.T)),
+                              jnp.float32)
+            filt = self._apply_packed(y, scale_vals)
+            if filt.ndim == 1:
+                filt = filt[None, :]
+            out_t = fetch(jnp.clip(jnp.rint(filt), 0, 255
+                                   ).astype(jnp.uint8))
+        unpacked = np.empty_like(flat)
+        unpacked[self.perm] = out_t.T
         return unpacked.reshape(shape)
 
     def save(self, path: str) -> None:

