@@ -20,6 +20,7 @@ ops/pallas/streaming_kernel.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -115,22 +116,27 @@ class FactoredFilter:
                                    str(2_000_000)))
         if flat.shape[1] > 1 and self.n_pixels > limit:
             outs = [
-                fetch(jnp.clip(jnp.rint(self._apply_packed(
+                fetch(_clip_u8_flat(self._apply_packed(
                     _cast_channel(jnp.asarray(flat[:, j]), jnp.float32),
-                    scale_vals)), 0, 255).astype(jnp.uint8))
+                    scale_vals)))
                 for j in range(flat.shape[1])
             ]
             out_t = np.stack(outs, axis=0)
         else:
-            # Host-side transpose to channel-major (cheap memcpy) so every
-            # N-sized device array stays row-major in N.
-            y = _cast_channel(jnp.asarray(np.ascontiguousarray(flat.T)),
-                              jnp.float32)
+            # Host-side transpose to channel-major (cheap memcpy), uploaded
+            # FLAT and reshaped inside jit: a (C, N) u8 device array pads
+            # its sublane dim C -> 32, so a direct upload would move 16x
+            # the bytes over the tunnel.
+            flat_t = np.ascontiguousarray(flat.T)
+            y = _cast_rows(jnp.asarray(flat_t.reshape(-1)),
+                           flat_t.shape[0])
             filt = self._apply_packed(y, scale_vals)
             if filt.ndim == 1:
                 filt = filt[None, :]
-            out_t = fetch(jnp.clip(jnp.rint(filt), 0, 255
-                                   ).astype(jnp.uint8))
+            # Clip + flatten INSIDE jit: a (C, N) u8 device array pads its
+            # sublane dim C -> 32 (16x the physical bytes), which the fetch
+            # would then stream; the jitted 1-D output is compact.
+            out_t = fetch(_clip_u8_flat(filt)).reshape(flat.shape[1], -1)
         unpacked = np.empty_like(flat)
         unpacked[self.perm] = out_t.T
         return unpacked.reshape(shape)
@@ -166,6 +172,20 @@ class FactoredFilter:
             hy=float(z["bandwidths"][1]),
             perm=z["perm"],
         )
+
+
+@jax.jit
+def _clip_u8_flat(x):
+    """Reference clamp epilogue (src/filter.cpp:434-436) + flatten, fused
+    on device: the flat u8 output has no padded sublanes to transfer."""
+    return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.uint8).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _cast_rows(y_flat, rows: int):
+    """(rows*N,) u8 -> (rows, N) f32 on device (the flat upload dodges the
+    sublane padding a small-leading-dim u8 array pays over the tunnel)."""
+    return y_flat.reshape(rows, -1).astype(jnp.float32)
 
 
 def _device_state(flt: FactoredFilter):

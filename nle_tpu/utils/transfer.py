@@ -46,25 +46,34 @@ def _pool() -> ThreadPoolExecutor:
 
 
 def fetch(arr) -> np.ndarray:
-    """Device->host transfer of a jax array (or passthrough for numpy)."""
+    """Device->host transfer of a jax array (or passthrough for numpy).
+
+    The array is flattened ON DEVICE first (a trivial relayout next to the
+    transfer cost) and the 1-D view chunked along its only axis: leading-
+    axis chunking would leave a channel-major (C, N) result with a tiny
+    leading dim on the latency-bound single-request path, and slicing the
+    MINOR axis of a 2-D device array measured pathologically slow
+    (a (2, 8M) u8 fetch: ~1.4 s either bare or column-chunked; ~0.4 s
+    flattened+chunked)."""
     if isinstance(arr, np.ndarray):
         return arr
     nbytes = getattr(arr, "nbytes", 0)
-    if nbytes <= _SMALL_BYTES or arr.ndim == 0 or arr.shape[0] < _WORKERS:
+    if nbytes <= _SMALL_BYTES or arr.ndim == 0:
         return np.asarray(arr)
-    n = arr.shape[0]
-    row_bytes = max(1, nbytes // n)
-    rows_per_chunk = max(1, _CHUNK_BYTES // row_bytes)
-    bounds = list(range(0, n, rows_per_chunk)) + [n]
-    out = np.empty(arr.shape, dtype=arr.dtype)
+    shape = arr.shape
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    per_chunk = max(1, _CHUNK_BYTES // max(1, nbytes // n))
+    bounds = list(range(0, n, per_chunk)) + [n]
+    out = np.empty((n,), dtype=arr.dtype)
 
     def _copy(a: int, b: int) -> None:
         # Write straight into the destination slab: avoids holding every
         # chunk copy alive for a final concatenate (2x peak host memory).
-        out[a:b] = np.asarray(arr[a:b])
+        out[a:b] = np.asarray(flat[a:b])
 
     futures = [_pool().submit(_copy, a, b)
                for a, b in zip(bounds[:-1], bounds[1:])]
     for f in futures:
         f.result()
-    return out
+    return out.reshape(shape)
