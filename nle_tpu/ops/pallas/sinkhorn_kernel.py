@@ -233,8 +233,14 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
     (r, c) even after f32 polish iterations, and the downstream
     orthogonalization chain amplifies that chaotically on some scenes
     (measured: bird 59->27 dB, rock2 62->24 dB golden PSNR — fails the
-    45 dB gate). It remains available as an explicit fast/preview mode:
-    ~1.8x on the dominant HBM-bound stage.
+    45 dB gate). No polish length fixes this: the Sinkhorn map's
+    contraction factor on these kernels is ~0.94/iteration (measured decay
+    of an injected bf16 lead error on the rock2 grid: 1.7e-4 after 1 f32
+    polish iteration, still 3.8e-5 after 24), so erasing the perturbation
+    within the reference's fixed 50-iteration budget is impossible — the
+    reference trajectory is NOT converged, and golden parity pins the
+    trajectory, not the fixed point. It remains available as an explicit
+    fast/preview mode: ~1.8x on the dominant HBM-bound stage.
 
     NLE_SINKHORN_BF16: "off" (default) disables; "auto"/"on" runs all but
     the last 2 iterations in bf16 (needs >= 2 bf16 iterations to amortize
