@@ -115,13 +115,18 @@ class FactoredFilter:
         limit = int(os.environ.get("NLE_FACTORED_BATCH_PIXELS",
                                    str(2_000_000)))
         if flat.shape[1] > 1 and self.n_pixels > limit:
-            outs = [
-                fetch(_clip_u8_flat(self._apply_packed(
+            # Dispatch every channel before fetching any: the applies
+            # queue back-to-back on the jax stream while the (pool-
+            # threaded) fetches overlap them — fetching channel j before
+            # dispatching j+1 would idle the chip for a full transfer.
+            devs = [
+                _clip_u8_flat(self._apply_packed(
                     _cast_channel(jnp.asarray(flat[:, j]), jnp.float32),
-                    scale_vals)))
+                    scale_vals))
                 for j in range(flat.shape[1])
             ]
-            out_t = np.stack(outs, axis=0)
+            futs = [transfer_pool().submit(fetch, d) for d in devs]
+            out_t = np.stack([f.result() for f in futs], axis=0)
         else:
             # Host-side transpose to channel-major (cheap memcpy), uploaded
             # FLAT and reshaped inside jit: a (C, N) u8 device array pads

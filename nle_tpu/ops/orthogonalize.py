@@ -125,6 +125,13 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
     wa = np.asarray(wa, np.float64)
     rga = np.asarray(rga, np.float64)
     m = wa.shape[0]
+    if q_solver not in ("auto", "evd", "topk"):
+        # Validate BEFORE the eig(Wa) + E + Qt work (and before blocking on
+        # the Sb fetch): a typo'd NLE_Q_SOLVER must fail fast, not after
+        # ~100 ms of f64 chain per image.
+        raise ValueError(
+            f"q_solver={q_solver!r}: expected auto|evd|topk "
+            "(NLE_Q_SOLVER?)")
 
     def eigh_desc_raw(M):
         low = np.tril(M)
@@ -150,10 +157,6 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
 
     if q_solver == "auto":
         q_solver = "topk" if (m >= 128 and 4 * k <= m) else "evd"
-    if q_solver not in ("evd", "topk"):
-        raise ValueError(
-            f"q_solver={q_solver!r}: expected auto|evd|topk "
-            "(NLE_Q_SOLVER?)")
     Vq = np.zeros((m, k))
     Sq = np.zeros(k)
     if q_solver == "topk":

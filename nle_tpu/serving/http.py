@@ -143,11 +143,20 @@ class _FilterStore:
     namespace."""
 
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
-                 spill_dir: str | None = None):
+                 spill_dir: str | None = None,
+                 device_lock=None):
         self.max_filters = max(1, int(max_filters))
         self._spill_dir = spill_dir
         self._lock = threading.Lock()
+        # Spill saves fetch device buffers: serialize them with the
+        # service's device lock so they never run concurrently with
+        # another request's training/apply on the one chip.
+        self._device_lock = device_lock
         self._resident: OrderedDict[str, object] = OrderedDict()
+        # Evicted but not yet written to disk (save runs OUTSIDE the store
+        # lock — it fetches ~100s of MB over the tunnel): get() serves
+        # these live objects so eviction is never observable as a miss.
+        self._saving: dict[str, object] = {}
         self._spilled: set[str] = set()
         # Names whose on-disk checkpoint matches the resident filter
         # (i.e. reloaded-and-unmodified): evicting them skips the save —
@@ -170,13 +179,32 @@ class _FilterStore:
         return os.path.join(
             self._dir(), hashlib.sha1(name.encode()).hexdigest() + ".npz")
 
-    def _evict_locked(self):
+    def _pick_victims_locked(self) -> list:
+        """Pop LRU filters past capacity; mark them spilled and (when the
+        checkpoint is stale) queue them for an out-of-lock save."""
+        victims = []
         while len(self._resident) > self.max_filters:
             name, f = self._resident.popitem(last=False)
             if name not in self._on_disk:
-                f.trained.save(self._path(name))
-                self._on_disk.add(name)
+                self._saving[name] = f
+                victims.append((name, f))
             self._spilled.add(name)
+        return victims
+
+    def _save_victims(self, victims: list) -> None:
+        """Write evicted filters' checkpoints. Runs WITHOUT the store lock
+        (a save fetches the (N, k) eigvecs — seconds on the tunnel; holding
+        the store lock would stall every concurrent request) and WITH the
+        device lock (the fetch is device traffic)."""
+        for name, f in victims:
+            if self._device_lock is not None:
+                with self._device_lock:
+                    f.trained.save(self._path(name))
+            else:
+                f.trained.save(self._path(name))
+            with self._lock:
+                self._on_disk.add(name)
+                self._saving.pop(name, None)
 
     def put(self, name: str, f) -> None:
         with self._lock:
@@ -184,10 +212,12 @@ class _FilterStore:
             self._resident.move_to_end(name)
             self._spilled.discard(name)
             self._on_disk.discard(name)   # a fresh training invalidates it
-            self._evict_locked()
+            victims = self._pick_victims_locked()
+        self._save_victims(victims)
 
     def get(self, name: str):
-        """Resident hit, spilled reload, or KeyError."""
+        """Resident hit, in-flight-eviction hit, spilled reload, or
+        KeyError."""
         from nle_tpu.models.filter import NLEFilter, load_filter
 
         with self._lock:
@@ -195,16 +225,30 @@ class _FilterStore:
             if f is not None:
                 self._resident.move_to_end(name)
                 return f
+            f = self._saving.get(name)
+            if f is not None:
+                # Evicted, checkpoint still being written: serve the live
+                # object (it stays spilled; no recency reinstatement).
+                return f
             if name not in self._spilled:
                 raise KeyError(
                     f"no trained filter named {name!r} "
                     f"(have: {sorted(self.names())})")
-            f = NLEFilter(trained=load_filter(self._path(name)))
+        # Disk + device load OUTSIDE the store lock: a cold reload must not
+        # block unrelated requests' store lookups.
+        loaded = NLEFilter(trained=load_filter(self._path(name)))
+        with self._lock:
+            cur = self._resident.get(name)
+            if cur is not None:  # lost a reload race — use the winner
+                self._resident.move_to_end(name)
+                return cur
             self._spilled.discard(name)
             # The checkpoint on disk stays valid for this reloaded copy.
-            self._resident[name] = f
-            self._evict_locked()
-            return f
+            self._on_disk.add(name)
+            self._resident[name] = loaded
+            victims = self._pick_victims_locked()
+        self._save_victims(victims)
+        return loaded
 
     def names(self) -> list:
         # Callers may already hold self._lock (get's error path) — plain
@@ -225,16 +269,18 @@ class _Metrics:
     def __init__(self):
         self._lock = threading.Lock()
         self.endpoints: dict[str, dict] = {}
-        self.trains = 0         # filters built (one per request even when
-        self.edits = 0          # coalesced — each request gets its own)
-        self.train_batches = 0  # device training dispatches (coalesced
-        self.errors = 0         # groups count once)
-        self.rejected = 0       # auth / size-limit refusals
+        self.trains = 0          # filters built (one per request even when
+        self.edits = 0           # coalesced — each request gets its own)
+        self.train_batches = 0   # device training dispatches (coalesced
+        self.batched_filters = 0 # groups count once; this sums their sizes)
+        self.errors = 0
+        self.rejected = 0        # auth / size-limit refusals
 
     def count_batch(self, n_filters: int):
         """One pipelined training dispatch covering n_filters filters."""
         with self._lock:
             self.train_batches += 1
+            self.batched_filters += n_filters
 
     def record(self, endpoint: str, seconds: float, ok: bool,
                trains: int = 0, edits: int = 0):
@@ -265,6 +311,7 @@ class _Metrics:
             }
             return {"trains": self.trains, "edits": self.edits,
                     "train_batches": self.train_batches,
+                    "batched_filters": self.batched_filters,
                     "errors": self.errors, "rejected": self.rejected,
                     "endpoints": eps}
 
@@ -276,7 +323,7 @@ class _Service:
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
                  spill_dir: str | None = None):
         self.lock = threading.Lock()
-        self.store = _FilterStore(max_filters, spill_dir)
+        self.store = _FilterStore(max_filters, spill_dir, device_lock=self.lock)
         self.metrics = _Metrics()
         self.trainer = _CoalescingTrainer(self.lock, self.metrics)
 
@@ -452,7 +499,17 @@ def make_server(port: int = 0, token: str | None = None,
         def do_POST(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
-            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                n = -1
+            if n < 0:
+                # Non-numeric or negative Content-Length: never pass it to
+                # rfile.read (read(-1) blocks until client EOF, hanging the
+                # handler thread on a keep-alive connection).
+                svc.metrics.reject()
+                self.close_connection = True
+                return self._json_err(400, "bad Content-Length header")
             if token:
                 auth = self.headers.get("Authorization", "")
                 if auth != f"Bearer {token}":

@@ -48,29 +48,38 @@ def _pool() -> ThreadPoolExecutor:
 def fetch(arr) -> np.ndarray:
     """Device->host transfer of a jax array (or passthrough for numpy).
 
-    The array is flattened ON DEVICE first (a trivial relayout next to the
-    transfer cost) and the 1-D view chunked along its only axis: leading-
-    axis chunking would leave a channel-major (C, N) result with a tiny
-    leading dim on the latency-bound single-request path, and slicing the
-    MINOR axis of a 2-D device array measured pathologically slow
-    (a (2, 8M) u8 fetch: ~1.4 s either bare or column-chunked; ~0.4 s
-    flattened+chunked)."""
+    Chunks along the LEADING axis when rows are small enough that row
+    groups hit the ~2 MB request sweet spot (zero extra device memory:
+    leading-axis slices need no relayout). Arrays whose single rows
+    exceed the chunk size — channel-major (C, N) results with a tiny
+    leading dim — are flattened ON DEVICE first and the 1-D view chunked:
+    slicing the MINOR axis of a 2-D device array measured pathologically
+    slow (a (2, 8M) u8 fetch: ~1.4 s either bare or column-chunked;
+    ~0.4 s flattened+chunked). The flatten is a device relayout copy, so
+    it is reserved for exactly that tiny-leading-dim case — a (N, k)
+    eigvec fetch near chip capacity must not transiently double HBM."""
     if isinstance(arr, np.ndarray):
         return arr
     nbytes = getattr(arr, "nbytes", 0)
     if nbytes <= _SMALL_BYTES or arr.ndim == 0:
         return np.asarray(arr)
     shape = arr.shape
-    flat = arr.reshape(-1)
-    n = flat.shape[0]
-    per_chunk = max(1, _CHUNK_BYTES // max(1, nbytes // n))
+    row_bytes = max(1, nbytes // shape[0])
+    if row_bytes <= _CHUNK_BYTES:
+        n = shape[0]
+        src = arr
+    else:
+        n = arr.size
+        src = arr.reshape(-1)
+        row_bytes = max(1, nbytes // n)
+    per_chunk = max(1, _CHUNK_BYTES // row_bytes)
     bounds = list(range(0, n, per_chunk)) + [n]
-    out = np.empty((n,), dtype=arr.dtype)
+    out = np.empty((n,) + src.shape[1:], dtype=arr.dtype)
 
     def _copy(a: int, b: int) -> None:
         # Write straight into the destination slab: avoids holding every
         # chunk copy alive for a final concatenate (2x peak host memory).
-        out[a:b] = np.asarray(flat[a:b])
+        out[a:b] = np.asarray(src[a:b])
 
     futures = [_pool().submit(_copy, a, b)
                for a, b in zip(bounds[:-1], bounds[1:])]

@@ -49,6 +49,23 @@ def test_factored_apply_u8_multichannel(image, rng):
         assert np.abs(got[..., j].astype(np.float64) - want).max() <= 1.0
 
 
+def test_factored_apply_u8_per_channel_branch(image, rng, monkeypatch):
+    """The capacity-size dispatch (per-channel passes above
+    NLE_FACTORED_BATCH_PIXELS) must agree exactly with the batched
+    channel-major branch — it only ever runs on multi-MP TPU jobs
+    otherwise."""
+    ff = train_filter_factored(image, *ARGS)
+    fS = transform_eigenvalues(ff.eigvals, jnp.asarray(W, jnp.float32))
+    chans = rng.integers(0, 256, (60, 70, 2)).astype(np.uint8)
+    batched = ff.apply_u8(chans, fS)
+    monkeypatch.setenv("NLE_FACTORED_BATCH_PIXELS", "1")
+    per_channel = ff.apply_u8(chans, fS)
+    # The R-row and single-row kernels may associate sums differently;
+    # after the rint clamp that is at most 1 LSB on .5-boundary pixels.
+    diff = np.abs(per_channel.astype(np.int16) - batched.astype(np.int16))
+    assert diff.max() <= 1
+
+
 def test_nlefilter_factored_enhance_matches_dense():
     cv2 = pytest.importorskip("cv2")
     img = cv2.imread("/root/reference/data/flower-50.bmp")

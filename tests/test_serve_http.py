@@ -94,6 +94,25 @@ def test_errors_are_http_400(server, small_png):
     assert ei.value.code == 404
 
 
+def test_bad_content_length_is_http_400(server):
+    """Non-numeric or negative Content-Length gets a clean 400 (never an
+    unhandled int() crash, never a blocking rfile.read(-1))."""
+    import http.client
+
+    host, port = server.removeprefix("http://").split(":")
+    for bad in ("abc", "-5"):
+        conn = http.client.HTTPConnection(host, int(port), timeout=10)
+        try:
+            conn.putrequest("POST", "/enhance?nr=2&nc=2&hx=50&hy=30")
+            conn.putheader("Content-Length", bad)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert "Content-Length" in json.loads(resp.read())["error"]
+        finally:
+            conn.close()
+
+
 def test_concurrent_enhance_coalesces(server, small_png):
     """Concurrent same-shape /enhance requests ride one pipelined batch
     (examples/serve_http.py _CoalescingTrainer) and each equals the
@@ -253,7 +272,9 @@ def test_lru_clean_eviction_skips_resave(tmp_path, small_png):
     store._resident["a"] = f1
     store._on_disk.add("a")
     store._spilled.discard("a")
-    store._evict_locked()       # over capacity again: evicts b or a
+    with store._lock:
+        victims = store._pick_victims_locked()  # over capacity: evicts LRU
+    store._save_victims(victims)
     # Neither filter was re-saved for a clean eviction of "a".
     assert f1.trained.saves == 1
     store.put("a", f1)          # fresh training invalidates the checkpoint

@@ -17,6 +17,10 @@ def test_fetch_matches_asarray(rng):
         rng.random((big_rows // 8, 8)).astype(np.float32),  # chunked 2-D
         rng.integers(0, 255, big_rows, dtype=np.uint8),     # u8 below thresh
         rng.integers(0, 255, 5 * _SMALL_BYTES, dtype=np.uint8),  # u8 chunked
+        # tiny leading dim, huge rows: the on-device-flatten path
+        rng.integers(0, 255, (2, 3 * _SMALL_BYTES), dtype=np.uint8),
+        # many small rows: the zero-extra-HBM leading-axis path
+        rng.random((big_rows // 2, 3)).astype(np.float32),
     ]
     for x in cases:
         d = jnp.asarray(x)

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nle_tpu.config import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def make(variant, chunk, npad, mpad):
     NS = int(os.environ.get("NSLOTS", "2"))
@@ -87,8 +91,10 @@ def main():
     t0v = jnp.asarray(rng.random(m).astype(np.float32))
     sweep_bytes = 4 * npad * m
 
-    for variant in ("dmaonly", "wpart"):
-        for chunk in (512, 1024):
+    variants = os.environ.get("VARIANTS", "dmaonly,wpart").split(",")
+    chunks = [int(c) for c in os.environ.get("CHUNKS", "512,1024").split(",")]
+    for variant in variants:
+        for chunk in chunks:
             fn = make(variant, chunk, npad, m)
 
             @jax.jit
