@@ -132,8 +132,10 @@ def train_filters_iter(
     def finish(state):
         """Blocking fetch + host f64 chain + async device stage 2b."""
         rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb = state
-        rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
+        # Sb fetch first: it rides the tunnel concurrently with the blocking
+        # rc fetch (measured ~30-60 ms earlier in hand, rc unharmed).
         sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
+        rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
         k = min(n_eig_vectors, m)
         va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
                                        m, mb, k, eps)

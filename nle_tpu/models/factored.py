@@ -250,8 +250,10 @@ def train_filter_factored(
             y, rr, cc, stage1_dev, sw, pw,
             p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
             interpret=interpret)
-        rc_np = np.asarray(rc_dev, np.float64)
+        # Sb fetch first: rides the tunnel concurrently with the blocking
+        # rc fetch (requests pipeline; rc latency unharmed — measured).
         sb_fut = transfer_pool().submit(fetch, sb_dev)
+        rc_np = np.asarray(rc_dev, np.float64)
     k = min(n_eig_vectors, m)
     with stage("Orthogonalize"):
         va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,

@@ -89,6 +89,35 @@ def orthogonalize_factored(
     return V, Sq
 
 
+def _scaled_congruence(B: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """B @ sb @ B.T for the symmetric PSD Sb gram, exploiting symmetry:
+    chol(sb) then dtrmm + dsyrk costs ~1.3 m^3 flops against the 4 m^3 of
+    the two plain dgemms — on this single-core host that is ~30 ms back per
+    train at m = 600. Only the LOWER triangle of the result is guaranteed
+    (dsyrk fills one triangle); every consumer follows the repo-wide
+    lower-triangle eigh rule, so that is the contract here too.
+
+    Sb is PSD in exact arithmetic (a Gram matrix) but reaches the host
+    through f32 accumulation; if that noise makes it numerically indefinite
+    Cholesky fails and the dense-GEMM path is used instead (bitwise
+    deterministic either way for a given input).
+    """
+    try:
+        import scipy.linalg as sla
+        from scipy.linalg import blas as slb
+    except ImportError:
+        return (B @ sb) @ B.T
+    try:
+        # Reads the lower triangle only — same side the device Sb kernels
+        # and the eigh convention use.
+        L = sla.cholesky(sb, lower=True, check_finite=False)
+    except np.linalg.LinAlgError:
+        return (B @ sb) @ B.T
+    C = slb.dtrmm(1.0, L, B, side=1, lower=1)       # C = B @ L
+    out = slb.dsyrk(1.0, C, lower=1)                # lower(C @ C.T)
+    return np.asarray(out)
+
+
 def host_chain64(wa, rga, sb, k: int, eps: float,
                  q_solver: str = "auto"):
     """Float64 host (NumPy) evaluation of the orthogonalization small-matrix
@@ -149,7 +178,7 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
     # resolved only HERE, after eig(Wa) + E — callers overlap the transfer
     # with that work (see ops/pipeline.py host_orthogonalize).
     sb = np.asarray(sb() if callable(sb) else sb, np.float64)
-    Qt = (d[:, None] * ((E @ sb) @ E.T)) * d[None, :]
+    Qt = _scaled_congruence(d[:, None] * E, sb)
     # Uw^T (mirrored wa) Uw = diag(lw_raw) exactly up to f64 roundoff; the
     # reference adds the *unmasked* Wa here, so the raw spectrum goes on
     # the diagonal.

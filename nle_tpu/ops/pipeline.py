@@ -848,11 +848,13 @@ def train_filter(
                     use_pallas=use_pallas,
                     small=stage2_dense_small(grid.n_pixels, mb),
                 )
-            # Tiny blocking fetch (waits for the device program); the
-            # MB-sized Sb rides a concurrent fetch that the host chain's
-            # eig(Wa) phase hides (host_orthogonalize resolves it late).
-            rc_np = np.asarray(rc_dev, np.float64)
+            # The MB-sized Sb fetch is submitted FIRST so it rides the
+            # tunnel concurrently with the tiny blocking rc fetch (requests
+            # pipeline; measured: Sb-in-hand ~124 -> ~94 ms with the rc
+            # latency unchanged) and with the host chain's eig(Wa) phase
+            # (host_orthogonalize resolves it late).
             sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
+            rc_np = np.asarray(rc_dev, np.float64)
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host
