@@ -11,8 +11,8 @@ round-trip — with the rock2 golden parameters (20 30 500 10 50 50).
 Wall-clock covers first-submit to last-output. Prints one JSON line.
 
 NLE_BENCH_MODE=single reverts to the sequential per-image measurement
-(per-image latency; ~0.9-1.0 MP/s vs ~1.6 MP/s pipelined — the tunnel adds
-±15% run-to-run).
+(per-image latency; ~1.0-1.1 MP/s vs ~1.74 MP/s pipelined+interleaved —
+the tunnel adds ±15% run-to-run).
 """
 
 import json
@@ -71,7 +71,6 @@ def main():
         # cross-frame caching), pipelined training + per-frame edit — the
         # same flow the HTTP service's coalescing path runs.
         from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
-        from nle_tpu.models.batch import train_filters_pipelined
 
         rng = np.random.default_rng(0)
         frames_bgr = []
@@ -86,19 +85,33 @@ def main():
         def run_stream():
             from concurrent.futures import ThreadPoolExecutor
 
+            from nle_tpu.models.batch import train_filters_iter
+
             channels = [bgr_to_lab_u8_np(b)[..., 0].astype(np.float32)
                         for b in frames_bgr]
-            flts = train_filters_pipelined(channels, *params)
-            # Edits from a small thread pool — device applies queue on the
-            # jax stream while the per-frame result fetches and Lab
-            # round-trips overlap (the HTTP service's concurrent request
-            # threads behave exactly like this). Same-session A/B:
-            # 1.42-1.45 serial -> 1.58-1.59 MP/s threaded.
+            # Each frame's edit is handed to a consumer thread as soon as
+            # train_filters_iter yields its filter: the device executes the
+            # apply inside the training stream it is already queueing
+            # (instead of an 8-apply serial tail after training), and the
+            # result fetches + Lab round-trips ride pool threads under the
+            # next frame's device work. The MAIN thread stays training-only
+            # — edits on the main thread stall stage-1 submission (measured
+            # 6% slower). Same-session A/B (tools/bench_stream_interleave):
+            # deferred 1.61-1.63 -> interleaved 1.75-1.76 MP/s.
+            out = [None] * repeats
             with ThreadPoolExecutor(4) as ex:
-                return list(ex.map(
-                    lambda bf: NLEFilter(trained=bf[1]).enhance(bf[0],
-                                                                weights),
-                    zip(frames_bgr, flts)))
+                futs = [
+                    ex.submit(
+                        lambda i=i, flt=flt: out.__setitem__(
+                            i, NLEFilter(trained=flt).enhance(
+                                frames_bgr[i], weights)))
+                    for i, flt in enumerate(
+                        train_filters_iter(channels, *params))
+                ]
+                for f in futs:
+                    f.result()
+            assert all(o is not None for o in out)
+            return out
 
         run_stream()  # warmup: compile
         times = []
