@@ -102,7 +102,7 @@ class _CoalescingTrainer:
         return box["filter"]
 
     def _drain(self):
-        from nle_tpu.models.batch import train_filters_pipelined
+        from nle_tpu.models.batch import train_filters_iter
 
         while True:
             with self._cv:
@@ -113,22 +113,29 @@ class _CoalescingTrainer:
                 group = [r for r in self._queue if r[0] == key]
                 self._queue = [r for r in self._queue if r[0] != key]
             _, _, params, _ = group[0]
+            done = 0
             try:
                 # Hold the service's device lock while training: /train,
                 # /denoise and factored /enhance train under it, and two
                 # co-resident trainings can exceed HBM on multi-MP images.
+                # Each request's box is released AS ITS FILTER YIELDS
+                # (not after the whole batch): the request thread's edit
+                # then interleaves with the next frames' device training —
+                # the same consumer-thread schedule bench.py measured at
+                # +8% end-to-end (deferred 1.61-1.63 -> 1.75-1.76 MP/s).
                 with self._device_lock:
-                    flts = train_filters_pipelined(
-                        [r[1] for r in group], *params)
+                    for flt in train_filters_iter(
+                            [r[1] for r in group], *params):
+                        box = group[done][3]
+                        box["filter"] = flt
+                        box["event"].set()
+                        done += 1
                 if self._metrics is not None:
                     self._metrics.count_batch(len(group))
-                for (_, _, _, box), flt in zip(group, flts):
-                    box["filter"] = flt
             except Exception as e:
-                for _, _, _, box in group:
+                for _, _, _, box in group[done:]:
                     box["error"] = e
-            for _, _, _, box in group:
-                box["event"].set()
+                    box["event"].set()
 
 
 class _FilterStore:
@@ -367,10 +374,14 @@ class _Service:
         else:
             # Coalescing path: blocks until the worker trained our filter —
             # concurrent same-shape/params requests share one pipelined
-            # batch.
+            # batch. The edit deliberately does NOT take the device lock:
+            # the worker still holds it while training the REST of the
+            # batch, and running this request's apply inside that stream is
+            # the measured +8% interleave (bench.py). Memory-safe: the
+            # apply adds only the u8 channel in/out on top of a V that is
+            # resident either way.
             flt = self.trainer.train_enhancement(img, self._params(q))
-            with self.lock:
-                out = NLEFilter(trained=flt).enhance(img, w)
+            out = NLEFilter(trained=flt).enhance(img, w)
         # PNG encode is pure host CPU — never under the device lock.
         return _encode_png(out)
 
