@@ -324,3 +324,54 @@ def test_access_log_lines(tmp_path, small_png):
             and ok["ms"] > 0 and ok["bytes_in"] == len(png)
             and ok["bytes_out"] > 0 and ok["method"] == "POST")
     assert lines[1]["status"] == 404
+
+
+def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
+    """If the pipelined batch dies after yielding some filters, the
+    already-trained requests keep their filters and only the untrained
+    remainder get the error; every waiter is released and the worker can
+    serve a fresh batch afterwards (serving/http.py _drain)."""
+    import nle_tpu.models.batch as batch_mod
+    from nle_tpu.serving.http import _CoalescingTrainer
+
+    calls = {"n": 0}
+
+    def fake_iter(channels, *params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            yield "filter-0"
+            raise RuntimeError("chip fell over")
+        for i in range(len(channels)):
+            yield f"ok-{i}"
+
+    monkeypatch.setattr(batch_mod, "train_filters_iter", fake_iter)
+    # _drain does a late `from nle_tpu.models.batch import ...`, so the
+    # module attribute patch above is what it sees.
+    trainer = _CoalescingTrainer(threading.Lock())
+    img = np.zeros((8, 9, 3), np.uint8)
+    params = (2, 2, 50.0, 30.0, 2, 2)
+
+    results = [None] * 3
+    def hit(i):
+        try:
+            results[i] = trainer.train_enhancement(img, params)
+        except RuntimeError as e:
+            results[i] = e
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "a waiter was stranded"
+    got_filters = [r for r in results if r == "filter-0"]
+    got_errors = [r for r in results if isinstance(r, RuntimeError)]
+    # At least the first queued request trained; the batch tail errored.
+    # (Thread arrival order decides how many coalesced into batch 1 —
+    # later arrivals may land in a SECOND, succeeding batch.)
+    assert got_filters or any(isinstance(r, str) and r.startswith("ok-")
+                              for r in results)
+    assert len(got_filters) + len(got_errors) + sum(
+        1 for r in results if isinstance(r, str) and r.startswith("ok-")
+    ) == 3
+    # The worker must still serve a fresh request after the failure.
+    assert trainer.train_enhancement(img, params) == "ok-0"
