@@ -42,12 +42,13 @@ from nle_tpu.ops.pipeline import (
     pack_stage1,
     stage2_dense_small,
     stage2b_factor_scaled,
+    submit_sb_fetch,
     train_filter_stage2a,
     train_filter_stage2b,
 )
 from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.logging import warn_truncation
-from nle_tpu.utils.transfer import fetch as transfer_fetch, transfer_pool
+
 
 
 
@@ -110,7 +111,7 @@ def train_filters_iter(
 
     def submit(chan):
         """Host stage 1 + async device stage 2a for one channel."""
-        Um64, lam64, Uinv64 = ka_eigh_host64(
+        Um64, lam64, _ = ka_eigh_host64(
             chan.astype(np.float64)[grid.sel_rows, grid.sel_cols],
             grid.sel_rows, grid.sel_cols, hx, hy, eps,
         )
@@ -118,33 +119,41 @@ def train_filters_iter(
         mb = bucket_m(m, p)
         warn_truncation(p, m, eps)
         packed_np, is_8bit = pack_channel(chan, grid.perm)
+        y_cache = None
         if is_8bit:
-            y = _cast_channel(jnp.asarray(packed_np), jnp.float32)
+            y_u8 = jnp.asarray(packed_np)
+            # Keep the uploaded u8 buffer: the serving flow edits the very
+            # channel it trained on, so apply_u8 reuses it (one tunnel round
+            # trip saved per frame).
+            y_cache = (packed_np, y_u8)
+            y = _cast_channel(y_u8, jnp.float32)
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
         rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
-            y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb)),
+            y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, mb=mb)),
             sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
             small=stage2_dense_small(grid.n_pixels, mb),
         )
-        return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb)
+        return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
+                y_cache)
 
     def finish(state):
         """Blocking fetch + host f64 chain + async device stage 2b."""
-        rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb = state
+        (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
+         y_cache) = state
         # Sb fetch first: it rides the tunnel concurrently with the blocking
         # rc fetch (measured ~30-60 ms earlier in hand, rc unharmed).
-        sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
+        sb_resolve = submit_sb_fetch(sb_dev)
         rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
         k = min(n_eig_vectors, m)
-        va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+        va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                        m, mb, k, eps)
         va_grt = jnp.asarray(va_np, jnp.float32)
         V_packed = train_filter_stage2b(
             phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
             scaled=stage2b_factor_scaled(grid.n_pixels, mb))
         return TrainedFilter(V_packed, jnp.asarray(Sq, jnp.float32),
-                             nrows, ncols, perm=grid.perm)
+                             nrows, ncols, perm=grid.perm, y_cache=y_cache)
 
     prev = None
     for chan in channels:

@@ -38,6 +38,7 @@ from nle_tpu.ops.pipeline import (
     ka_eigh_host64,
     pack_channel,
     pack_stage1,
+    submit_sb_fetch,
     train_filter_stage2a_streaming,
 )
 from nle_tpu.ops.sampling import sample_grid
@@ -235,7 +236,7 @@ def train_filter_factored(
         else jnp.asarray(packed_np.astype(np.float32))
 
     with stage("Computing kernel"):
-        Um64, lam64, Uinv64 = ka_eigh_host64(
+        Um64, lam64, _ = ka_eigh_host64(
             channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
             grid.sel_rows, grid.sel_cols, hx, hy, float(eps))
     m = lam64.shape[0]
@@ -243,7 +244,7 @@ def train_filter_factored(
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
     warn_truncation(p, m, float(eps))
     mb = bucket_m(m, p)
-    stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
+    stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, mb=mb))
     interpret = jax.default_backend() != "tpu"
     with stage("Nystrom approximation + Sinkhorn"):
         rc_dev, sb_dev, c_full = train_filter_stage2a_streaming(
@@ -252,11 +253,11 @@ def train_filter_factored(
             interpret=interpret)
         # Sb fetch first: rides the tunnel concurrently with the blocking
         # rc fetch (requests pipeline; rc latency unharmed — measured).
-        sb_fut = transfer_pool().submit(fetch, sb_dev)
+        sb_resolve = submit_sb_fetch(sb_dev)
         rc_np = np.asarray(rc_dev, np.float64)
     k = min(n_eig_vectors, m)
     with stage("Orthogonalize"):
-        va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+        va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                        m, mb, k, float(eps))
         va_grt = jnp.asarray(va_np, jnp.float32)
         V_head, W = factored_filter_pieces(stage1_dev, c_full, va_grt,

@@ -39,6 +39,12 @@ class TrainedFilter:
     nrows: int
     ncols: int
     perm: np.ndarray | None = None
+    # Optional (packed u8 host copy, device buffer) of the TRAINING channel:
+    # the train->edit flow filters that very channel, so apply_u8 can reuse
+    # the device buffer and skip one upload per edit (a full tunnel round
+    # trip). Never serialized; purely a transfer cache.
+    y_cache: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def n_pixels(self) -> int:
@@ -117,7 +123,11 @@ class NLEFilter:
         self._trained = trained
         self._train_kwargs = train_kwargs  # eps/dtype/use_pallas overrides
         self._lab_cache: tuple[np.ndarray, np.ndarray] | None = None
-        self._packed_y_cache: tuple[np.ndarray, jax.Array] | None = None
+        # Adopt the training-channel device buffer when the TrainedFilter
+        # carries one (pipelined trainer, models/batch.py): edits of the
+        # training image skip their channel upload.
+        self._packed_y_cache: tuple[np.ndarray, jax.Array] | None = (
+            getattr(trained, "y_cache", None))
 
     def _to_lab(self, image: np.ndarray) -> np.ndarray:
         """BGR->Lab with a one-entry cache: the train->edit flow converts
@@ -187,7 +197,8 @@ class NLEFilter:
             **{k: v for k, v in self._train_kwargs.items()
                if k != "factored"},
         )
-        self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm)
+        self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm,
+                                      y_cache=self._packed_y_cache)
         return self._trained
 
     def train_for_enhancement(self, image_bgr_u8, n_row_samples, n_col_samples,

@@ -331,6 +331,55 @@ def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
     return va_np, Sq
 
 
+_TRIL_IDX_NP: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+_TRIL_IDX_DEV: dict = {}
+
+
+def _tril_indices(mb: int):
+    cached = _TRIL_IDX_NP.get(mb)
+    if cached is None:
+        cached = np.tril_indices(mb)
+        _TRIL_IDX_NP[mb] = cached
+    return cached
+
+
+@jax.jit
+def _take_tril(sb, flat_idx):
+    return jnp.take(sb.reshape(-1), flat_idx)
+
+
+def submit_sb_fetch(sb_dev):
+    """Submit the Sb device->host fetch on the transfer pool packed as the
+    LOWER TRIANGLE only: Sb is a gram (symmetric), so shipping mb(mb+1)/2
+    floats instead of mb^2 halves the pipeline's largest fetch. Values are
+    bit-identical to a full fetch — only the layout changes; the host side
+    mirrors the triangle back into a full matrix. Returns a zero-arg
+    callable producing the symmetric (mb, mb) f64 array — exactly the lazy
+    `sb` shape host_orthogonalize accepts, so the fetch still overlaps
+    eig(Wa)+E on the host.
+
+    The flat gather indices upload once per (bucket, device) and are cached
+    for the life of the process; the gather itself is dispatched here and
+    rides the device queue behind stage 2a."""
+    mb = sb_dev.shape[0]
+    i, j = _tril_indices(mb)
+    key = (mb, str(getattr(sb_dev, "device", None)))
+    flat = _TRIL_IDX_DEV.get(key)
+    if flat is None:
+        flat = jnp.asarray((i * mb + j).astype(np.int32))
+        _TRIL_IDX_DEV[key] = flat
+    fut = transfer_pool().submit(transfer_fetch, _take_tril(sb_dev, flat))
+
+    def resolve():
+        v = np.asarray(fut.result(), np.float64)
+        out = np.empty((mb, mb), np.float64)
+        out[i, j] = v
+        out[j, i] = v
+        return out
+
+    return resolve
+
+
 def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
     """Pack a channel into [selected; rest] order; returns (packed array,
     is_8bit) where is_8bit means the values are integers in [0, 255] and the
@@ -344,10 +393,20 @@ def pack_channel(channel_np: np.ndarray, perm: np.ndarray):
     return packed, False
 
 
-def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32, mb: int | None = None):
-    """One (2p+2, mb) host array holding [Um; lam; Uinv; m] — stage 1's
-    device inputs ride ONE host->device transfer instead of three (each
-    transfer over the tunnel-attached TPU costs ~30-60 ms of latency).
+def pack_stage1(Um64, lam64, dtype=np.float32, mb: int | None = None):
+    """One (p+2, mb) host array holding [Um; lam; m] — stage 1's device
+    inputs ride ONE host->device transfer instead of three (each transfer
+    over the tunnel-attached TPU costs ~30-60 ms of latency).
+
+    Uinv = Um / lam is NOT shipped: it is mathematically redundant
+    (ka_eigh_host64 derives it by elementwise division) and the device
+    recomputes it in one cheap elementwise op inside _unpack_stage1 —
+    halving the pipeline's largest per-image upload (p x mb payload floats
+    at p = 600 is ~1.5 MB). The device-side division of the rounded
+    (Um, lam) differs from rounding the host-f64 quotient by <= ~1.5 ulp —
+    the same noise class as every other f32 op in stage 2 (golden-PSNR
+    validated; the f64-critical work all happens in stage 1 / the host
+    chain, CLAUDE.md precision policy).
 
     Columns are zero-padded from the true kept rank m to the bucket mb so
     stage 2 compiles per bucket, not per rank; the last row carries m itself
@@ -358,26 +417,32 @@ def pack_stage1(Um64, lam64, Uinv64, dtype=np.float32, mb: int | None = None):
     block boundary)."""
     p, m = Um64.shape
     mb = m if mb is None else mb
-    out = np.zeros((2 * p + 2, mb), dtype)
+    out = np.zeros((p + 2, mb), dtype)
     out[:p, :m] = Um64
     out[p, :m] = lam64
-    out[p + 1:2 * p + 1, :m] = Uinv64
-    out[2 * p + 1, 0] = m % 256
+    out[p + 1, 0] = m % 256
     if mb > 1:
-        out[2 * p + 1, 1] = m // 256
+        out[p + 1, 1] = m // 256
     else:
         assert m == 1, (m, mb)  # mb >= m always
     return out
 
 
 def _unpack_stage1(stage1_packed, p):
-    """(Um (p, mb), lam (mb,), Uinv (p, mb), m traced int32 scalar)."""
-    digits = stage1_packed[2 * p + 1].astype(jnp.float32)
+    """(Um (p, mb), lam (mb,), Uinv (p, mb), m traced int32 scalar).
+
+    Uinv = Um / lam is recomputed here (guarded against the zero-padded
+    columns beyond the true rank, whose Um columns are zero too — the
+    guard value never leaks)."""
+    digits = stage1_packed[p + 1].astype(jnp.float32)
     m_dyn = digits[0].astype(jnp.int32)
     if stage1_packed.shape[1] > 1:
         m_dyn = m_dyn + 256 * digits[1].astype(jnp.int32)
-    return (stage1_packed[:p], stage1_packed[p],
-            stage1_packed[p + 1:2 * p + 1], m_dyn)
+    Um = stage1_packed[:p]
+    lam = stage1_packed[p]
+    keep = lam > 0
+    Uinv = jnp.where(keep[None, :], Um / jnp.where(keep, lam, 1), 0)
+    return Um, lam, Uinv, m_dyn
 
 
 @functools.partial(
@@ -790,11 +855,9 @@ def train_filter(
             m = int(np.count_nonzero(np.asarray(lam)))
             Um = U[:, :m]
             lam_m = lam[:m]
-            Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
-            dev_s1 = (Um, lam_m, Uinv)
+            dev_s1 = (Um, lam_m)
             Um64 = np.asarray(Um, np.float64)
             lam64 = np.asarray(lam_m, np.float64)
-            Uinv64 = np.asarray(Uinv, np.float64)
     if m == 0:
         raise ValueError("Affinity matrix Ka has no eigenvalues above eps.")
     warn_truncation(p, m, float(eps))
@@ -805,17 +868,17 @@ def train_filter(
             # stage1='device': the eigensystem is already device-resident —
             # pad to the bucket and append the m digits on device instead
             # of a host->device re-upload (~30-60 ms on the tunnel).
-            Um_d, lam_d, Uinv_d = dev_s1
+            Um_d, lam_d = dev_s1
             digits = jnp.zeros((1, mb), dtype)
             digits = digits.at[0, 0].set(m % 256)
             if mb > 1:
                 digits = digits.at[0, 1].set(m // 256)
             pad = ((0, 0), (0, mb - m))
             stage1_dev = jnp.concatenate(
-                [jnp.pad(Um_d, pad), jnp.pad(lam_d[None, :], pad),
-                 jnp.pad(Uinv_d, pad), digits], axis=0)
+                [jnp.pad(Um_d, pad), jnp.pad(lam_d[None, :], pad), digits],
+                axis=0)
         else:
-            stage1_dev = jnp.asarray(pack_stage1(Um64, lam64, Uinv64,
+            stage1_dev = jnp.asarray(pack_stage1(Um64, lam64,
                                                  np.dtype(dtype), mb=mb))
         pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
                      else use_pallas)
@@ -853,14 +916,14 @@ def train_filter(
             # pipeline; measured: Sb-in-hand ~124 -> ~94 ms with the rc
             # latency unchanged) and with the host chain's eig(Wa) phase
             # (host_orthogonalize resolves it late).
-            sb_fut = transfer_pool().submit(transfer_fetch, sb_dev)
+            sb_resolve = submit_sb_fetch(sb_dev)
             rc_np = np.asarray(rc_dev, np.float64)
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host
             # from stage 1's f64 eigensystem (cheaper than fetching them and
             # slightly more accurate).
-            va_np, Sq = host_orthogonalize(rc_np, sb_fut.result, Um64, lam64,
+            va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                            m, mb, k, float(eps))
             va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
             if streaming:
@@ -882,7 +945,8 @@ def train_filter(
                 f"pipeline; got eigh_method={eigh_method!r}.")
         with stage("Nystrom approximation + Sinkhorn + Orthogonalize"):
             if dev_s1 is not None:
-                Um, lam_m, Uinv = dev_s1
+                Um, lam_m = dev_s1
+                Uinv = Um * safe_reciprocal(lam_m, float(eps))[None, :]
             else:
                 Um = jnp.asarray(Um64, dtype)
                 lam_m = jnp.asarray(lam64, dtype)

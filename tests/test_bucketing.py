@@ -100,7 +100,7 @@ def _stage2_manual(img, nr, nc, hx, hy, mb_env, monkeypatch, *, fused,
     rr = jnp.asarray((grid.perm // w).astype(np.float32))
     cc = jnp.asarray((grid.perm % w).astype(np.float32))
     sw, pw = bandwidth_weights(hx, hy)
-    s1 = jnp.asarray(pack_stage1(Um64, lam64, Uinv64, mb=mb))
+    s1 = jnp.asarray(pack_stage1(Um64, lam64, mb=mb))
     if small is None:
         small = stage2_dense_small(grid.n_pixels, mb)
     rc, sb, factor, c_rest = train_filter_stage2a(

@@ -100,6 +100,49 @@ class TestNLEFilterModel:
         out = f.denoise(img, 2.0, 10, 10)
         assert out.shape == img.shape and out.dtype == np.uint8
 
+    def test_training_upload_reused_for_edit(self, rng):
+        """The train->edit flow reuses the training channel's device buffer
+        (one tunnel upload saved per edit): the cache must be populated and
+        taken for the training image, bypassed for a different image, and
+        both paths must agree bitwise with a cache-free filter."""
+        img = self._image(rng)
+        f = NLEFilter()
+        trained = f.train_for_enhancement(img, 3, 4, 100, 30, 10, 5)
+        assert f._packed_y_cache is not None
+        assert trained.y_cache is f._packed_y_cache
+
+        # Spy: the cached branch passes the cached device buffer (1-D);
+        # the bypass branch uploads fresh (N, 1).
+        from nle_tpu.models import filter as filter_mod
+
+        seen = []
+        orig = filter_mod.apply_filter_u8
+
+        def spy(eigvecs, scale, y):
+            seen.append(y)
+            return orig(eigvecs, scale, y)
+
+        filter_mod.apply_filter_u8, saved = spy, orig
+        try:
+            out_cached = f.enhance(img, [2.0, 3.0, 4.0, 1.0])
+            assert seen[-1] is f._packed_y_cache[1]
+            img2 = self._image(rng)
+            out_other = f.enhance(img2, [2.0, 3.0, 4.0, 1.0])
+            assert seen[-1] is not f._packed_y_cache[1]
+        finally:
+            filter_mod.apply_filter_u8 = saved
+
+        # A cache-free filter (fresh wrapper around the bare eigensystem)
+        # must agree bitwise on both images.
+        bare = TrainedFilter(trained.eigvecs, trained.eigvals, trained.nrows,
+                             trained.ncols, perm=trained.perm)
+        g = NLEFilter(trained=bare)
+        assert g._packed_y_cache is None
+        np.testing.assert_array_equal(out_cached,
+                                      g.enhance(img, [2.0, 3.0, 4.0, 1.0]))
+        np.testing.assert_array_equal(out_other,
+                                      g.enhance(img2, [2.0, 3.0, 4.0, 1.0]))
+
     def test_save_load_roundtrip(self, rng, tmp_path):
         img = self._image(rng)
         f = NLEFilter()
