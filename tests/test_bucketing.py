@@ -36,6 +36,48 @@ def test_bucket_m_rule(monkeypatch):
     assert bucket_m(37, 600) == 64
 
 
+def test_pack_stage1_roundtrip_and_uinv_recompute():
+    """pack_stage1 ships [Um; lam; m-digits] only; _unpack_stage1 must
+    recover Um/lam/m exactly and recompute Uinv = Um/lam as the plain f32
+    division of the ROUNDED operands (zero on the padded columns)."""
+    from nle_tpu.ops.pipeline import _unpack_stage1
+
+    rng = np.random.default_rng(0)
+    p, m, mb = 12, 7, 10
+    Um64 = rng.standard_normal((p, m))
+    lam64 = np.sort(rng.uniform(1e-8, 2.0, m))[::-1].copy()
+    packed = pack_stage1(Um64, lam64, mb=mb)
+    assert packed.shape == (p + 2, mb)
+    Um, lam, Uinv, m_dyn = _unpack_stage1(jnp.asarray(packed), p)
+    assert int(m_dyn) == m
+    np.testing.assert_array_equal(np.asarray(Um)[:, :m],
+                                  Um64.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(lam)[:m],
+                                  lam64.astype(np.float32))
+    expect = Um64.astype(np.float32) / lam64.astype(np.float32)[None, :]
+    np.testing.assert_array_equal(np.asarray(Uinv)[:, :m], expect)
+    np.testing.assert_array_equal(np.asarray(Uinv)[:, m:], 0.0)
+    np.testing.assert_array_equal(np.asarray(Um)[:, m:], 0.0)
+    # m > 255 exercises the second base-256 digit.
+    p2, m2 = 300, 257
+    packed2 = pack_stage1(np.ones((p2, m2)), np.ones(m2), mb=m2)
+    assert int(_unpack_stage1(jnp.asarray(packed2), p2)[3]) == m2
+
+
+def test_submit_sb_fetch_bit_exact_symmetric():
+    """The triangle-packed Sb fetch reconstructs the full symmetric matrix
+    BIT-exactly for any bucket size (incl. odd, non-tile-aligned mb)."""
+    from nle_tpu.ops.pipeline import submit_sb_fetch
+
+    rng = np.random.default_rng(1)
+    for mb in (1, 5, 128, 131):
+        a = rng.standard_normal((mb, mb)).astype(np.float32)
+        sb = a @ a.T  # symmetric
+        out = submit_sb_fetch(jnp.asarray(sb))()
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, sb.astype(np.float64))
+
+
 @pytest.fixture()
 def truncating_image():
     """An (image, params) pair whose Ka spectrum truncates (m < p), so the
