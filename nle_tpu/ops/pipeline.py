@@ -331,51 +331,24 @@ def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
     return va_np, Sq
 
 
-_TRIL_IDX_NP: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-_TRIL_IDX_DEV: dict = {}
-
-
-def _tril_indices(mb: int):
-    cached = _TRIL_IDX_NP.get(mb)
-    if cached is None:
-        cached = np.tril_indices(mb)
-        _TRIL_IDX_NP[mb] = cached
-    return cached
-
-
-@jax.jit
-def _take_tril(sb, flat_idx):
-    return jnp.take(sb.reshape(-1), flat_idx)
-
-
 def submit_sb_fetch(sb_dev):
-    """Submit the Sb device->host fetch on the transfer pool packed as the
-    LOWER TRIANGLE only: Sb is a gram (symmetric), so shipping mb(mb+1)/2
-    floats instead of mb^2 halves the pipeline's largest fetch. Values are
-    bit-identical to a full fetch — only the layout changes; the host side
-    mirrors the triangle back into a full matrix. Returns a zero-arg
-    callable producing the symmetric (mb, mb) f64 array — exactly the lazy
-    `sb` shape host_orthogonalize accepts, so the fetch still overlaps
+    """Submit the Sb device->host fetch on the transfer pool. Returns a
+    zero-arg callable producing the (mb, mb) f64 array — exactly the lazy
+    `sb` shape host_orthogonalize accepts, so the fetch overlaps
     eig(Wa)+E on the host.
 
-    The flat gather indices upload once per (bucket, device) and are cached
-    for the life of the process; the gather itself is dispatched here and
-    rides the device queue behind stage 2a."""
-    mb = sb_dev.shape[0]
-    i, j = _tril_indices(mb)
-    key = (mb, str(getattr(sb_dev, "device", None)))
-    flat = _TRIL_IDX_DEV.get(key)
-    if flat is None:
-        flat = jnp.asarray((i * mb + j).astype(np.int32))
-        _TRIL_IDX_DEV[key] = flat
-    fut = transfer_pool().submit(transfer_fetch, _take_tril(sb_dev, flat))
+    A lower-triangle-only pack (Sb is a gram, so mb(mb+1)/2 floats would
+    suffice) was measured and REVERTED: the packing gather costs ~62 ms of
+    DEVICE time at mb=640 (TPU gathers are scalar-slow; 205k elements)
+    against a ~0.8 MB fetch saving that was already hidden under the host
+    chain. In the pipelined serving stream the device is the bottleneck,
+    so the gather subtracted straight from throughput (same-session A/B:
+    stream 1.33-1.53 -> 1.26 MP/s with the gather; single-image unharmed
+    either way because the gather overlapped the idle host-chain window)."""
+    fut = transfer_pool().submit(transfer_fetch, sb_dev)
 
     def resolve():
-        v = np.asarray(fut.result(), np.float64)
-        out = np.empty((mb, mb), np.float64)
-        out[i, j] = v
-        out[j, i] = v
-        return out
+        return np.asarray(fut.result(), np.float64)
 
     return resolve
 

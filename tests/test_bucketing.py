@@ -64,9 +64,9 @@ def test_pack_stage1_roundtrip_and_uinv_recompute():
     assert int(_unpack_stage1(jnp.asarray(packed2), p2)[3]) == m2
 
 
-def test_submit_sb_fetch_bit_exact_symmetric():
-    """The triangle-packed Sb fetch reconstructs the full symmetric matrix
-    BIT-exactly for any bucket size (incl. odd, non-tile-aligned mb)."""
+def test_submit_sb_fetch_resolves_f64():
+    """The async Sb fetch resolves to the bit-exact f64 matrix for any
+    bucket size (incl. odd, non-tile-aligned mb)."""
     from nle_tpu.ops.pipeline import submit_sb_fetch
 
     rng = np.random.default_rng(1)
