@@ -115,7 +115,10 @@ def main():
 
         run_stream()  # warmup: compile
         times = []
-        for _ in range(2):
+        # min-of-3: tunnel load swings +-15-25% run-to-run (measured);
+        # three timed passes make the reported best materially more stable
+        # than two for ~8 s of extra wall.
+        for _ in range(3):
             t0 = time.perf_counter()
             outs = run_stream()
             times.append(time.perf_counter() - t0)
