@@ -87,6 +87,13 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
     warning (not an error), and eigenvalues below eps truncated. Backed by
     scipy.sparse.linalg.eigsh (ARPACK — the same algorithm family Spectra
     implements).
+
+    The Lanczos start vector is pinned (constant v0) so results are
+    DETERMINISTIC: ARPACK's default random v0 draws from process-global
+    state, so back-to-back trainings of the same image would produce
+    rotated eigenbases — violating the repo's bitwise training-determinism
+    invariant (tests/test_pipeline.py). n == 1 (k would clamp to 0, which
+    ARPACK rejects) falls back to the dense solver.
     """
     import scipy.sparse.linalg as spla
 
@@ -95,9 +102,15 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
     M = np.asarray(M, np.float64)
     n = M.shape[0]
     k = min(n_largest, n - 1)
+    if k < 1:
+        lam, U = eigh64(M)
+        lam, U = lam[::-1].copy(), U[:, ::-1].copy()
+        keep = int(np.count_nonzero(lam >= eps))
+        return U[:, :keep], lam[:keep]
     ncv = min(2 * k, n)
+    v0 = np.full(n, 1.0 / np.sqrt(n))
     try:
-        lam, U = spla.eigsh(M, k=k, which="LM", ncv=ncv)
+        lam, U = spla.eigsh(M, k=k, which="LM", ncv=ncv, v0=v0)
     except spla.ArpackNoConvergence as e:  # mirror the reference warning
         logger.warning(
             "Eigen decomposition NOT successful. Results might be inaccurate."

@@ -186,6 +186,13 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
 
     if q_solver == "auto":
         q_solver = "topk" if (m >= 128 and 4 * k <= m) else "evd"
+    if q_solver == "topk" and k >= m:
+        # ARPACK/Lanczos can return at most m-1 pairs (the reference's
+        # Spectra path has the same nev < n constraint): an explicit
+        # NLE_Q_SOLVER=topk with k >= m would crash at m == 1 and silently
+        # zero the m-th eigenpair otherwise. The dense solver produces all
+        # m pairs — use it; the auto rule (4k <= m) never lands here.
+        q_solver = "evd"
     Vq = np.zeros((m, k))
     Sq = np.zeros(k)
     if q_solver == "topk":

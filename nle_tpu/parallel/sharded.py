@@ -433,6 +433,7 @@ def train_filter_sharded(
         S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
     from nle_tpu.ops.orthogonalize import host_chain64
+    from nle_tpu.utils.logging import warn_rank_deficient
 
     n_data = mesh.shape["data"]
     for mb in np.unique(mbs):
@@ -490,6 +491,8 @@ def train_filter_sharded(
             RGa = rt64[:, None] * Ga
             Wa = RGa @ (cp64[j][:m, None] * phi_top).T
             Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], k, eps)
+            warn_rank_deficient("orthogonalize eig(Q)",
+                                int(np.count_nonzero(Sq)), k)
             Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
             top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
             if factored:

@@ -61,6 +61,7 @@ from nle_tpu.utils.imageio import imencode_png as _encode_png
 
 DEFAULT_MAX_BYTES = 64 << 20
 DEFAULT_MAX_FILTERS = 8
+_DRAIN_CAP = 8 << 20   # politeness-drain bound for rejected requests
 
 
 class _CoalescingTrainer:
@@ -202,16 +203,48 @@ class _FilterStore:
         """Write evicted filters' checkpoints. Runs WITHOUT the store lock
         (a save fetches the (N, k) eigvecs — seconds on the tunnel; holding
         the store lock would stall every concurrent request) and WITH the
-        device lock (the fetch is device traffic)."""
+        device lock (the fetch is device traffic).
+
+        Every step is identity-guarded against a concurrent re-train of the
+        same name (put() invalidates the pending save by popping _saving):
+        skipping both the save and the _on_disk mark when the victim object
+        is no longer the name's authoritative filter — otherwise a slow save
+        could mark a NEWER filter as checkpointed while the disk holds the
+        OLD one, and a later clean eviction would silently serve stale
+        edits. Save failures (disk full, ...) must not escape into the
+        unrelated request thread that happened to trigger the eviction: the
+        victim is reinstated as resident (temporary capacity overflow, with
+        a warning) rather than lost."""
+        from nle_tpu.utils.logging import logger
+
         for name, f in victims:
-            if self._device_lock is not None:
-                with self._device_lock:
-                    f.trained.save(self._path(name))
-            else:
-                f.trained.save(self._path(name))
             with self._lock:
-                self._on_disk.add(name)
-                self._saving.pop(name, None)
+                if self._saving.get(name) is not f:
+                    continue  # re-trained while queued: save is moot
+            try:
+                if self._device_lock is not None:
+                    with self._device_lock:
+                        f.trained.save(self._path(name))
+                else:
+                    f.trained.save(self._path(name))
+            except Exception as e:
+                with self._lock:
+                    if self._saving.get(name) is f:
+                        self._saving.pop(name)
+                        if name not in self._resident:
+                            # Keep the filter alive (over capacity) instead
+                            # of losing it to a failed checkpoint write.
+                            self._resident[name] = f
+                            self._resident.move_to_end(name)
+                            self._spilled.discard(name)
+                logger.warning(
+                    "filter spill save failed for %r (kept resident): %s",
+                    name, e)
+                continue
+            with self._lock:
+                if self._saving.get(name) is f:
+                    self._saving.pop(name)
+                    self._on_disk.add(name)
 
     def put(self, name: str, f) -> None:
         with self._lock:
@@ -219,6 +252,7 @@ class _FilterStore:
             self._resident.move_to_end(name)
             self._spilled.discard(name)
             self._on_disk.discard(name)   # a fresh training invalidates it
+            self._saving.pop(name, None)  # ... and any pending spill save
             victims = self._pick_victims_locked()
         self._save_victims(victims)
 
@@ -409,10 +443,15 @@ class _Service:
         }).encode()
 
     def apply(self, body, q):
-        img = _decode_bgr(body)
+        # Cheap validation FIRST (name lookup, op, weight parse): a bad
+        # request must not cost a full image decode on the request thread.
         name = q.get("name", ["default"])[0]
-        f = self.store.get(name)
         op = q.get("op", ["enhance"])[0]
+        if op not in ("enhance", "denoise"):
+            raise ValueError(f"unknown op {op!r} (enhance|denoise)")
+        w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        f = self.store.get(name)
+        img = _decode_bgr(body)
         if op == "denoise":
             # GLIDE application of a kept filter: shrink + chroma-only
             # spectral filtering (models/filter.py denoise).
@@ -421,12 +460,9 @@ class _Service:
                     img, float(q.get("shrink", ["2"])[0]),
                     sigma_color=float(q.get("sigma_color", ["10"])[0]),
                     sigma_space=float(q.get("sigma_space", ["10"])[0]))
-        elif op == "enhance":
-            w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        else:
             with self.lock:
                 out = f.enhance(img, w)
-        else:
-            raise ValueError(f"unknown op {op!r} (enhance|denoise)")
         return _encode_png(out)
 
 
@@ -498,8 +534,11 @@ def make_server(port: int = 0, token: str | None = None,
             """Read and discard up to n bytes (bounded, chunked — never
             buffered) so a mid-upload client finishes sending and reliably
             sees the error status instead of a broken pipe; give up past
-            8x the limit and just close."""
-            remaining = min(n, 8 * max_bytes)
+            a fixed cap and just close. The cap is deliberately SMALL
+            (8 MiB, not a multiple of max_bytes): rejected requests —
+            including unauthenticated ones — must not be able to make the
+            server read hundreds of MB from the socket per connection."""
+            remaining = min(n, _DRAIN_CAP)
             while remaining > 0:
                 chunk = self.rfile.read(min(remaining, 1 << 16))
                 if not chunk:

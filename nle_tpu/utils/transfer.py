@@ -24,18 +24,20 @@ _CHUNK_BYTES = 2 << 20
 _WORKERS = 8
 
 _executor: ThreadPoolExecutor | None = None
+_chunk_executor: ThreadPoolExecutor | None = None
 _executor_lock = threading.Lock()
 
 
 def transfer_pool() -> ThreadPoolExecutor:
-    """The shared device<->host transfer executor — also used to overlap
-    one-off fetches with host compute (ops/pipeline.py host chain)."""
-    return _pool()
+    """The shared TASK-level transfer executor — used to overlap whole
+    fetches (which may themselves be chunked) with host compute
+    (ops/pipeline.py host chain, models/factored.py multi-channel apply).
 
-
-def _pool() -> ThreadPoolExecutor:
-    # One long-lived pool: fetch() runs on every device->host transfer and
-    # per-call pool construction/teardown costs ~ms against ~50 ms fetches.
+    fetch()'s internal chunk copies run on a SEPARATE pool: a fetch
+    submitted to this pool blocks on its chunk futures, so routing the
+    chunks through the same bounded pool would deadlock once _WORKERS
+    fetches run as pool tasks simultaneously (every worker blocked on
+    queued chunk tasks that can never start)."""
     global _executor
     if _executor is None:
         with _executor_lock:
@@ -43,6 +45,19 @@ def _pool() -> ThreadPoolExecutor:
                 _executor = ThreadPoolExecutor(
                     _WORKERS, thread_name_prefix="nle-fetch")
     return _executor
+
+
+def _pool() -> ThreadPoolExecutor:
+    # Chunk-copy pool, distinct from transfer_pool() (see docstring there).
+    # Long-lived: fetch() runs on every device->host transfer and per-call
+    # pool construction/teardown costs ~ms against ~50 ms fetches.
+    global _chunk_executor
+    if _chunk_executor is None:
+        with _executor_lock:
+            if _chunk_executor is None:
+                _chunk_executor = ThreadPoolExecutor(
+                    _WORKERS, thread_name_prefix="nle-fetch-chunk")
+    return _chunk_executor
 
 
 def fetch(arr) -> np.ndarray:

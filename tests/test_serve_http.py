@@ -375,3 +375,69 @@ def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
     ) == 3
     # The worker must still serve a fresh request after the failure.
     assert trainer.train_enhancement(img, params) == "ok-0"
+
+
+def test_apply_validates_before_decode(server):
+    """Cheap checks (op, name) precede the image decode: a bogus op with an
+    undecodable body must surface the op error, proving no decode ran."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/apply?name=whatever&op=sharpen", b"notanimage")
+    assert ei.value.code == 400
+    assert "unknown op" in ei.value.read().decode()
+
+
+class _FakeTrained:
+    def __init__(self, fail):
+        self.fail = fail
+        self.saved = []
+
+    def save(self, path):
+        if self.fail:
+            raise OSError("disk full")
+        self.saved.append(path)
+        with open(path, "wb") as f:
+            f.write(b"ckpt")
+
+
+class _FakeFilter:
+    def __init__(self, fail=False):
+        self.trained = _FakeTrained(fail)
+
+
+def test_spill_save_failure_keeps_filter_resident(tmp_path):
+    """A failed eviction save (disk full, ...) must neither raise into the
+    unrelated request that triggered it nor lose the filter: the victim is
+    reinstated (temporary capacity overflow) and stays servable."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    a, b = _FakeFilter(fail=True), _FakeFilter()
+    store.put("a", a)
+    store.put("b", b)          # evicts a; its save fails; must not raise
+    assert store.get("a") is a  # still the live object, no reload
+    assert store.get("b") is b
+    assert "a" not in store._on_disk
+    assert "a" not in store._saving
+
+
+def test_stale_spill_save_does_not_mark_on_disk(tmp_path):
+    """A re-train racing a slow eviction save: the save of the OLD filter
+    must not mark the name as checkpointed (a later clean eviction of the
+    NEW filter would skip its save and /apply would reload STALE state)."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    old, new = _FakeFilter(), _FakeFilter()
+    store.put("x", old)
+    # Freeze the moment _pick_victims_locked chose `old` but the
+    # out-of-lock save has not run yet:
+    with store._lock:
+        store._resident.pop("x")
+        store._saving["x"] = old
+        store._spilled.add("x")
+    victims = [("x", old)]
+    store.put("x", new)           # re-train invalidates the pending save
+    store._save_victims(victims)  # the slow save completes only now
+    assert "x" not in store._on_disk
+    assert old.trained.saved == []   # skipped outright, not just unmarked
+    assert store.get("x") is new

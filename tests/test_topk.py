@@ -190,3 +190,60 @@ def test_host_orthogonalize_callable_sb(rng, monkeypatch):
     monkeypatch.setenv("NLE_Q_SOLVER", "bogus")
     with pytest.raises(Exception):
         host_orthogonalize(rc, sb, Um, lam, m, mb, k, 1e-10)
+
+
+def test_topk_is_deterministic(rng):
+    """ARPACK's default RANDOM start vector draws from process-global state,
+    so back-to-back eig(Q) calls returned rotated near-degenerate eigenbases
+    — violating the bitwise training-determinism invariant (the repo's
+    race-detection analog). The pinned v0 makes the solver bitwise
+    reproducible."""
+    from nle_tpu.ops.linalg import topk_eigendecomposition
+
+    B = rng.standard_normal((300, 300))
+    M = B + B.T
+    U1, l1 = topk_eigendecomposition(M, 10)
+    U2, l2 = topk_eigendecomposition(M, 10)
+    assert np.array_equal(U1, U2)
+    assert np.array_equal(l1, l2)
+
+
+def test_host_chain_topk_is_deterministic(rng):
+    m, k = 200, 5
+    wa, rga, sb = _chain_inputs(rng, m)
+    a = host_chain64(wa, rga, sb, k, 1e-10, q_solver="topk")
+    b = host_chain64(wa, rga, sb, k, 1e-10, q_solver="topk")
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_host_chain_topk_degenerate_sizes(rng):
+    """Explicit q_solver='topk' must survive m == 1 and k == m: ARPACK can
+    return at most m-1 pairs (the reference Spectra path's nev < n
+    constraint), so those regimes fall back to the dense solver instead of
+    crashing (m == 1) or silently zeroing the m-th eigenpair (k == m)."""
+    wa = np.array([[2.0]])
+    rga = np.array([[1.5]])
+    sb = np.array([[0.5]])
+    va_t, grt_t, sq_t = host_chain64(wa, rga, sb, 1, 1e-10, q_solver="topk")
+    va_e, grt_e, sq_e = host_chain64(wa, rga, sb, 1, 1e-10, q_solver="evd")
+    np.testing.assert_allclose(sq_t, sq_e)
+    np.testing.assert_allclose(va_t, va_e)
+
+    m = 6
+    wa, rga, sb = _chain_inputs(rng, m)
+    va_t, grt_t, sq_t = host_chain64(wa, rga, sb, m, 1e-10, q_solver="topk")
+    va_e, grt_e, sq_e = host_chain64(wa, rga, sb, m, 1e-10, q_solver="evd")
+    np.testing.assert_allclose(sq_t, sq_e, rtol=1e-9, atol=1e-12)
+    # The m-th pair is produced, not silently zeroed.
+    assert sq_t[m - 1] == sq_e[m - 1]
+
+
+def test_topk_n1_dense_fallback():
+    """n == 1 clamps k to 0, which ARPACK rejects — dense fallback."""
+    from nle_tpu.ops.linalg import topk_eigendecomposition
+
+    U, lam = topk_eigendecomposition(np.array([[3.0]]), 1)
+    assert lam.shape == (1,)
+    np.testing.assert_allclose(lam[0], 3.0)
+    np.testing.assert_allclose(np.abs(U), [[1.0]])

@@ -32,3 +32,29 @@ def test_fetch_matches_asarray(rng):
 def test_fetch_passthrough_numpy():
     x = np.arange(10)
     assert fetch(x) is x
+
+
+def test_fetch_chunk_pool_is_distinct():
+    """fetch()'s chunk copies must not share transfer_pool(): a fetch
+    submitted AS a transfer_pool task blocks on its chunk futures, so a
+    shared bounded pool deadlocks once every worker holds such a fetch."""
+    from nle_tpu.utils import transfer as T
+
+    assert T.transfer_pool() is not T._pool()
+
+
+def test_fetch_inside_transfer_pool_at_saturation():
+    """_WORKERS concurrent >4 MB fetches running as transfer_pool tasks
+    (the models/factored.py multi-channel pattern, scaled up) must all
+    complete — with a shared pool this deadlocks and times out."""
+    import jax.numpy as jnp
+
+    from nle_tpu.utils.transfer import _WORKERS, fetch, transfer_pool
+
+    xs = [jnp.arange(2_000_000, dtype=jnp.float32) + i
+          for i in range(_WORKERS)]
+    futs = [transfer_pool().submit(fetch, x) for x in xs]
+    outs = [f.result(timeout=120) for f in futs]
+    for i, o in enumerate(outs):
+        assert o.shape == (2_000_000,)
+        assert o[5] == 5.0 + i
