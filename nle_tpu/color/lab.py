@@ -156,8 +156,10 @@ def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
     adiv = jnp.take(jnp.asarray(_IADIV_TAB), idx[..., 1])
     bdiv = jnp.take(jnp.asarray(_IBDIV_TAB), idx[..., 2])
     ab = jnp.asarray(_IAB_TAB)
-    x = jnp.take(ab, ify + adiv - _IMIN_AB)
-    z = jnp.take(ab, ify - bdiv - _IMIN_AB)
+    # Index clamps as in the C twin (labcolor.c): zero margin at offset 0.
+    top = len(_IAB_TAB) - 1
+    x = jnp.take(ab, jnp.clip(ify + adiv - _IMIN_AB, 0, top))
+    z = jnp.take(ab, jnp.clip(ify - bdiv - _IMIN_AB, 0, top))
     C = _ICOEFFS.astype(np.int32)
     half = 1 << (_ISHIFT - 1)
     hi = (1 << _IGAMMA_BITS) - 1
@@ -301,8 +303,12 @@ def lab_to_bgr_u8_np(lab_u8: np.ndarray) -> np.ndarray:
     ify = _IFY_TAB[L]
     adiv = _IADIV_TAB[lab_u8[..., 1]]
     bdiv = _IBDIV_TAB[lab_u8[..., 2]]
-    x = _IAB_TAB[ify + adiv - _IMIN_AB].astype(np.int64)
-    z = _IAB_TAB[ify - bdiv - _IMIN_AB].astype(np.int64)
+    # Same index clamps as the C twin (labcolor.c): the table has ZERO
+    # margin at offset 0 (_IMIN_AB note), so without the clamp a future
+    # 1-LSB table-rounding change would wrap -1 to the LAST entry silently.
+    top = len(_IAB_TAB) - 1
+    x = _IAB_TAB[np.clip(ify + adiv - _IMIN_AB, 0, top)].astype(np.int64)
+    z = _IAB_TAB[np.clip(ify - bdiv - _IMIN_AB, 0, top)].astype(np.int64)
     C = _ICOEFFS
     half = 1 << (_ISHIFT - 1)
     hi = (1 << _IGAMMA_BITS) - 1

@@ -84,6 +84,14 @@ def affinity_matmul(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw, *,
 
     Dispatches to the Pallas TPU kernel when running on TPU (or when forced),
     else the tiled XLA path.
+
+    FOOTGUN (pinned-platform environments): the use_pallas=None default
+    keys off the PROCESS default backend, not the devices the computation
+    actually runs on. Code that computes on CPU devices while the process
+    default is TPU — a virtual CPU mesh under the pinned axon platform,
+    jax.device_put'd CPU arrays — must pass use_pallas=False explicitly, or
+    the Pallas TPU lowering fails on the CPU backend (parallel/sharded.py
+    decides by the MESH devices' platform for exactly this reason).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

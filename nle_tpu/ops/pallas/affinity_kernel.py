@@ -25,6 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Q = 512
 # B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
 MAX_PALLAS_P = 1024
+# Sample-dimension tile of the p-tiled branch. ptiled_fits' VMEM arithmetic
+# encodes this constant — keep them in sync (they live side by side for
+# exactly that reason).
+PTILE = 512
+
+
 def ptiled_fits(m: int) -> bool:
     """Whether the p-tiled kernel's VMEM working set fits for a B of width
     m: the (TILE_Q, Mpad) accumulator + double-buffered (PTILE, Mpad) B
@@ -32,7 +38,7 @@ def ptiled_fits(m: int) -> bool:
     B (e.g. the k-column eigenvector tail) rides the fused kernel for ANY
     sampling-grid size."""
     mpad = _round_up(max(m, 1), 128)
-    return 4 * (3 * TILE_Q * mpad + TILE_Q * 512) <= 10 * 2**20
+    return 4 * (3 * TILE_Q * mpad + TILE_Q * PTILE) <= 10 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,16 +127,28 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     qpad = _round_up(max(q, 1), TILE_Q)
 
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))          # (3, Ppad)
+    # fb stays (Qpad, 3) DELIBERATELY despite the repo's row-major-in-N
+    # layout rule: with a (TILE_Q, 3) BlockSpec the tiled HBM->VMEM DMA
+    # pays no relayout temp (MEASURED 2026-08-18 at 8M rows: 62.5 ms vs
+    # 64.8 ms for a (3, Qpad) row variant — identical within noise). The
+    # rule's hidden 512 B/px copy applies to whole-array/minor-dim-sliced
+    # operands (streaming_kernel.py's measured case), not to this shape.
     fb_cols = jnp.pad(fb, ((0, qpad - q), (0, 0)))            # (Qpad, 3)
     bp = jnp.pad(B, ((0, ppad - p), (0, mpad - m)))           # (Ppad, Mpad)
 
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
-    cost = pl.CostEstimate(
-        flops=2 * qpad * ppad * (mpad + 4),
-        bytes_accessed=4 * (qpad * 3 + 3 * ppad + ppad * mpad + qpad * mpad),
-        transcendentals=qpad * ppad,
-    )
+
+    def cost_for(ppad_: int) -> pl.CostEstimate:
+        # Per-branch: the p-tiled branch re-pads p to a PTILE multiple, so
+        # a cost built with the dense branch's 128-aligned ppad would
+        # under-report its work to the scheduler.
+        return pl.CostEstimate(
+            flops=2 * qpad * ppad_ * (mpad + 4),
+            bytes_accessed=4 * (qpad * 3 + 3 * ppad_ + ppad_ * mpad
+                                + qpad * mpad),
+            transcendentals=qpad * ppad_,
+        )
 
     dense_vmem = 4 * (ppad * mpad + 3 * TILE_Q * mpad + TILE_Q * ppad)
     if ppad <= MAX_PALLAS_P and dense_vmem <= 10 * 2**20:
@@ -147,7 +165,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
             out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=_out_struct((qpad, mpad), fb_cols, fa_rows, bp),
-            cost_estimate=cost,
+            cost_estimate=cost_for(ppad),
             interpret=interpret,
         )(sw2, pw2, fb_cols, fa_rows, bp)
         return out[:q, :m]
@@ -155,7 +173,6 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     # Dense sampling grids (p > MAX_PALLAS_P): tile the sample dimension as
     # a second (inner, sequential) grid axis and accumulate into revisited
     # output blocks; B streams in (PTILE, Mpad) slices.
-    PTILE = 512
     ppad = _round_up(p, PTILE)
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
     bp = jnp.pad(B, ((0, ppad - p), (0, mpad - m)))
@@ -172,7 +189,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
         out_specs=pl.BlockSpec((TILE_Q, mpad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=_out_struct((qpad, mpad), fb_cols, fa_rows, bp),
-        cost_estimate=cost,
+        cost_estimate=cost_for(ppad),
         interpret=interpret,
     )(sw2, pw2, fb_cols, fa_rows, bp)
     return out[:q, :m]

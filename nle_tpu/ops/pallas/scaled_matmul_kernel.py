@@ -24,6 +24,35 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def gram_tile(mpad: int) -> int:
+    """Row tile of the gram kernel (shrunk for wide factors so the
+    accumulator + blocks fit VMEM) — one definition for the kernel and the
+    fit predicate."""
+    return TILE if mpad <= 512 else TILE // 2
+
+
+def scaled_fits_vmem(m: int) -> bool:
+    """Whether the fused kernels' VMEM working sets fit for a factor of
+    width m. The binding constraint is the GRAM kernel's (Mpad, Mpad)
+    accumulator + double-buffered (tile, Mpad) blocks + the scaled-tile
+    temp — MEASURED on v5e (2026-08-18 compile probes): OK through
+    mpad = 1280 (model: 14.4 MB), Mosaic VMEM failure from mpad = 1408
+    (16.6 MB); the matmul kernel is looser (OK at 1536 with kpad = 128).
+    15 MiB against this working-set model reproduces the measured
+    boundary. Dense sampling grids past it must take the cphi/streaming
+    formulations — dispatchers consult this predicate (stage2_dense_small,
+    train_filter's streaming rule); an unguarded call would die in
+    Mosaic's VMEM check at train-time compile."""
+    mpad = _round_up(max(m, 1), 128)
+    tg = gram_tile(mpad)
+    gram = 4 * (mpad * mpad + 2 * tg * (mpad + 1) + tg * mpad)
+    return gram <= 15 * 2**20
+
+
 def _gram_kernel(c_ref, phi_ref, out_ref):
     i = pl.program_id(0)
 
@@ -48,7 +77,11 @@ def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array,
     # The (Mpad, Mpad) accumulator plus the scaled-tile temp must fit VMEM
     # alongside the double-buffered phi blocks; shrink the row tile for
     # wide factors.
-    tile = TILE if mpad <= 512 else TILE // 2
+    tile = gram_tile(mpad)
+    if npad % tile != 0:
+        raise ValueError(
+            f"phi rows ({npad}) must be a multiple of the row tile ({tile})"
+            " — silent tail-row drop otherwise")
     out = pl.pallas_call(
         _gram_kernel,
         grid=(npad // tile,),
@@ -80,6 +113,10 @@ def scaled_matmul_pallas(phi_pad: jax.Array, c_pad: jax.Array,
     """(diag(c) phi) @ B with the scaling fused; B (Mpad, kpad128)."""
     npad, mpad = phi_pad.shape
     kpad = B.shape[1]
+    if npad % TILE != 0:
+        raise ValueError(
+            f"phi rows ({npad}) must be a multiple of TILE ({TILE})"
+            " — silent tail-row drop otherwise")
     out = pl.pallas_call(
         _matmul_kernel,
         grid=(npad // TILE,),

@@ -197,6 +197,13 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
     and both MXU contractions run as native bf16 passes with f32
     accumulation. x and s stay float32 either way."""
     npad, mpad = phi_pad.shape
+    if npad % chunk != 0:
+        # nchunks = npad // chunk would silently DROP the tail rows (absent
+        # x entries, missing s contributions) — fail loudly instead. The
+        # internal caller (sinkhorn_vectors_fused) always pads to a chunk
+        # multiple; this guards direct callers.
+        raise ValueError(
+            f"phi rows ({npad}) must be a multiple of chunk ({chunk})")
     nchunks = npad // chunk
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     x, s8 = pl.pallas_call(

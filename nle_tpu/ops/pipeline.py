@@ -275,11 +275,20 @@ def stage2_dense_small(n: int, mb: int) -> bool:
     product (small images) or fuses the scaling into the Pallas Sb/Vb
     kernels (large images). stage 2a branches on this internally (it is
     static under jit); host callers use it to know whether the factor that
-    comes back is pre-scaled — keep both in one place."""
+    comes back is pre-scaled — keep both in one place.
+
+    Very wide rank buckets (mpad past ~1400, i.e. dense sampling grids)
+    also take the cphi branch: the fused kernels' (Mpad, Mpad) VMEM
+    accumulator does not fit there (scaled_fits_vmem) and an unguarded
+    dispatch dies in Mosaic's compile-time VMEM check. (train_filter
+    additionally prefers the streaming stage 2 in that regime so the cphi
+    buffer is never actually paid at capacity sizes; this fallback covers
+    callers that force the dense path, e.g. the pipelined batch trainer.)"""
+    from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_fits_vmem
     from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
 
     npad, mpad = padded_shape(n, mb)
-    return 4 * npad * mpad <= _CPHI_BYTES_LIMIT
+    return 4 * npad * mpad <= _CPHI_BYTES_LIMIT or not scaled_fits_vmem(mpad)
 
 
 def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
@@ -862,10 +871,19 @@ def train_filter(
                     f"compute in f32); got dtype {jnp.dtype(dtype).name}.")
             streaming = False
         elif streaming is None:
+            from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_fits_vmem
             from nle_tpu.ops.pallas.sinkhorn_kernel import padded_shape
 
             npad_, mpad_ = padded_shape(grid.n_pixels, mb)
-            streaming = (pallas_ok and 4 * npad_ * mpad_ > _STREAM_BYTES_LIMIT)
+            phi_bytes = 4 * npad_ * mpad_
+            # Streaming also when the fused dense kernels cannot fit VMEM
+            # (very wide rank buckets) AND the cphi fallback would blow the
+            # byte budget — the streaming stage 2 handles any (p, m) via
+            # its p-tiled halfstep.
+            streaming = pallas_ok and (
+                phi_bytes > _STREAM_BYTES_LIMIT
+                or (phi_bytes > _CPHI_BYTES_LIMIT
+                    and not scaled_fits_vmem(mpad_)))
         interpret_stream = jax.default_backend() != "tpu"
         with stage("Nystrom approximation + Sinkhorn"):
             if streaming:

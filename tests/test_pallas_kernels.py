@@ -118,3 +118,45 @@ def test_resolve_bf16_iters_policy(monkeypatch):
     assert _resolve_bf16_iters(10, None) == 10
     monkeypatch.setenv("NLE_SINKHORN_BF16", "3")
     assert _resolve_bf16_iters(10, None) == 3
+
+
+def test_scaled_fits_vmem_bounds():
+    """The fused dense Sb/Vb kernels' VMEM gate: ordinary rank buckets fit,
+    dense-sampling-grid buckets (the (Mpad, Mpad) accumulator past ~1400)
+    do not — those must route to cphi/streaming instead of dying in
+    Mosaic's compile-time VMEM check."""
+    from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_fits_vmem
+
+    # Measured v5e boundary (2026-08-18 compile probes): OK through 1280,
+    # Mosaic VMEM failure from 1408.
+    assert scaled_fits_vmem(640)
+    assert scaled_fits_vmem(1280)
+    assert not scaled_fits_vmem(1408)
+    assert not scaled_fits_vmem(2048)
+
+
+def test_stage2_dense_small_wide_bucket_falls_back():
+    """Sizes in the fused-dense byte window whose rank bucket is too wide
+    for the fused kernels take the cphi branch (and train_filter prefers
+    streaming there) — never the unguarded Pallas dispatch."""
+    from nle_tpu.ops.pipeline import stage2_dense_small
+
+    # 0.6 MP x mb=2048: ~5 GB phi — above NLE_CPHI_BYTES, fused window —
+    # but the fused kernels cannot fit VMEM at that width.
+    assert stage2_dense_small(600_000, 2048)
+    # Ordinary serving size: still the small/cphi branch by bytes.
+    assert stage2_dense_small(1_000_000, 640)
+    # Large image, ordinary bucket: the fused branch stays available.
+    assert not stage2_dense_small(3_000_000, 640)
+
+
+def test_sinkhorn_manual_rejects_nondivisible_rows():
+    import jax.numpy as jnp
+    import pytest
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_halfstep_manual
+
+    phi = jnp.ones((2560, 128), jnp.float32)
+    t = jnp.ones((128,), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of chunk"):
+        sinkhorn_halfstep_manual(phi, t, 1e-10, chunk=1024, interpret=True)
