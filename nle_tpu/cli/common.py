@@ -183,7 +183,7 @@ def maybe_dump_eigvecs(flt, flags) -> None:
         return
     V = t.eigvecs_pixel_order()
     S = np.asarray(t.eigvals)
-    for i, img in enumerate(eigvec_images(t)):
+    for i, img in enumerate(eigvec_images(t, V=V)):
         v = V[:, i]
         print(
             f"Eigvec {i} eigval: {S[i]} minCoeff: {v.min()} maxCoeff: {v.max()}",

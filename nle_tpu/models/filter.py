@@ -131,20 +131,23 @@ class NLEFilter:
 
     def _to_lab(self, image: np.ndarray) -> np.ndarray:
         """BGR->Lab with a one-entry cache: the train->edit flow converts
-        the same image twice (reference CLI semantics). The cache holds a
-        reference to the source array and re-validates by content compare
-        (cheap memcmp-style loop; catches in-place mutation), avoiding the
-        full tobytes() copy a byte-key would cost per call."""
+        the same image twice (reference CLI semantics). The cache keys on a
+        private SNAPSHOT of the pixels, never the caller's array object —
+        comparing against the argument itself would be vacuously equal after
+        an in-place mutation (img[:] = ...) and silently return the stale
+        Lab. The snapshot copy costs one image-sized memcpy per cache miss;
+        re-validation is a memcmp-speed array_equal."""
+        image = np.asarray(image)
         if self._lab_cache is not None:
             cached_img, cached_lab = self._lab_cache
-            if cached_img is image or (
+            if (
                 cached_img.shape == image.shape
                 and cached_img.dtype == image.dtype
                 and np.array_equal(cached_img, image)
             ):
                 return cached_lab
         lab = bgr_to_lab_u8_np(image)
-        self._lab_cache = (image, lab)
+        self._lab_cache = (image.copy(), lab)
         return lab
 
     @property

@@ -36,10 +36,15 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nle_tpu.config import default_eps
-from nle_tpu.ops.affinity import affinity_matmul_xla, bandwidth_weights, features
+from nle_tpu.ops.affinity import (
+    affinity_matmul,
+    affinity_matmul_xla,
+    bandwidth_weights,
+    features,
+)
 from nle_tpu.ops.linalg import safe_reciprocal
 from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.transfer import fetch
@@ -97,18 +102,16 @@ def _sharded_2a_step_streaming(mesh: Mesh, p: int, mb: int, n_iter: int,
 
 @functools.lru_cache(maxsize=32)
 def _sharded_2b_streaming(mesh: Mesh, interpret: bool):
-    """Vb = c * (K_AB^T @ (Uinv @ GrT)) per pixel shard (streaming path)."""
+    """Vb = c * (K_AB^T @ (Uinv @ GrT)) per pixel shard (streaming path).
+
+    Dispatch goes through affinity_matmul so the ptiled_fits VMEM guard
+    applies: a wide eigenvector request (B cols beyond the p-tiled kernel's
+    VMEM working set) falls back to the tiled XLA builder exactly like the
+    single-chip twin (ops/pipeline.py train_filter_stage2b_streaming)
+    instead of failing Mosaic's compile-time VMEM check."""
     def fn(fa, fb_local, cbl_local, B, sw, pw):
-        if interpret:
-            from nle_tpu.ops.affinity import affinity_matmul_xla
-
-            vb = affinity_matmul_xla(fa, fb_local, B, sw, pw)
-        else:
-            from nle_tpu.ops.pallas.affinity_kernel import (
-                affinity_matmul_pallas,
-            )
-
-            vb = affinity_matmul_pallas(fa, fb_local, B, sw, pw)
+        vb = affinity_matmul(fa, fb_local, B, sw, pw,
+                             use_pallas=not interpret)
         return cbl_local[:, None] * vb
 
     vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))
@@ -139,6 +142,56 @@ def _sharded_apply(mesh: Mesh):
             out_specs=P("pixel"),
         )
     )
+
+
+# Sharded rest-pixel coordinate planes + pad mask, cached per
+# (grid, mesh, dtype): static across calls for a fixed image shape and
+# sample counts, exactly like pipeline._grid_device_arrays on the
+# single-chip path — re-uploading ~8 B/pixel of coordinates per call would
+# dominate tunnel-attached-TPU latency in the repeated-training pattern.
+_COORD_CACHE: dict = {}
+
+
+def _coord_rest_arrays(grid, mesh: Mesh, dtype, nb_pad: int):
+    key = (grid.nrows, grid.ncols, grid.sel_rows.tobytes(),
+           grid.sel_cols.tobytes(), mesh, jnp.dtype(dtype).name, nb_pad)
+    hit = _COORD_CACHE.get(key)
+    if hit is None:
+        p = grid.n_samples
+        nb = grid.n_pixels - p
+        dt = np.dtype(dtype)
+        rr = (grid.perm[p:] // grid.ncols).astype(dt)
+        cc = (grid.perm[p:] % grid.ncols).astype(dt)
+        sh_pix = NamedSharding(mesh, P("pixel"))
+        hit = (
+            jax.device_put(np.pad(rr, (0, nb_pad - nb)), sh_pix),
+            jax.device_put(np.pad(cc, (0, nb_pad - nb)), sh_pix),
+        )
+        if len(_COORD_CACHE) > 8:
+            _COORD_CACHE.clear()
+        _COORD_CACHE[key] = hit
+    return hit
+
+
+@functools.lru_cache(maxsize=32)
+def _build_feats_step(mesh: Mesh, nb: int, nb_pad: int):
+    """Jitted per-shard build of the rest-block features (B, nb_pad, 3) and
+    pad mask (B, nb_pad) from the pixel-sharded intensity rows and the
+    cached coordinate planes. Everything stays on its own shard: the
+    whole-batch feature tensor never exists on one device."""
+    sh3 = NamedSharding(mesh, P("data", "pixel", None))
+    sh2 = NamedSharding(mesh, P("data", "pixel"))
+
+    def build(yb, rr_rest, cc_rest):
+        fb = jax.vmap(lambda y: features(rr_rest, cc_rest, y))(yb)
+        valid = (jnp.arange(nb_pad) < nb).astype(yb.dtype)
+        mask = jnp.broadcast_to(valid, yb.shape)
+        # Zero the pad rows' coordinate columns too (they carry the real
+        # pad-row coords of 0 already, but y pads are 0 — keep fb pad rows
+        # exactly zero like the jnp.pad-based build did).
+        return fb * mask[..., None], mask
+
+    return jax.jit(build, out_shardings=(sh3, sh2))
 
 
 def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh:
@@ -380,14 +433,23 @@ def train_filter_sharded(
     eps = float(eps)
 
     flat = channels.reshape(b, n)[:, grid.perm].astype(np.dtype(dtype))
-    rr = jnp.asarray((grid.perm // ncols).astype(np.dtype(dtype)))
-    cc = jnp.asarray((grid.perm % ncols).astype(np.dtype(dtype)))
     sw, pw = bandwidth_weights(hx, hy, dtype)
 
-    feats = jax.vmap(lambda yb: features(rr, cc, yb))(jnp.asarray(flat))
-    fa = feats[:, :p]
-    fb = jnp.pad(feats[:, p:], ((0, 0), (0, nb_pad - nb), (0, 0)))
-    mask = jnp.pad(jnp.ones((b, nb), dtype), ((0, 0), (0, nb_pad - nb)))
+    # Pixel-sharded inputs are placed DIRECTLY onto their mesh shards
+    # (device_put splits the host array per shard; the sharded feature
+    # build below keeps every derived tensor on its shard): the batch's
+    # (B, nb_pad, 3) features must never materialize on one default
+    # device, or capacity would cap at a single chip's HBM and defeat the
+    # pixel mesh. Coordinate planes are cached per (grid, mesh).
+    dt = np.dtype(dtype)
+    rr_a = (grid.perm[:p] // ncols).astype(dt)
+    cc_a = (grid.perm[:p] % ncols).astype(dt)
+    fa_np = np.stack(
+        [np.broadcast_to(rr_a, (b, p)), np.broadcast_to(cc_a, (b, p)),
+         flat[:, :p]], axis=-1)
+    flat_rest = np.zeros((b, nb_pad), dt)
+    flat_rest[:, :nb] = flat[:, p:]
+    rr_rest, cc_rest = _coord_rest_arrays(grid, mesh, dtype, nb_pad)
 
     # Stage 1 (host, float64): Ka eigensystem per batch element — the
     # chaos-sensitive eigenbasis must be chosen at f64 (see ops/pipeline.py).
@@ -432,8 +494,11 @@ def train_filter_sharded(
         V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
         S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
-    from nle_tpu.ops.orthogonalize import host_chain64
-    from nle_tpu.utils.logging import warn_rank_deficient
+    # The balanced-block rebuild + orthogonalization chain is the ONE
+    # shared host_orthogonalize definition (ops/pipeline.py) — it also
+    # honors the NLE_Q_SOLVER override, which an inline duplicate here
+    # silently dropped once.
+    from nle_tpu.ops.pipeline import host_orthogonalize, submit_sb_fetch
 
     n_data = mesh.shape["data"]
     for mb in np.unique(mbs):
@@ -447,20 +512,29 @@ def train_filter_sharded(
         if short:
             idx = np.concatenate([idx, np.repeat(idx[-1:], short)])
 
+        sh_data = NamedSharding(mesh, P("data"))
+
         def padded(j, arr1d=False):
-            """Stack a group's stage-1 piece zero-padded to the bucket."""
+            """Stack a group's stage-1 piece zero-padded to the bucket,
+            placed data-sharded (replicated over 'pixel') on the mesh."""
             outs = []
             for i in idx:
                 a = stage1[i][j]
                 pad = ((0, mb - a.shape[-1]),) if arr1d else (
                     (0, 0), (0, mb - a.shape[-1]))
                 outs.append(np.pad(a, pad))
-            return jnp.asarray(np.stack(outs), dtype)
+            return jax.device_put(
+                np.stack(outs).astype(np.dtype(dtype)), sh_data)
 
         Um = padded(0)
         lam_m = padded(1, arr1d=True)
         Uinv = padded(2)
-        m_arr = jnp.asarray(ms[idx].astype(np.int32))
+        m_arr = jax.device_put(ms[idx].astype(np.int32), sh_data)
+        fa_g = jax.device_put(fa_np[idx], sh_data)
+        yb_g = jax.device_put(flat_rest[idx],
+                              NamedSharding(mesh, P("data", "pixel")))
+        fb_g, mask_g = _build_feats_step(mesh, nb, nb_pad)(
+            yb_g, rr_rest, cc_rest)
         # Decide by the MESH devices' platform, not the process default
         # backend: under the pinned axon platform a virtual CPU mesh still
         # sees default_backend() == "tpu".
@@ -473,35 +547,33 @@ def train_filter_sharded(
             step = _sharded_2a_step(mesh, p, mb, n_sinkhorn_iter, eps, on_tpu)
         with jax.default_matmul_precision("highest"):
             rp, cp, Sb, cphib = step(
-                Um, lam_m, Uinv, m_arr, fa[idx], fb[idx], mask[idx], sw, pw
+                Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
             )
-        rp64 = np.asarray(rp, np.float64)
-        cp64 = np.asarray(cp, np.float64)
-        Sb64 = np.asarray(Sb, np.float64)
+        rp64 = np.asarray(fetch(rp), np.float64)
+        cp64 = np.asarray(fetch(cp), np.float64)
+        # Lazy group Sb fetch on the transfer pool: host_orthogonalize
+        # resolves it only after the first element's eig(Wa)+E, hiding the
+        # (group, mb, mb) transfer under host work (single-chip protocol,
+        # ops/pipeline.py submit_sb_fetch).
+        sb_group = submit_sb_fetch(Sb)
         grts = []
         fact_pieces: dict = {}
         for j, i in enumerate(idx):
             m = int(ms[i])
             k = min(n_eig_vectors, m)
             Um64 = stage1[i][0]
-            lam64 = stage1[i][1]
-            phi_top = Um64[:m]
-            Ga = phi_top * lam64[None, :]
-            rt64 = rp64[j][:m]
-            RGa = rt64[:, None] * Ga
-            Wa = RGa @ (cp64[j][:m, None] * phi_top).T
-            Va, GrT, Sq = host_chain64(Wa, RGa, Sb64[j][:m, :m], k, eps)
-            warn_rank_deficient("orthogonalize eig(Q)",
-                                int(np.count_nonzero(Sq)), k)
+            va_np, Sq = host_orthogonalize(
+                np.stack([rp64[j], cp64[j]]), (lambda jj=j: sb_group()[jj]),
+                Um64, stage1[i][1], m, mb, k, eps)
+            GrT = va_np[:m, k:]
             Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
-            top = np.concatenate([Va, Vu], axis=0).astype(np.dtype(dtype))
+            top = np.concatenate(
+                [va_np[:m, :k], Vu], axis=0).astype(np.dtype(dtype))
             if factored:
                 fact_pieces[j] = (top, (stage1[i][2] @ GrT).astype(np.float32),
                                   Sq.astype(np.float32))
                 continue
-            grt_pad = np.zeros((mb, k_out))
-            grt_pad[:m] = GrT[:, :k_out]
-            grts.append(grt_pad)
+            grts.append(va_np[:, k:k + k_out])   # (mb, k_out), zero past m
             V_out[i, grid.perm[:p], :] = top[:, :k_out]  # k >= k_out
             S_out[i] = Sq[:k_out].astype(np.dtype(dtype))
         if factored:
@@ -528,7 +600,7 @@ def train_filter_sharded(
                 # affinity matmul per shard with the small (p, k) factor.
                 B = jnp.einsum("bpm,bmk->bpk", Uinv, grt_dev)
                 step2b = _sharded_2b_streaming(mesh, interpret)
-                Vb = step2b(fa[idx], fb[idx], cphib, B, sw, pw)
+                Vb = step2b(fa_g, fb_g, cphib, B, sw, pw)
             else:
                 Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
         Vb_np = fetch(Vb)[:, :nb, :]

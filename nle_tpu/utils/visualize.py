@@ -41,14 +41,19 @@ def plot_sampled_points(image_bgr_u8, n_row_samples: int, n_col_samples: int,
     return img
 
 
-def eigvec_images(trained) -> list[np.ndarray]:
+def eigvec_images(trained, V: np.ndarray | None = None) -> list[np.ndarray]:
     """Min-max-rescaled images of the filter eigenvectors (the reference's
     debug imshow of the first <= 5 eigenvectors, src/filter.cpp:504-511).
 
     Rows are brought to pixel order first — TrainedFilter stores them in
-    packed [selected; rest] order.
+    packed [selected; rest] order. Pass V to reuse an already-fetched
+    pixel-order eigenvector matrix: the device->host fetch of an (N, k)
+    matrix is the expensive part on a tunnel-attached TPU, and callers that
+    also print per-vector stats (cli/common.py) would otherwise pay it
+    twice.
     """
-    V = trained.eigvecs_pixel_order()
+    if V is None:
+        V = trained.eigvecs_pixel_order()
     out = []
     for i in range(min(V.shape[1], 5)):
         out.append(
