@@ -63,3 +63,36 @@ def test_nonsquare_extreme_aspect(rng):
     V, S = train_filter(chan, 2, 4, 50.0, 30.0, 3, 3, dtype=jnp.float64,
                         use_pallas=False)
     np.testing.assert_allclose(np.asarray(S)[: S_o.size], S_o, atol=1e-9)
+
+def test_lab_cache_survives_inplace_mutation(rng):
+    # The one-entry Lab cache must key on pixel CONTENT snapshots: mutating
+    # the same array object in place between calls has to produce a fresh
+    # conversion, not the stale cached Lab (regression: an identity
+    # shortcut compared the cached object to itself, vacuously equal).
+    from nle_tpu.color.lab import bgr_to_lab_u8_np
+
+    img = rng.integers(0, 256, (6, 5, 3), np.uint8)
+    f = NLEFilter()
+    lab1 = f._to_lab(img)
+    np.testing.assert_array_equal(lab1, bgr_to_lab_u8_np(img))
+    img[:] = 255 - img
+    lab2 = f._to_lab(img)
+    np.testing.assert_array_equal(lab2, bgr_to_lab_u8_np(img))
+    assert not np.array_equal(lab1, lab2)
+    # Unchanged content still hits the cache (same object returned).
+    assert f._to_lab(img) is lab2
+
+
+def test_eigvec_images_accepts_prefetched_v(rng):
+    # cli/common.py fetches V once and reuses it for both the stats print
+    # and the image dump; the V= path must match the self-fetch path.
+    from nle_tpu.utils.visualize import eigvec_images
+
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    f = NLEFilter()
+    t = f.train_for_enhancement(img, 2, 2, 100, 30, 3, 3)
+    auto = eigvec_images(t)
+    given = eigvec_images(t, V=t.eigvecs_pixel_order())
+    assert len(auto) == len(given)
+    for a, g in zip(auto, given):
+        np.testing.assert_array_equal(a, g)
