@@ -23,20 +23,12 @@ import time
 import numpy as np
 
 
-def load_input(target_mp=1.0):
-    import cv2
-
-    path = "/root/reference/data/rock2.jpg"
-    if os.path.exists(path):
-        img = cv2.imread(path)
-        h, w = img.shape[:2]
-        scale = (target_mp * 1e6 / (h * w)) ** 0.5
-        img = cv2.resize(img, (int(w * scale), int(h * scale)),
-                         interpolation=cv2.INTER_CUBIC)
-    else:  # synthetic fallback
-        rng = np.random.default_rng(0)
-        img = rng.integers(0, 256, (832, 1216, 3), np.uint8)
-    return img
+# The ONE benchmark input definition, shared with the A/B tools
+# (tools/bench_batch.py etc.) so the headline bench and the comparison
+# tools can never drift onto different inputs.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools"))
+from bench_input import load_input  # noqa: E402
 
 
 def main():

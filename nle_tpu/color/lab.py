@@ -148,7 +148,10 @@ def lab_to_bgr_u8(lab_u8: jax.Array) -> jax.Array:
     """(H, W, 3) uint8 Lab (OpenCV 8-bit scaling) -> (H, W, 3) uint8 BGR.
 
     Integer LUT pipeline, bit-exact vs cv2 (same tables as the host twin
-    `lab_to_bgr_u8_np`). All intermediates fit int32: |C @ (x,y,z)| < 2^30.
+    `lab_to_bgr_u8_np`). All intermediates fit int32, but the headroom is
+    under ONE bit: worst-case |C @ (x,y,z)| ~= 1.41e9 ~= 2^30.4 (row 0 at
+    the ab-table maximum 88218) against the 2^31 signed limit — do not
+    widen _ISHIFT/_IBASE without re-deriving this bound.
     """
     idx = lab_u8.astype(jnp.int32)
     y = jnp.take(jnp.asarray(_IY_TAB), idx[..., 0])

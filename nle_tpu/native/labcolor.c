@@ -59,8 +59,10 @@ void bgr2lab_u8(const uint8_t *bgr, uint8_t *lab, size_t n,
 
 /* lab: N*3 interleaved uint8; bgr out. Bit-exact vs cv2's Lab2RGBinteger
  * (tables built in nle_tpu/color/lab.py; verified on the full 256^3 cube).
- * All |coeff * x| < 2^30, so the accumulators fit int32; int64 coeffs are
- * kept for pointer-compat with the Python table dtypes. */
+ * Worst-case |C @ (x,y,z)| ~= 1.41e9 ~= 2^30.4 < 2^31, so the accumulators
+ * fit int32 with under one bit of headroom (do not widen IBASE/the shift
+ * without re-deriving the bound); int64 coeffs are kept for pointer-compat
+ * with the Python table dtypes. */
 void lab2bgr_u8(const uint8_t *lab, uint8_t *bgr, size_t n,
                 const int32_t *y_tab,     /* 256 */
                 const int32_t *ify_tab,   /* 256 */

@@ -217,15 +217,30 @@ class _FilterStore:
         a warning) rather than lost."""
         from nle_tpu.utils.logging import logger
 
-        for name, f in victims:
+        def pending(name, f) -> bool:
             with self._lock:
-                if self._saving.get(name) is not f:
-                    continue  # re-trained while queued: save is moot
+                return self._saving.get(name) is f
+
+        for name, f in victims:
+            if not pending(name, f):
+                continue  # re-trained while queued: save is moot
             try:
                 if self._device_lock is not None:
                     with self._device_lock:
+                        # Re-check INSIDE the device lock: while this thread
+                        # waited, a re-train + re-eviction may have queued
+                        # and COMPLETED a save of the newer filter (the
+                        # device lock is not FIFO); writing now would
+                        # overwrite that fresh checkpoint with the stale
+                        # filter while _on_disk still marks it valid. With
+                        # the lock held no other saver can interleave after
+                        # this check.
+                        if not pending(name, f):
+                            continue
                         f.trained.save(self._path(name))
                 else:
+                    if not pending(name, f):
+                        continue
                     f.trained.save(self._path(name))
             except Exception as e:
                 with self._lock:
@@ -274,7 +289,7 @@ class _FilterStore:
             if name not in self._spilled:
                 raise KeyError(
                     f"no trained filter named {name!r} "
-                    f"(have: {sorted(self.names())})")
+                    f"(have: {self._names_locked()})")
         # Disk + device load OUTSIDE the store lock: a cold reload must not
         # block unrelated requests' store lookups.
         loaded = NLEFilter(trained=load_filter(self._path(name)))
@@ -291,10 +306,16 @@ class _FilterStore:
         self._save_victims(victims)
         return loaded
 
-    def names(self) -> list:
-        # Callers may already hold self._lock (get's error path) — plain
-        # reads of the two containers are atomic enough for a name listing.
+    def _names_locked(self) -> list:
         return sorted(set(self._resident) | self._spilled)
+
+    def names(self) -> list:
+        # Snapshot under the store lock: iterating the live dict/set while
+        # put()/spill threads mutate them raises "changed size during
+        # iteration". get()'s error path (which already holds the
+        # non-reentrant lock) uses _names_locked directly.
+        with self._lock:
+            return self._names_locked()
 
     def stats(self) -> dict:
         with self._lock:
@@ -397,8 +418,12 @@ class _Service:
     def enhance(self, body, q):
         from nle_tpu.models.filter import NLEFilter
 
-        img = _decode_bgr(body)
+        # Cheap validation FIRST (params + weight parse): a malformed
+        # request must not cost a full image decode on the request thread
+        # (same rule apply() documents).
+        params = self._params(q)
         w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
+        img = _decode_bgr(body)
         if self._factored(q):
             # V-free capacity mode: trains through the streaming stage 2
             # (no pipelined coalescing — it is the huge-image path).
@@ -414,24 +439,29 @@ class _Service:
             # the measured +8% interleave (bench.py). Memory-safe: the
             # apply adds only the u8 channel in/out on top of a V that is
             # resident either way.
-            flt = self.trainer.train_enhancement(img, self._params(q))
+            flt = self.trainer.train_enhancement(img, params)
             out = NLEFilter(trained=flt).enhance(img, w)
         # PNG encode is pure host CPU — never under the device lock.
         return _encode_png(out)
 
     def denoise(self, body, q):
+        # Params before decode (cheap-validation-first, as in apply()).
+        self._params(q)
+        shrink = float(q.get("shrink", ["2"])[0])
+        sigma_color = float(q.get("sigma_color", ["10"])[0])
+        sigma_space = float(q.get("sigma_space", ["10"])[0])
         img = _decode_bgr(body)
         with self.lock:
             f = self._make_filter(img, q, denoise=True)
-            out = f.denoise(
-                img, float(q.get("shrink", ["2"])[0]),
-                sigma_color=float(q.get("sigma_color", ["10"])[0]),
-                sigma_space=float(q.get("sigma_space", ["10"])[0]))
+            out = f.denoise(img, shrink, sigma_color=sigma_color,
+                            sigma_space=sigma_space)
         return _encode_png(out)
 
     def train(self, body, q):
-        img = _decode_bgr(body)
+        # Params before decode (cheap-validation-first, as in apply()).
+        self._params(q)
         name = q.get("name", ["default"])[0]
+        img = _decode_bgr(body)
         with self.lock:
             f = self._make_filter(img, q, denoise=False)
         self.store.put(name, f)
@@ -561,8 +591,13 @@ def make_server(port: int = 0, token: str | None = None,
                 self.close_connection = True
                 return self._json_err(400, "bad Content-Length header")
             if token:
+                import hmac
+
                 auth = self.headers.get("Authorization", "")
-                if auth != f"Bearer {token}":
+                # Constant-time compare: != short-circuits at the first
+                # differing byte, leaking the token prefix to a client
+                # that can time responses (this is the only auth gate).
+                if not hmac.compare_digest(auth, f"Bearer {token}"):
                     svc.metrics.reject()
                     self._drain_body(n)
                     return self._json_err(401, "missing or bad bearer token")

@@ -56,17 +56,20 @@ def main():
                             params["n_sinkhorn_iter"],
                             params["n_eig_vectors"])
 
+    # Force completion with a scalar FETCH, not block_until_ready: on the
+    # axon platform block_until_ready can return before execution completes
+    # (CLAUDE.md), which would under-measure the sequential side.
     t0 = time.perf_counter()
     for c in chans:
         V, S = train_filter(c, 20, 30, **params)
-    jax.block_until_ready(V)
+    np.asarray(V[:1, :1])
     seq = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     flts = train_filters_pipelined(chans, 20, 30, params["hx"], params["hy"],
                                    params["n_sinkhorn_iter"],
                                    params["n_eig_vectors"])
-    jax.block_until_ready(flts[-1].eigvecs)
+    np.asarray(flts[-1].eigvecs[:1, :1])
     pipe = time.perf_counter() - t0
 
     print(f"{n_imgs} x {mp:.2f} MP  sequential {seq:.2f}s "

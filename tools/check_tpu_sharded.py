@@ -41,6 +41,7 @@ def main() -> int:
         make_mesh,
         train_filter_sharded,
     )
+    from nle_tpu.utils.transfer import fetch
 
     platform = jax.default_backend()
     # Small real-image problem: big enough to hit the Pallas kernels'
@@ -60,21 +61,23 @@ def main() -> int:
     mesh = make_mesh(1, 1)
     batch = chan[None]
 
-    # Single-chip streaming pipeline = the truth to match.
+    # Single-chip streaming pipeline = the truth to match. N-sized
+    # device->host transfers go through the chunked fetch (CLAUDE.md
+    # transfer rule), never bare np.asarray.
     V1, S1 = train_filter(chan, *args, streaming=True)
-    V1 = np.asarray(V1)
+    V1 = fetch(V1)
     S1 = np.asarray(S1)
 
     # shard_map + Pallas streaming trainer on the (1, 1) device mesh.
     Vs, Ss = train_filter_sharded(batch, *args, mesh, streaming=True)
-    Vs = np.asarray(Vs[0])
+    Vs = fetch(Vs)[0]
     Ss = np.asarray(Ss[0])
     s_diff = float(np.abs(Ss - S1).max())
     v_diff = float(np.abs(np.abs(Vs) - np.abs(V1)).max())
 
     fS = transform_eigenvalues(jnp.asarray(S1), weights)
-    out1 = np.asarray(apply_filter(jnp.asarray(V1), fS, jnp.asarray(chan)))
-    outs = np.asarray(apply_filter(jnp.asarray(Vs), fS, jnp.asarray(chan)))
+    out1 = fetch(apply_filter(jnp.asarray(V1), fS, jnp.asarray(chan)))
+    outs = fetch(apply_filter(jnp.asarray(Vs), fS, jnp.asarray(chan)))
     edit_diff = float(np.abs(outs - out1).max())
 
     # Factored variant: sharded training + the pixel-sharded V-free apply.
