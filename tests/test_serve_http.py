@@ -441,3 +441,55 @@ def test_stale_spill_save_does_not_mark_on_disk(tmp_path):
     assert "x" not in store._on_disk
     assert old.trained.saved == []   # skipped outright, not just unmarked
     assert store.get("x") is new
+
+
+def test_stalled_spill_save_cannot_overwrite_newer_checkpoint(tmp_path):
+    """The device lock is not FIFO: an old eviction save that passed its
+    pre-check and then WAITED on the device lock must re-validate inside
+    the lock — while it waited, a re-train + re-eviction may have queued
+    and completed a save of the NEWER filter, and writing now would
+    overwrite that fresh checkpoint while _on_disk still marks it valid
+    (silent stale serves on the next reload)."""
+    from nle_tpu.serving.http import _FilterStore
+
+    class _HookLock:
+        """Context manager whose next __enter__ runs a one-shot hook —
+        deterministically interleaving 'the world moved on' into the
+        window between the pre-check and the lock acquisition."""
+
+        def __init__(self):
+            self.hook = None
+
+        def __enter__(self):
+            hook, self.hook = self.hook, None
+            if hook:
+                hook()
+
+        def __exit__(self, *a):
+            return False
+
+    lock = _HookLock()
+    store = _FilterStore(max_filters=1, spill_dir=str(tmp_path),
+                         device_lock=lock)
+    old, new, other = _FakeFilter(), _FakeFilter(), _FakeFilter()
+    store.put("x", old)
+
+    def world_moves_on():
+        # While the old save waits for the device lock: x is re-trained
+        # (invalidating the pending save) and then evicted again, and the
+        # NEW filter's save completes first.
+        store.put("x", new)       # evicts 'other'... nothing else resident
+        store.put("z", other)     # evicts x -> queues + completes new save
+
+    lock.hook = world_moves_on
+    store.put("y", _FakeFilter())  # evicts x (old) -> the stalled save
+
+    path = store._path("x")
+    assert new.trained.saved == [path]       # the fresh checkpoint...
+    assert old.trained.saved == []           # ...never overwritten by old
+    assert "x" in store._on_disk
+    # x's live object is gone (cleanly evicted); the next get() would
+    # reload from the checkpoint — which must be the NEW one.
+    assert "x" in store._spilled and "x" not in store._saving
+    with open(path, "rb") as fh:
+        assert fh.read() == b"ckpt"
