@@ -221,6 +221,22 @@ class _FilterStore:
             with self._lock:
                 return self._saving.get(name) is f
 
+        def write_atomic(name, f):
+            # Write-to-temp + atomic rename: a concurrent get() may be
+            # np.load-ing this very path (reloads run outside every lock);
+            # overwriting in place would hand it a truncated npz (EOFError
+            # mid-request — found by tests' concurrent stress hammer).
+            # os.replace keeps every reader on a complete file: the old
+            # inode until the rename, the new one after.
+            path = self._path(name)
+            tmp = path + f".tmp-{threading.get_ident()}.npz"
+            try:
+                f.trained.save(tmp)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
         for name, f in victims:
             if not pending(name, f):
                 continue  # re-trained while queued: save is moot
@@ -237,11 +253,11 @@ class _FilterStore:
                         # this check.
                         if not pending(name, f):
                             continue
-                        f.trained.save(self._path(name))
+                        write_atomic(name, f)
                 else:
                     if not pending(name, f):
                         continue
-                    f.trained.save(self._path(name))
+                    write_atomic(name, f)
             except Exception as e:
                 with self._lock:
                     if self._saving.get(name) is f:

@@ -485,11 +485,71 @@ def test_stalled_spill_save_cannot_overwrite_newer_checkpoint(tmp_path):
     store.put("y", _FakeFilter())  # evicts x (old) -> the stalled save
 
     path = store._path("x")
-    assert new.trained.saved == [path]       # the fresh checkpoint...
-    assert old.trained.saved == []           # ...never overwritten by old
+    # Saves write to a tmp name then os.replace onto path (atomic vs
+    # concurrent reloads): exactly one write, by the NEW filter.
+    assert len(new.trained.saved) == 1
+    assert new.trained.saved[0].startswith(path + ".tmp-")
+    assert old.trained.saved == []           # never overwritten by old
     assert "x" in store._on_disk
     # x's live object is gone (cleanly evicted); the next get() would
     # reload from the checkpoint — which must be the NEW one.
     assert "x" in store._spilled and "x" not in store._saving
     with open(path, "rb") as fh:
         assert fh.read() == b"ckpt"
+
+
+def test_filter_store_concurrent_stress(tmp_path):
+    """Hammer the store from many threads (put/get/healthz-names mix over a
+    small namespace with capacity 2, so evictions + spills + reloads churn
+    constantly). Guards the locking protocol: no exception may escape, and
+    every name must end resident, mid-save, or reloadable-from-disk."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from nle_tpu.models.filter import NLEFilter, TrainedFilter
+    from nle_tpu.serving.http import _FilterStore
+
+    def tiny_filter(tag: float):
+        # Real (tiny) TrainedFilter so spill saves write genuine npz
+        # checkpoints and reloads round-trip through load_filter.
+        return NLEFilter(trained=TrainedFilter(
+            eigvecs=jnp.full((6, 2), tag, jnp.float32),
+            eigvals=jnp.ones((2,), jnp.float32), nrows=2, ncols=3))
+
+    device_lock = threading.Lock()
+    store = _FilterStore(max_filters=2, spill_dir=str(tmp_path),
+                         device_lock=device_lock)
+    names = [f"n{i}" for i in range(5)]
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        try:
+            for it in range(150):
+                name = names[int(rng.integers(len(names)))]
+                op = rng.integers(3)
+                if op == 0:
+                    store.put(name, tiny_filter(float(seed * 1000 + it)))
+                elif op == 1:
+                    try:
+                        store.get(name)
+                    except KeyError:
+                        pass  # never trained yet — legitimate
+                else:
+                    store.names()
+                    store.stats()
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    # Every previously-put name is still accounted for somewhere.
+    listed = set(store.names())
+    for name in listed:
+        assert (name in store._resident or name in store._saving
+                or os.path.exists(store._path(name)))
