@@ -23,20 +23,25 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     image = imread_bgr(image_path)
 
-    # Key the cached filter by the image content — a filter trained on a
-    # different image must not be silently applied (same-size images would
-    # produce garbage edits; different sizes a ValueError).
+    # Key the cached filter by the image content AND the training
+    # hyperparameters — a filter trained on a different image or with
+    # different params must not be silently applied (same-size images
+    # would produce garbage edits; different sizes a ValueError; stale
+    # params a silent wrong-bandwidth edit).
     import hashlib
 
-    digest = hashlib.sha1(image.tobytes()).hexdigest()[:12]
+    train_params = dict(n_row_samples=10, n_col_samples=20, hx=100, hy=30,
+                        n_sinkhorn_iter=50, n_eigen_vectors=30)
+    digest = hashlib.sha1(
+        image.tobytes() + repr(sorted(train_params.items())).encode()
+    ).hexdigest()[:12]
     filter_path = os.path.join(out_dir, f"filter-{digest}.npz")
     if os.path.exists(filter_path):
         flt = NLEFilter(trained=TrainedFilter.load(filter_path))
         print(f"loaded filter from {filter_path}")
     else:
         flt = NLEFilter()
-        flt.train_for_enhancement(image, 10, 20, hx=100, hy=30,
-                                  n_sinkhorn_iter=50, n_eigen_vectors=30)
+        flt.train_for_enhancement(image, **train_params)
         flt.trained.save(filter_path)
         print(f"trained and saved filter to {filter_path}")
 

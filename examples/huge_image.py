@@ -54,13 +54,14 @@ def main():
                             n_sinkhorn_iter=50, n_eigen_vectors=50)
     # Force the async stage-2b eigvec build before stamping the split (a
     # scalar fetch; plain block_until_ready can return early on axon).
-    import numpy as _np
-
-    _np.asarray(f.trained.eigvecs[:1, :1])
+    np.asarray(f.trained.eigvecs[:1, :1])
     t1 = time.time()
     out = f.enhance(img, [2, 3, 3, 1])
     t2 = time.time()
-    cv2.imwrite(dst, out)
+    from nle_tpu.utils.imageio import imwrite_bgr
+
+    imwrite_bgr(dst, out)   # raises on write failure (cv2.imwrite only
+    #                         returns False — a silent no-op otherwise)
     print(f"train {t1-t0:.1f}s  enhance {t2-t1:.1f}s  "
           f"-> {mp/(t2-t0):.2f} MP/s  wrote {dst}", flush=True)
 

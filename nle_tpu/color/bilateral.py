@@ -30,23 +30,8 @@ def _aperture(d: int, sigma_space: float) -> int:
     return max(radius, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space"))
-def bilateral_filter_u8(
-    img_u8: jax.Array, d: int = -1, sigma_color: float = 10.0, sigma_space: float = 10.0
-) -> jax.Array:
-    """(H, W) uint8 -> (H, W) uint8 bilateral-filtered."""
-    sigma_color = float(sigma_color) if sigma_color > 0 else 1.0
-    sigma_space = float(sigma_space) if sigma_space > 0 else 1.0
-    radius = _aperture(d, sigma_space)
-    gc = -0.5 / (sigma_color * sigma_color)
-    gs = -0.5 / (sigma_space * sigma_space)
-
-    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    keep = dy * dy + dx * dx <= radius * radius
-    offs_y = (dy[keep] + radius).astype(np.int32)
-    offs_x = (dx[keep] + radius).astype(np.int32)
-    space_w = np.exp(gs * (dy[keep] ** 2 + dx[keep] ** 2)).astype(np.float32)
-
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _bilateral_scan(img_u8, gc, offs_y, offs_x, space_w, *, radius: int):
     img = img_u8.astype(jnp.float32)
     h, w = img.shape
     pad = jnp.pad(img, radius, mode="reflect")  # reflect-101 == BORDER_DEFAULT
@@ -59,7 +44,33 @@ def bilateral_filter_u8(
         return (num + wgt * win, den + wgt), None
 
     init = (jnp.zeros_like(img), jnp.zeros_like(img))
-    (num, den), _ = jax.lax.scan(
-        step, init, (jnp.asarray(offs_y), jnp.asarray(offs_x), jnp.asarray(space_w))
-    )
+    (num, den), _ = jax.lax.scan(step, init, (offs_y, offs_x, space_w))
     return jnp.clip(jnp.rint(num / den), 0, 255).astype(jnp.uint8)
+
+
+def bilateral_filter_u8(
+    img_u8: jax.Array, d: int = -1, sigma_color: float = 10.0, sigma_space: float = 10.0
+) -> jax.Array:
+    """(H, W) uint8 -> (H, W) uint8 bilateral-filtered.
+
+    Only the aperture radius is a static (compile-keyed) parameter: the
+    sigmas enter as traced scalars/arrays, so sweeping sigmaColor (a
+    user-facing CLI arg) reuses one compiled program instead of paying a
+    minutes-long remote TPU compile per distinct value. gc is rounded to
+    f32 on the host — bit-identical to the old baked-constant multiply.
+    """
+    sigma_color = float(sigma_color) if sigma_color > 0 else 1.0
+    sigma_space = float(sigma_space) if sigma_space > 0 else 1.0
+    radius = _aperture(d, sigma_space)
+    gc = -0.5 / (sigma_color * sigma_color)
+    gs = -0.5 / (sigma_space * sigma_space)
+
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    keep = dy * dy + dx * dx <= radius * radius
+    offs_y = (dy[keep] + radius).astype(np.int32)
+    offs_x = (dx[keep] + radius).astype(np.int32)
+    space_w = np.exp(gs * (dy[keep] ** 2 + dx[keep] ** 2)).astype(np.float32)
+
+    return _bilateral_scan(img_u8, jnp.float32(gc), jnp.asarray(offs_y),
+                           jnp.asarray(offs_x), jnp.asarray(space_w),
+                           radius=radius)

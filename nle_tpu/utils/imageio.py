@@ -17,6 +17,17 @@ except Exception:  # pragma: no cover
     _HAVE_CV2 = False
 
 
+def _pil_to_bgr(im) -> np.ndarray:
+    # cv2.imread applies EXIF orientation (IMREAD_COLOR default); the PIL
+    # path must match or the two backends return rotated-differently
+    # arrays for the same phone JPEG.
+    from PIL import ImageOps
+
+    im = ImageOps.exif_transpose(im)
+    rgb = np.asarray(im.convert("RGB"))
+    return rgb[..., ::-1].copy()
+
+
 def imread_bgr(path: str) -> np.ndarray:
     if _HAVE_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -25,8 +36,17 @@ def imread_bgr(path: str) -> np.ndarray:
         return img
     from PIL import Image
 
-    rgb = np.asarray(Image.open(path).convert("RGB"))
-    return rgb[..., ::-1].copy()
+    try:
+        im = Image.open(path)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        # cv2 returns None for corrupt files and the caller contract is
+        # FileNotFoundError (the CLIs catch exactly that to print the
+        # reference's "Failed to read file from ..." message) — keep the
+        # two backends' error surface identical.
+        raise FileNotFoundError(f"Failed to read file from {path}") from e
+    return _pil_to_bgr(im)
 
 
 def imdecode_bgr(data: bytes) -> np.ndarray:
@@ -40,8 +60,14 @@ def imdecode_bgr(data: bytes) -> np.ndarray:
 
     from PIL import Image
 
-    rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    return rgb[..., ::-1].copy()
+    try:
+        im = Image.open(io.BytesIO(data))
+    except Exception as e:
+        # Match the cv2 branch's error class (PIL raises
+        # UnidentifiedImageError, an OSError, which HTTP handlers do not
+        # map to 400).
+        raise ValueError("Could not decode image bytes") from e
+    return _pil_to_bgr(im)
 
 
 def imencode_png(img_bgr_u8: np.ndarray) -> bytes:

@@ -26,9 +26,11 @@ def stage(name: str):
     logger.debug("%s took %.1f ms", name, (time.perf_counter() - t0) * 1e3)
 
 
-# Truncation geometry is a property of the (grid, image) pair, not of the
-# individual train call: the pipelined/serving paths retrain per frame and
-# would otherwise repeat the identical line dozens of times per run.
+# Dedup per (p, m, eps) per process: the pipelined/serving paths retrain
+# per frame and would otherwise repeat the identical line dozens of times
+# per run. Deliberately NOT keyed on image identity — a different image
+# that truncates to the same numbers would produce the byte-identical
+# warning line, which tells a log reader nothing new.
 _seen_truncations: set = set()
 
 

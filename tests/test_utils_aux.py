@@ -90,3 +90,53 @@ def test_imageio_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(img, back)
     with pytest.raises(FileNotFoundError):
         imread_bgr(str(tmp_path / "missing.png"))
+
+
+def test_imageio_pil_fallback_matches_cv2(tmp_path, rng, monkeypatch):
+    """The Pillow fallback (cv2-less hosts) must present the cv2 contract:
+    same decoded pixels, FileNotFoundError for unreadable files (the CLIs
+    catch exactly that), ValueError for undecodable bytes (the HTTP layer
+    maps it to 400)."""
+    from nle_tpu.utils import imageio
+
+    img = rng.integers(0, 256, (9, 11, 3), np.uint8)
+    path = str(tmp_path / "t.png")
+    imageio.imwrite_bgr(path, img)
+    with open(path, "rb") as fh:
+        png = fh.read()
+
+    monkeypatch.setattr(imageio, "_HAVE_CV2", False)
+    np.testing.assert_array_equal(imageio.imread_bgr(path), img)
+    np.testing.assert_array_equal(imageio.imdecode_bgr(png), img)
+    with pytest.raises(FileNotFoundError):
+        imageio.imread_bgr(str(tmp_path / "missing.png"))
+    corrupt = str(tmp_path / "corrupt.png")
+    with open(corrupt, "wb") as fh:
+        fh.write(b"not an image")
+    with pytest.raises(FileNotFoundError):
+        imageio.imread_bgr(corrupt)
+    with pytest.raises(ValueError):
+        imageio.imdecode_bgr(b"not an image")
+
+
+def test_imageio_pil_fallback_applies_exif_orientation(tmp_path, monkeypatch):
+    """cv2.imread applies EXIF orientation; the PIL path must match
+    (regression: it returned the un-rotated array)."""
+    from PIL import Image
+
+    from nle_tpu.utils import imageio
+
+    # 10x20 RGB JPEG tagged Orientation=6 (rotate 90 CW on display).
+    src = np.zeros((20, 10, 3), np.uint8)
+    src[:10] = 255
+    path = str(tmp_path / "exif.jpg")
+    im = Image.fromarray(src)
+    exif = im.getexif()
+    exif[0x0112] = 6
+    im.save(path, exif=exif.tobytes())
+
+    want = imageio.imread_bgr(path)          # cv2 path (applies EXIF)
+    monkeypatch.setattr(imageio, "_HAVE_CV2", False)
+    got = imageio.imread_bgr(path)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
