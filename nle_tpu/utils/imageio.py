@@ -50,9 +50,18 @@ def imread_bgr(path: str) -> np.ndarray:
 
 
 def imdecode_bgr(data: bytes) -> np.ndarray:
-    """Decode encoded image bytes (PNG/BMP/JPEG...) to (H, W, 3) uint8 BGR."""
+    """Decode encoded image bytes (PNG/BMP/JPEG...) to (H, W, 3) uint8 BGR.
+
+    Undecodable input raises ValueError — ALWAYS: cv2.imdecode returns
+    None for most garbage but raises cv2.error (not a ValueError) on an
+    EMPTY buffer, which would surface as a 500 in the HTTP layer instead
+    of the input-validation 400 (found by the endpoint fuzz test)."""
     if _HAVE_CV2:
-        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        try:
+            img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)
+        except cv2.error as e:
+            raise ValueError(f"Could not decode image bytes: {e}") from e
         if img is None:
             raise ValueError("Could not decode image bytes")
         return img

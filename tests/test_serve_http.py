@@ -553,3 +553,38 @@ def test_filter_store_concurrent_stress(tmp_path):
     for name in listed:
         assert (name in store._resident or name in store._saving
                 or os.path.exists(store._path(name)))
+
+
+def test_http_fuzz_malformed_requests_never_500(server, small_png):
+    """Randomized malformed-request hammer over the real socket: arbitrary
+    param/body combinations must map to the input-validation classes
+    (400/404), never to a 500 or a dead server. Valid-image bodies use a
+    tiny train config so the occasional well-formed draw stays cheap."""
+    _, png = small_png
+    tiny = np.random.default_rng(1).integers(0, 256, (8, 9, 3), np.uint8)
+    tiny_png = _png_bytes(tiny)
+    rng = np.random.default_rng(7)
+    paths = ["/enhance", "/denoise", "/train", "/apply", "/nope"]
+    params = ["", "nr=2&nc=2&hx=50&hy=30&iters=2&k=2", "nr=abc&nc=2",
+              "nr=2", "w=1,2,x", "w=", "name=%00weird", "op=explode",
+              "shrink=-1", "sigma_color=0", "factored=maybe", "k=-3",
+              "nr=0&nc=0&hx=50&hy=30", "nr=99&nc=99&hx=50&hy=30"]
+    bodies = [b"", b"garbage", tiny_png, png[:40]]
+    seen_500 = []
+    for _ in range(60):
+        path = paths[int(rng.integers(len(paths)))]
+        q = params[int(rng.integers(len(params)))]
+        body = bodies[int(rng.integers(len(bodies)))]
+        url = f"{server}{path}" + (f"?{q}" if q else "")
+        try:
+            with _post(url, body, timeout=120) as r:
+                assert r.status == 200
+        except urllib.error.HTTPError as e:
+            if e.code >= 500:
+                seen_500.append((url, len(body), e.code, e.read()[:200]))
+            e.read()
+    assert not seen_500, seen_500
+    # The server survived: a normal request still succeeds.
+    with _post(f"{server}/enhance?nr=2&nc=2&hx=50&hy=30&iters=2&k=2"
+               "&w=1,1", tiny_png) as r:
+        assert r.status == 200
