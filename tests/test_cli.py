@@ -219,3 +219,35 @@ def test_bad_stage1_value_rejected(capsys, small_image):
                            "5", "1", "2", "--stage1=hots64"])
     assert rc == 0
     assert "invalid" in capsys.readouterr().err
+
+
+def test_cli_fuzz_malformed_argv_never_raises(tmp_path, small_image, capsys):
+    """Randomized malformed argv across all three CLIs: every draw must
+    return an int exit code with a readable message (usage, read failure,
+    flag error, or guard ValueError text) — never an uncaught traceback.
+    Draws avoid fully-valid heavy configs (nr/nc capped tiny) so the rare
+    well-formed sample stays sub-second."""
+    from nle_tpu.cli import apply as apply_cli
+
+    path, _ = small_image
+    out = str(tmp_path / "o.png")
+    rng = np.random.default_rng(11)
+    pieces = [path, out, "/nonexistent.png", "", "2", "3", "-1", "0",
+              "abc", "1e3", "30.5", "--no-pallas", "--precision=float99",
+              "--eps=", "--eps=xyz", "--stage1=bogus", "--save-filter",
+              "--unknown-flag", "--factored", "--debug-eigvecs", "-",
+              "999999999999999999999", "nan", "--platform=cpu"]
+    mains = [enhance_cli.main, denoise_cli.main, apply_cli.main]
+    for _ in range(50):
+        n = int(rng.integers(0, 8))
+        argv = [pieces[int(rng.integers(len(pieces)))] for _ in range(n)]
+        main = mains[int(rng.integers(len(mains)))]
+        try:
+            rc = main(argv)
+        except ValueError:
+            # Guard errors with reference message text propagate from the
+            # model layer on semantically-invalid-but-parseable configs;
+            # the console entry point surfaces them. Acceptable contract.
+            continue
+        assert isinstance(rc, int)
+        capsys.readouterr()   # drain
