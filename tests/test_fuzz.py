@@ -58,3 +58,38 @@ def test_legacy_pixel_order_filter(rng, tmp_path):
     g = NLEFilter(trained=TrainedFilter.load(path))
     got = g.enhance(img, [2, 3, 4, 1])
     np.testing.assert_array_equal(got, want)
+
+
+def test_train_filter_fuzz_vs_oracle():
+    """Random (shape, grid, bandwidth, iters, k) draws through the full
+    f64 pipeline vs the NumPy oracle — catches boundary regressions
+    (heavy eps-truncation from tiny hy, single-row grids, k > m clamps)
+    that the fixed-shape tests never visit."""
+    from nle_tpu.ops.pipeline import train_filter
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        nrows = int(rng.integers(5, 26))
+        ncols = int(rng.integers(5, 26))
+        nr = int(rng.integers(1, min(6, nrows) + 1))
+        nc = int(rng.integers(1, min(6, ncols) + 1))
+        hx = float(rng.uniform(5, 500))
+        hy = float(rng.uniform(2, 80))
+        # >= 1: the reference's c vector is uninitialized at maxIter=0
+        # (so is the oracle's) — the 0-iteration edge has its own
+        # pinned-behavior test in the pipeline suite.
+        iters = int(rng.integers(1, 7))
+        k = int(rng.integers(1, 9))
+        chan = rng.integers(0, 256, (nrows, ncols)).astype(np.float64)
+        V_o, S_o = O.train_filter(chan, nr, nc, hx, hy, iters, k)
+        V, S = train_filter(chan, nr, nc, hx, hy, iters, k,
+                            dtype=jnp.float64, use_pallas=False)
+        cfg = (trial, nrows, ncols, nr, nc, hx, hy, iters, k)
+        np.testing.assert_allclose(np.asarray(S)[: S_o.size], S_o,
+                                   atol=1e-9, err_msg=str(cfg))
+        # Eigenvector parity up to per-column sign.
+        Vn = np.asarray(V)[:, : S_o.size]
+        for j in range(S_o.size):
+            d = min(np.abs(Vn[:, j] - V_o[:, j]).max(),
+                    np.abs(Vn[:, j] + V_o[:, j]).max())
+            assert d < 1e-8, (cfg, j, d)
