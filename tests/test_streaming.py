@@ -321,3 +321,38 @@ def test_streaming_multirow_ap_atb_match_single(rng):
             fa_rows, fb_cols, jnp.asarray(B[j]), 1e-4, 1e-3,
             interpret=True))[0]
         np.testing.assert_allclose(got_t[j], want, rtol=1e-6, atol=1e-6)
+
+
+def test_cross_path_consistency_fuzz():
+    """Random configs through all three f32 execution paths — dense,
+    streaming (phi-free), and the V-free factored filter — must agree on
+    the user-visible edit output. Deterministic seeds: this is a breadth
+    sweep over shapes/grids the fixed-config parity tests never visit."""
+    from nle_tpu.models.factored import train_filter_factored
+    from nle_tpu.ops.pipeline import apply_filter
+    from nle_tpu.ops.transform import transform_eigenvalues
+
+    rng = np.random.default_rng(17)
+    weights = jnp.asarray([1.0, 1.8, 1.4, 1.1], jnp.float32)
+    for trial in range(4):
+        nrows = int(rng.integers(12, 40))
+        ncols = int(rng.integers(12, 40))
+        nr = int(rng.integers(2, 7))
+        nc = int(rng.integers(2, 7))
+        hx = float(rng.uniform(20, 300))
+        hy = float(rng.uniform(8, 60))
+        k = int(rng.integers(2, 7))
+        chan = rng.integers(0, 256, (nrows, ncols)).astype(np.float32)
+        cfg = (trial, nrows, ncols, nr, nc, hx, hy, k)
+
+        outs = {}
+        for mode in (False, True):
+            V, S = train_filter(chan, nr, nc, hx, hy, 8, k, streaming=mode)
+            fS = transform_eigenvalues(S, weights)
+            outs[mode] = np.asarray(apply_filter(V, fS, jnp.asarray(chan)))
+        assert np.abs(outs[True] - outs[False]).max() < 0.5, cfg
+
+        flt = train_filter_factored(chan, nr, nc, hx, hy, 8, k)
+        fS_f = transform_eigenvalues(flt.eigvals, weights)
+        out_f = flt.apply(chan, fS_f)
+        assert np.abs(np.asarray(out_f) - outs[False]).max() < 0.5, cfg
