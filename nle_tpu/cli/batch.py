@@ -1,0 +1,145 @@
+"""`nle-batch` CLI — pipelined multi-image enhancement (no reference
+counterpart: the reference binary trains one filter per process run,
+reference src/enhance.cpp:33-49).
+
+    nle-batch <output dir> <# row samples> <# col samples> <hx> <hy>
+              <# sinkhorn iterations> <# eigen vectors> <w1,w2,...>
+              <image> [image ...]
+
+Same training/edit semantics per image as `nle-enhance` (train on the Lab
+L channel, polynomial detail-layer reweighting, Lab round trip), but the
+frames ride the software-pipelined trainer (models/batch.py): image i+1's
+device Sinkhorn overlaps image i's host-f64 chain, and each frame's edit
+is dispatched into the training stream from a consumer thread — the
+schedule bench.py measures at ~1.74 MP/s on 1 MP streams vs ~1.1 MP/s
+sequential. Weights are ONE comma-joined argument (the trailing variadic
+slot belongs to the input images here).
+
+Images of different sizes are grouped by shape and pipelined per group
+(the pipeline requires same-shape channels). Unreadable inputs print the
+reference's "Failed to read file from ..." message and are skipped; the
+run continues (exit 0, matching the reference CLI's never-fail contract).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from nle_tpu.cli.common import (
+    add_common_flags,
+    apply_common_flags,
+    profiled,
+    split_flags,
+    validate_flags,
+)
+
+USAGE = (
+    "Usage: {prog} <output dir> <# row samples> <# col samples> <hx> <hy> "
+    "<# sinkhorn iterations> <# eigen vectors> <w1,w2,...> <image> "
+    "[image ...]"
+)
+
+# Flags that configure per-image training internals the pipelined trainer
+# does not expose (it is the float32 Pallas serving path by construction).
+_INAPPLICABLE = ("precision", "no-pallas", "factored", "stage1",
+                 "save-filter", "debug-eigvecs", "show")
+
+
+def _out_path(out_dir: str, image_path: str) -> str:
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    return os.path.join(out_dir, f"{stem}-enhanced.png")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    pos, flags = split_flags(argv)
+    if len(pos) < 9:
+        print(USAGE.format(prog="nle-batch"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0  # usage exits 0, like the reference CLIs
+
+    err = validate_flags(flags)
+    if err is None:
+        try:
+            out_dir = pos[0]
+            n_row_samples, n_col_samples = int(pos[1]), int(pos[2])
+            hx, hy = float(pos[3]), float(pos[4])
+            n_sinkhorn_iter, n_eig_vectors = int(pos[5]), int(pos[6])
+            weights = [float(w) for w in pos[7].split(",")]
+            image_paths = pos[8:]
+        except ValueError as e:
+            err = f"Bad argument: {e}"
+    if err is not None:
+        print(err, file=sys.stderr)
+        print(USAGE.format(prog="nle-batch"), file=sys.stderr)
+        print(add_common_flags(), file=sys.stderr)
+        return 0
+
+    inapplicable = sorted(set(flags) & set(_INAPPLICABLE))
+    if inapplicable:
+        print("nle-batch: ignoring flag(s) not applicable to the pipelined "
+              "trainer: " + ", ".join(f"--{f}" for f in inapplicable),
+              file=sys.stderr)
+
+    apply_common_flags(flags)
+    import numpy as np
+
+    from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
+
+    os.makedirs(out_dir, exist_ok=True)
+    loaded: list[tuple[str, np.ndarray]] = []
+    for path in image_paths:
+        try:
+            loaded.append((path, imread_bgr(path)))
+        except FileNotFoundError:
+            print(f"Failed to read file from {path}", file=sys.stderr)
+
+    # Group by shape (the pipeline needs same-shape channels), preserving
+    # first-seen order of groups and input order within each group.
+    groups: dict[tuple, list[tuple[str, np.ndarray]]] = {}
+    for path, img in loaded:
+        groups.setdefault(img.shape, []).append((path, img))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nle_tpu.color.lab import bgr_to_lab_u8_np
+    from nle_tpu.models.batch import train_filters_iter
+    from nle_tpu.models.filter import NLEFilter
+
+    eps = float(flags["eps"]) if "eps" in flags else 1e-10
+    n_done = 0
+    with profiled(flags):
+        for shape, items in groups.items():
+            channels = [bgr_to_lab_u8_np(img)[..., 0].astype(np.float32)
+                        for _, img in items]
+
+            # Consumer threads run each frame's edit as its filter yields:
+            # the apply executes inside the device stream the trainer is
+            # already queueing, and the result fetch + Lab round trip +
+            # PNG write ride pool threads under the next frame's device
+            # work (bench.py's measured-fastest schedule). The main thread
+            # stays training-only.
+            def run_edit(i, flt):
+                path, img = items[i]
+                result = NLEFilter(trained=flt).enhance(img, weights)
+                imwrite_bgr(_out_path(out_dir, path), result)
+
+            with ThreadPoolExecutor(4) as ex:
+                futs = [
+                    ex.submit(run_edit, i, flt)
+                    for i, flt in enumerate(train_filters_iter(
+                        channels, n_row_samples, n_col_samples, hx, hy,
+                        n_sinkhorn_iter, n_eig_vectors, eps=eps))
+                ]
+                for f in futs:
+                    f.result()
+            n_done += len(items)
+            print(f"{len(items)} image(s) at {shape[1]}x{shape[0]} -> "
+                  f"{out_dir}", file=sys.stderr)
+    print("Done." if n_done else "No images processed.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

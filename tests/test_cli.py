@@ -251,3 +251,47 @@ def test_cli_fuzz_malformed_argv_never_raises(tmp_path, small_image, capsys):
             continue
         assert isinstance(rc, int)
         capsys.readouterr()   # drain
+
+
+def test_batch_cli_usage_exit0(capsys):
+    from nle_tpu.cli import batch as batch_cli
+
+    assert batch_cli.main(["a"] * 4) == 0
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_batch_cli_matches_enhance(tmp_path, rng, capsys):
+    """nle-batch output per image equals the single-image nle-enhance
+    output (same train params/weights), with unreadable inputs skipped via
+    the reference's read-failure message and mixed shapes grouped."""
+    from nle_tpu.cli import batch as batch_cli
+
+    paths = []
+    imgs = []
+    for i, shape in enumerate([(16, 20, 3), (16, 20, 3), (12, 14, 3)]):
+        img = rng.integers(0, 256, shape, np.uint8)
+        path = str(tmp_path / f"in{i}.png")
+        imwrite_bgr(path, img)
+        paths.append(path)
+        imgs.append(img)
+
+    out_dir = str(tmp_path / "out")
+    rc = batch_cli.main(
+        [out_dir, "3", "4", "100", "30", "5", "4", "2,3,4,1",
+         paths[0], paths[1], "/nonexistent.png", paths[2]])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "Failed to read file from /nonexistent.png" in captured.err
+    assert "Done." in captured.out
+
+    for i, (path, img) in enumerate(zip(paths, imgs)):
+        got = imread_bgr(os.path.join(out_dir, f"in{i}-enhanced.png"))
+        # Single-image reference result via the library (what nle-enhance
+        # writes for the same config).
+        from nle_tpu.models.filter import NLEFilter
+
+        f = NLEFilter()
+        f.train_for_enhancement(img, 3, 4, 100, 30, 5, 4)
+        want = f.enhance(img, [2.0, 3.0, 4.0, 1.0])
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32)).max()
+        assert diff <= 1, (i, diff)   # pipelined == single up to 1 u8 LSB
