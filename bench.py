@@ -46,9 +46,9 @@ def main():
     weights = [4.0, 3.0, 4.0, 1.0]
 
     def run_single(frame):
-        f = NLEFilter()
-        f.train_for_enhancement(frame, *params)
-        return f.enhance(frame, weights)
+        # train + edit with the apply fused into stage 2b (one dispatch
+        # round trip saved per frame vs the two-call sequence).
+        return NLEFilter().train_and_enhance(frame, *params, weights)
 
     if mode == "single":
         run_single(img)  # warmup: compile

@@ -67,12 +67,13 @@ def main(argv=None) -> int:
 
     flt = make_filter(flags)
     with profiled(flags):
-        flt.train_for_enhancement(
+        # train + first edit in one flow: the apply rides inside the
+        # stage-2b device program (one dispatch round trip saved per run).
+        result = flt.train_and_enhance(
             image, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
-            n_eigen_vectors,
+            n_eigen_vectors, weights,
         )
         maybe_dump_eigvecs(flt, flags)
-        result = flt.enhance(image, weights)
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])

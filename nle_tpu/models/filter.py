@@ -159,7 +159,7 @@ class NLEFilter:
     # -- training ---------------------------------------------------------
 
     def _train(self, channel, n_row_samples, n_col_samples, hx, hy,
-               n_sinkhorn_iter, n_eigen_vectors):
+               n_sinkhorn_iter, n_eigen_vectors, edit_weights=None):
         if self._train_kwargs.get("factored"):
             # V-free factored training (models/factored.py): the capacity
             # path — no (N, k) eigvec matrix is ever built.
@@ -193,15 +193,18 @@ class NLEFilter:
         if is_8bit:
             y_dev = jnp.asarray(packed_np)
             self._packed_y_cache = (packed_np, y_dev)
-        V, S = train_filter(
+        out = train_filter(
             channel, n_row_samples, n_col_samples, hx, hy,
             n_sinkhorn_iter, n_eigen_vectors, grid=grid, pixel_order=False,
-            packed_y_dev=y_dev,
+            packed_y_dev=y_dev, edit_weights=edit_weights,
             **{k: v for k, v in self._train_kwargs.items()
                if k != "factored"},
         )
+        V, S = out[:2]
         self._trained = TrainedFilter(V, S, nrows, ncols, perm=grid.perm,
                                       y_cache=self._packed_y_cache)
+        if edit_weights is not None:
+            return self._trained, out[2]
         return self._trained
 
     def train_for_enhancement(self, image_bgr_u8, n_row_samples, n_col_samples,
@@ -216,6 +219,39 @@ class NLEFilter:
         L = lab[..., 0].astype(np.float32)
         return self._train(L, n_row_samples, n_col_samples, hx, hy,
                            n_sinkhorn_iter, n_eigen_vectors)
+
+    def train_and_enhance(self, image_bgr_u8, n_row_samples, n_col_samples,
+                          hx, hy, n_sinkhorn_iter=10, n_eigen_vectors=5,
+                          weights=()) -> np.ndarray:
+        """train_for_enhancement + enhance in one flow, with the first
+        edit's apply FUSED into the stage-2b device program (saves one
+        dispatch round trip per frame — the enhance CLI / single-image
+        serving path). Semantically identical to the two-call sequence
+        (same jitted f(S) transform, same apply algebra; the filter state
+        is left trained for further edits)."""
+        image = np.asarray(image_bgr_u8)
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError("Can only enhance RGB image.")
+        if self._train_kwargs.get("factored"):
+            # The factored path has no dense stage 2b; fall back to the
+            # two-call sequence (train_filter_factored + streaming apply).
+            self.train_for_enhancement(
+                image, n_row_samples, n_col_samples, hx, hy,
+                n_sinkhorn_iter, n_eigen_vectors)
+            return self.enhance(image, weights)
+        lab = self._to_lab(image)
+        L = lab[..., 0].astype(np.float32)
+        trained, edit_dev = self._train(
+            L, n_row_samples, n_col_samples, hx, hy, n_sinkhorn_iter,
+            n_eigen_vectors, edit_weights=list(weights))
+        filtered = fetch(edit_dev)
+        if trained.perm is not None:
+            unpacked = np.empty_like(filtered)
+            unpacked[trained.perm] = filtered
+            filtered = unpacked
+        out = lab.copy()
+        out[..., 0] = filtered.reshape(lab.shape[:2])
+        return lab_to_bgr_u8_np(out)
 
     def train_for_denoise(self, image_bgr_u8, n_row_samples, n_col_samples,
                           hx, hy, n_sinkhorn_iter, n_eigen_vectors,

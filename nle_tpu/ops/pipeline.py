@@ -516,9 +516,8 @@ def train_filter_stage2a(
     return rc, Sb, phi, c_rest
 
 
-@functools.partial(jax.jit, static_argnames=("n", "mb", "scaled", "interpret"))
-def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, mb: int,
-                         scaled: bool, interpret: bool = False):
+def _stage2b_dense_body(factor, c_rest, va_grt, *, n: int, mb: int,
+                        scaled: bool, interpret: bool = False):
     """Device half 2: the eigenvector tail matmul + assembly.
 
     `factor` is the pre-scaled diag(c) phi when `scaled` (small-image fused
@@ -551,6 +550,40 @@ def train_filter_stage2b(factor, c_rest, va_grt, *, n: int, mb: int,
                                      interpret=interpret)[:n, :k]
             V = V.astype(va_grt.dtype)
         return V.at[:mb].add(Va)
+
+
+train_filter_stage2b = functools.partial(
+    jax.jit, static_argnames=("n", "mb", "scaled", "interpret")
+)(_stage2b_dense_body)
+
+
+def _apply_u8_body(V, fs, y):
+    """V diag(fs) V^T y with the clamp-to-u8 epilogue — the algebra of
+    apply_filter_u8 ((N,) or (N, C) channels), inlined so the fused
+    stage-2b variants share it."""
+    c = y.astype(V.dtype)
+    one_d = c.ndim == 1
+    if one_d:
+        c = c[:, None]
+    filtered = V @ (fs[:, None] * (V.T @ c))
+    out = jnp.clip(jnp.rint(filtered), 0, 255).astype(jnp.uint8)
+    return out[:, 0] if one_d else out
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mb", "scaled", "interpret"))
+def train_filter_stage2b_edit(factor, c_rest, va_grt, y, fs, *, n: int,
+                              mb: int, scaled: bool, interpret: bool = False):
+    """Stage 2b with the FIRST edit's apply fused in: the train->edit flow
+    (enhance CLI, NLE_BENCH_MODE=single) otherwise pays one extra device
+    dispatch (~30-60 ms tunnel round trip) for an apply whose inputs — V
+    just built, the training channel y already resident — are all on
+    device at stage-2b time. fs is f(S) for the requested edit weights
+    (computed by the same jitted transform the standalone edit uses, so
+    the spectra match bit-for-bit). Returns (V, filtered u8 packed)."""
+    with jax.default_matmul_precision("highest"):
+        V = _stage2b_dense_body(factor, c_rest, va_grt, n=n, mb=mb,
+                                scaled=scaled, interpret=interpret)
+        return V, _apply_u8_body(V, fs, y[:n])
 
 
 @functools.partial(
@@ -612,10 +645,7 @@ def train_filter_stage2a_streaming(
     return rc, Sb, c
 
 
-@functools.partial(
-    jax.jit, static_argnames=("p", "mb", "interpret"),
-)
-def train_filter_stage2b_streaming(
+def _stage2b_streaming_body(
     y, rr, cc, stage1_packed, sw, pw, c, va_grt,
     *, p: int, mb: int, interpret: bool = False,
 ):
@@ -651,6 +681,24 @@ def train_filter_stage2b_streaming(
             Vb_raw = affinity_matmul_xla(fa, fb, B, sw, pw)
         Vb = c[p:, None] * Vb_raw
         return jnp.concatenate([V_head, Vb.astype(va_grt.dtype)], axis=0)
+
+
+train_filter_stage2b_streaming = functools.partial(
+    jax.jit, static_argnames=("p", "mb", "interpret")
+)(_stage2b_streaming_body)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "mb", "interpret"))
+def train_filter_stage2b_streaming_edit(
+    y, rr, cc, stage1_packed, sw, pw, c, va_grt, fs,
+    *, p: int, mb: int, interpret: bool = False,
+):
+    """Streaming stage 2b with the first edit's apply fused in (see
+    train_filter_stage2b_edit). Returns (V packed, filtered u8 packed)."""
+    with jax.default_matmul_precision("highest"):
+        V = _stage2b_streaming_body(y, rr, cc, stage1_packed, sw, pw, c,
+                                    va_grt, p=p, mb=mb, interpret=interpret)
+        return V, _apply_u8_body(V, fs, y)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "mb"))
@@ -760,6 +808,7 @@ def train_filter(
     pixel_order: bool = True,
     streaming: bool | None = None,
     packed_y_dev: jax.Array | None = None,
+    edit_weights=None,
 ):
     """Train the nonlocal filter on a single channel (H, W).
 
@@ -774,6 +823,13 @@ def train_filter(
     cheaper than an (N, k) device scatter.
 
     Returns (eigvecs (N, k), eigvals (k,)).
+
+    edit_weights: detail-layer weights for a FUSED first edit (the
+    train->edit flow): the apply V diag(f(S)) V^T y on the TRAINING channel
+    is folded into the stage-2b device program, saving one dispatch round
+    trip per frame on a tunnel-attached chip. Requires pixel_order=False
+    (the caller holds the grid and unscatters on the host). Returns
+    (eigvecs, eigvals, filtered u8 packed device array) instead.
     """
     channel_np = np.asarray(channel)
     if dtype is None:
@@ -791,6 +847,10 @@ def train_filter(
         dtype = jnp.dtype(jnp.float32)
     if eps is None:
         eps = default_eps(dtype)
+    if edit_weights is not None and pixel_order:
+        raise ValueError(
+            "edit_weights requires pixel_order=False (the caller holds "
+            "the SampleGrid and unscatters the u8 result on the host).")
     if eigh_method is None:
         # f32 device runs: the orthogonalization small-matrix chain must be
         # f64 on the host — f32 chain arithmetic costs ~25 dB on golden
@@ -917,18 +977,38 @@ def train_filter(
             va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                            m, mb, k, float(eps))
             va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
+            S = jnp.asarray(Sq, dtype)
+            fs = None
+            if edit_weights is not None:
+                from nle_tpu.ops.transform import transform_eigenvalues
+
+                # The SAME jitted transform the standalone edit dispatches,
+                # on the same device S — identical f(S) bits.
+                fs = transform_eigenvalues(S, edit_weights)
             if streaming:
-                V_packed = train_filter_stage2b_streaming(
-                    y, rr, cc, stage1_dev, sw, pw, c_full, va_grt,
-                    p=p, mb=mb, interpret=interpret_stream,
-                )
+                if fs is not None:
+                    V_packed, edit_out = train_filter_stage2b_streaming_edit(
+                        y, rr, cc, stage1_dev, sw, pw, c_full, va_grt, fs,
+                        p=p, mb=mb, interpret=interpret_stream,
+                    )
+                else:
+                    V_packed = train_filter_stage2b_streaming(
+                        y, rr, cc, stage1_dev, sw, pw, c_full, va_grt,
+                        p=p, mb=mb, interpret=interpret_stream,
+                    )
             else:
-                V_packed = train_filter_stage2b(
-                    phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
-                    scaled=stage2b_factor_scaled(grid.n_pixels, mb, dtype,
-                                                 use_pallas),
-                )
-        S = jnp.asarray(Sq, dtype)
+                scaled = stage2b_factor_scaled(grid.n_pixels, mb, dtype,
+                                               use_pallas)
+                if fs is not None:
+                    V_packed, edit_out = train_filter_stage2b_edit(
+                        phi_store, c_rest, va_grt, y, fs, n=grid.n_pixels,
+                        mb=mb, scaled=scaled,
+                    )
+                else:
+                    V_packed = train_filter_stage2b(
+                        phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
+                        scaled=scaled,
+                    )
     else:
         if streaming:
             raise ValueError(
@@ -952,6 +1032,15 @@ def train_filter(
                 use_pallas=use_pallas,
                 eigh_method=eigh_method,
             )
+        if edit_weights is not None:
+            # Non-split pipelines (f64 / device-chain) have no stage 2b to
+            # fuse into — run the standalone apply (correctness paths only).
+            from nle_tpu.ops.transform import transform_eigenvalues
+
+            fs = transform_eigenvalues(S, edit_weights)
+            edit_out = apply_filter_u8(V_packed, fs, y)
+    if edit_weights is not None:
+        return V_packed, S, edit_out
     if not pixel_order:
         return V_packed, S
     return _scatter_rows(V_packed, perm), S
