@@ -1,19 +1,24 @@
-"""`nle-batch` CLI — pipelined multi-image enhancement (no reference
-counterpart: the reference binary trains one filter per process run,
-reference src/enhance.cpp:33-49).
+"""`nle-batch` CLI — pipelined multi-image enhancement/denoise (no
+reference counterpart: the reference binary trains one filter per process
+run, reference src/enhance.cpp:33-49).
 
     nle-batch <output dir> <# row samples> <# col samples> <hx> <hy>
               <# sinkhorn iterations> <# eigen vectors> <w1,w2,...>
               <image> [image ...]
+    nle-batch --op=denoise <output dir> ... <# eigen vectors>
+              <sigmaColor,sigmaSpace,shrinkFactor> <image> [image ...]
 
-Same training/edit semantics per image as `nle-enhance` (train on the Lab
-L channel, polynomial detail-layer reweighting, Lab round trip), but the
+Same training/edit semantics per image as `nle-enhance` / `nle-denoise`
+(enhance: train on the Lab L channel, polynomial detail-layer reweighting;
+denoise: train on the bilateral-prefiltered L, shrunk-eigenvalue spectral
+filter on the chroma planes — reference src/filter.cpp:349-410), but the
 frames ride the software-pipelined trainer (models/batch.py): image i+1's
 device Sinkhorn overlaps image i's host-f64 chain, and each frame's edit
 is dispatched into the training stream from a consumer thread — the
 schedule bench.py measures at ~1.74 MP/s on 1 MP streams vs ~1.1 MP/s
-sequential. Weights are ONE comma-joined argument (the trailing variadic
-slot belongs to the input images here).
+sequential. The 8th positional is ONE comma-joined argument (the trailing
+variadic slot belongs to the input images here): detail-layer weights for
+enhance, `sigmaColor,sigmaSpace,shrinkFactor` for --op=denoise.
 
 Images of different sizes are grouped by shape and pipelined per group
 (the pipeline requires same-shape channels). Unreadable inputs print the
@@ -37,7 +42,9 @@ from nle_tpu.cli.common import (
 USAGE = (
     "Usage: {prog} <output dir> <# row samples> <# col samples> <hx> <hy> "
     "<# sinkhorn iterations> <# eigen vectors> <w1,w2,...> <image> "
-    "[image ...]"
+    "[image ...]\n"
+    "       {prog} --op=denoise <output dir> ... <# eigen vectors> "
+    "<sigmaColor,sigmaSpace,shrinkFactor> <image> [image ...]"
 )
 
 # Flags that configure per-image training internals the pipelined trainer
@@ -46,9 +53,9 @@ _INAPPLICABLE = ("precision", "no-pallas", "factored", "stage1",
                  "save-filter", "debug-eigvecs", "show")
 
 
-def _out_path(out_dir: str, image_path: str) -> str:
+def _out_path(out_dir: str, image_path: str, op: str) -> str:
     stem = os.path.splitext(os.path.basename(image_path))[0]
-    return os.path.join(out_dir, f"{stem}-enhanced.png")
+    return os.path.join(out_dir, f"{stem}-{op}d.png")
 
 
 def main(argv=None) -> int:
@@ -57,9 +64,16 @@ def main(argv=None) -> int:
     if len(pos) < 9:
         print(USAGE.format(prog="nle-batch"), file=sys.stderr)
         print(add_common_flags(), file=sys.stderr)
+        print("  --op=enhance|denoise          edit operation per image "
+              "(default enhance)", file=sys.stderr)
         return 0  # usage exits 0, like the reference CLIs
 
-    err = validate_flags(flags)
+    op = flags.pop("op", "enhance")
+    err = None
+    if op not in ("enhance", "denoise"):
+        err = f"Flag --op={op} invalid (expected enhance|denoise)"
+    if err is None:
+        err = validate_flags(flags)
     if err is None:
         try:
             out_dir = pos[0]
@@ -67,6 +81,10 @@ def main(argv=None) -> int:
             hx, hy = float(pos[3]), float(pos[4])
             n_sinkhorn_iter, n_eig_vectors = int(pos[5]), int(pos[6])
             weights = [float(w) for w in pos[7].split(",")]
+            if op == "denoise" and len(weights) != 3:
+                raise ValueError(
+                    "--op=denoise takes exactly "
+                    "sigmaColor,sigmaSpace,shrinkFactor in the weights slot")
             image_paths = pos[8:]
         except ValueError as e:
             err = f"Bad argument: {e}"
@@ -109,10 +127,26 @@ def main(argv=None) -> int:
 
     eps = float(flags["eps"]) if "eps" in flags else 1e-10
     n_done = 0
+    if op == "denoise":
+        from nle_tpu.color.bilateral import bilateral_filter_u8
+        import jax.numpy as jnp
+
+        sigma_color, sigma_space, shrink_factor = weights
+
     with profiled(flags):
         for shape, items in groups.items():
-            channels = [bgr_to_lab_u8_np(img)[..., 0].astype(np.float32)
-                        for _, img in items]
+            if op == "denoise":
+                # Train on the bilateral-prefiltered L, exactly like
+                # nle-denoise / train_for_denoise (reference
+                # src/filter.cpp:521-538).
+                channels = [
+                    np.asarray(bilateral_filter_u8(
+                        jnp.asarray(bgr_to_lab_u8_np(img)[..., 0]), -1,
+                        sigma_color, sigma_space)).astype(np.float32)
+                    for _, img in items]
+            else:
+                channels = [bgr_to_lab_u8_np(img)[..., 0].astype(np.float32)
+                            for _, img in items]
 
             # Consumer threads run each frame's edit as its filter yields:
             # the apply executes inside the device stream the trainer is
@@ -122,8 +156,13 @@ def main(argv=None) -> int:
             # stays training-only.
             def run_edit(i, flt):
                 path, img = items[i]
-                result = NLEFilter(trained=flt).enhance(img, weights)
-                imwrite_bgr(_out_path(out_dir, path), result)
+                f = NLEFilter(trained=flt)
+                if op == "denoise":
+                    result = f.denoise(img, shrink_factor, sigma_color,
+                                       sigma_space)
+                else:
+                    result = f.enhance(img, weights)
+                imwrite_bgr(_out_path(out_dir, path, op), result)
 
             with ThreadPoolExecutor(4) as ex:
                 futs = [

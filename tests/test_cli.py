@@ -295,3 +295,50 @@ def test_batch_cli_matches_enhance(tmp_path, rng, capsys):
         want = f.enhance(img, [2.0, 3.0, 4.0, 1.0])
         diff = np.abs(got.astype(np.int32) - want.astype(np.int32)).max()
         assert diff <= 1, (i, diff)   # pipelined == single up to 1 u8 LSB
+
+
+def test_batch_cli_denoise_matches_single(tmp_path, rng, capsys):
+    """nle-batch --op=denoise output per image equals the single-image
+    train_for_denoise + denoise sequence (same params), and a malformed
+    weights slot (not 3 values) exits 0 with usage."""
+    from nle_tpu.cli import batch as batch_cli
+
+    paths, imgs = [], []
+    for i in range(2):
+        img = rng.integers(0, 256, (16, 20, 3), np.uint8)
+        path = str(tmp_path / f"n{i}.png")
+        imwrite_bgr(path, img)
+        paths.append(path)
+        imgs.append(img)
+
+    out_dir = str(tmp_path / "out")
+    rc = batch_cli.main(
+        ["--op=denoise", out_dir, "3", "4", "100", "30", "5", "4",
+         "10,10,2", paths[0], paths[1]])
+    assert rc == 0
+    assert "Done." in capsys.readouterr().out
+
+    from nle_tpu.models.filter import NLEFilter
+
+    for i, (path, img) in enumerate(zip(paths, imgs)):
+        got = imread_bgr(os.path.join(out_dir, f"n{i}-denoised.png"))
+        f = NLEFilter()
+        f.train_for_denoise(img, 3, 4, 100, 30, 5, 4, 10, 10)
+        want = f.denoise(img, 2, 10, 10)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32)).max()
+        assert diff <= 1, (i, diff)   # pipelined == single up to 1 u8 LSB
+
+    # weights slot must carry exactly sigmaColor,sigmaSpace,shrinkFactor
+    rc = batch_cli.main(
+        ["--op=denoise", out_dir, "3", "4", "100", "30", "5", "4",
+         "1,2", paths[0]])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Bad argument" in err and "Usage:" in err
+
+    # unknown op rejected before any work
+    rc = batch_cli.main(
+        ["--op=sharpen", out_dir, "3", "4", "100", "30", "5", "4",
+         "1,2,3", paths[0]])
+    assert rc == 0
+    assert "--op=sharpen invalid" in capsys.readouterr().err
