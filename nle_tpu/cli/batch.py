@@ -106,18 +106,34 @@ def main(argv=None) -> int:
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
 
     os.makedirs(out_dir, exist_ok=True)
-    loaded: list[tuple[str, np.ndarray]] = []
+    loaded: list[tuple[str, np.ndarray, str]] = []
+    used_out: set[str] = set()
     for path in image_paths:
         try:
-            loaded.append((path, imread_bgr(path)))
+            img = imread_bgr(path)
         except FileNotFoundError:
             print(f"Failed to read file from {path}", file=sys.stderr)
+            continue
+        # Same-stem inputs (dir1/a.png dir2/a.png, a.png a.jpg) would map
+        # to one output name and silently clobber each other — suffix
+        # collisions with a counter instead.
+        out_name = _out_path(out_dir, path, op)
+        if out_name in used_out:
+            root, ext = os.path.splitext(out_name)
+            idx = 2
+            while f"{root}-{idx}{ext}" in used_out:
+                idx += 1
+            out_name = f"{root}-{idx}{ext}"
+            print(f"nle-batch: output name collision for {path}; writing "
+                  f"{out_name}", file=sys.stderr)
+        used_out.add(out_name)
+        loaded.append((path, img, out_name))
 
     # Group by shape (the pipeline needs same-shape channels), preserving
     # first-seen order of groups and input order within each group.
-    groups: dict[tuple, list[tuple[str, np.ndarray]]] = {}
-    for path, img in loaded:
-        groups.setdefault(img.shape, []).append((path, img))
+    groups: dict[tuple, list[tuple[str, np.ndarray, str]]] = {}
+    for item in loaded:
+        groups.setdefault(item[1].shape, []).append(item)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -135,18 +151,23 @@ def main(argv=None) -> int:
 
     with profiled(flags):
         for shape, items in groups.items():
+            # One Lab conversion per image (the edit reuses it via
+            # seed_lab_cache — recomputing per edit would double the single
+            # host core's LUT work); for denoise the bilateral-prefiltered
+            # L is both the training channel and the output L plane
+            # (reference src/filter.cpp:521-538), so it too is computed
+            # once and threaded through.
+            labs = [bgr_to_lab_u8_np(img) for _, img, _ in items]
             if op == "denoise":
-                # Train on the bilateral-prefiltered L, exactly like
-                # nle-denoise / train_for_denoise (reference
-                # src/filter.cpp:521-538).
-                channels = [
-                    np.asarray(bilateral_filter_u8(
-                        jnp.asarray(bgr_to_lab_u8_np(img)[..., 0]), -1,
-                        sigma_color, sigma_space)).astype(np.float32)
-                    for _, img in items]
+                from nle_tpu.utils.transfer import fetch
+
+                bilats = [
+                    fetch(bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
+                                              sigma_color, sigma_space))
+                    for lab in labs]
+                channels = [bl.astype(np.float32) for bl in bilats]
             else:
-                channels = [bgr_to_lab_u8_np(img)[..., 0].astype(np.float32)
-                            for _, img in items]
+                channels = [lab[..., 0].astype(np.float32) for lab in labs]
 
             # Consumer threads run each frame's edit as its filter yields:
             # the apply executes inside the device stream the trainer is
@@ -155,14 +176,15 @@ def main(argv=None) -> int:
             # work (bench.py's measured-fastest schedule). The main thread
             # stays training-only.
             def run_edit(i, flt):
-                path, img = items[i]
+                path, img, out_name = items[i]
                 f = NLEFilter(trained=flt)
+                f.seed_lab_cache(img, labs[i])
                 if op == "denoise":
                     result = f.denoise(img, shrink_factor, sigma_color,
-                                       sigma_space)
+                                       sigma_space, bilateral_L=bilats[i])
                 else:
                     result = f.enhance(img, weights)
-                imwrite_bgr(_out_path(out_dir, path, op), result)
+                imwrite_bgr(out_name, result)
 
             with ThreadPoolExecutor(4) as ex:
                 futs = [

@@ -150,6 +150,15 @@ class NLEFilter:
         self._lab_cache = (image.copy(), lab)
         return lab
 
+    def seed_lab_cache(self, image_bgr_u8, lab) -> None:
+        """Pre-populate the BGR->Lab cache with a conversion the caller
+        already computed (the pipelined batch CLI converts every image
+        during training prep; recomputing it per edit would double the
+        single host core's LUT work). Unlike _to_lab's own snapshot, no
+        defensive copy is taken — the caller must not mutate the image
+        afterwards."""
+        self._lab_cache = (np.asarray(image_bgr_u8), np.asarray(lab))
+
     @property
     def trained(self) -> TrainedFilter:
         if self._trained is None:
@@ -258,9 +267,9 @@ class NLEFilter:
                           sigma_color=10, sigma_space=10):
         """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538)."""
         lab = self._to_lab(np.asarray(image_bgr_u8))
-        denoised = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
-                                       sigma_color, sigma_space)
-        return self._train(np.asarray(denoised).astype(np.float32),
+        denoised = fetch(bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
+                                             sigma_color, sigma_space))
+        return self._train(denoised.astype(np.float32),
                            n_row_samples, n_col_samples, hx, hy,
                            n_sinkhorn_iter, n_eigen_vectors)
 
@@ -332,17 +341,23 @@ class NLEFilter:
         return lab_to_bgr_u8_np(out)
 
     def denoise(self, image_bgr_u8, shrink_factor, sigma_color=10,
-                sigma_space=10) -> np.ndarray:
+                sigma_space=10, *, bilateral_L=None) -> np.ndarray:
         """GLIDE-style global denoise (src/filter.cpp:349-410): bilateral on
-        L, spectral filter with shrunk eigenvalues on the a/b chroma."""
+        L, spectral filter with shrunk eigenvalues on the a/b chroma.
+
+        bilateral_L: optional precomputed bilateral-filtered L plane (host
+        u8 (H, W)) — the pipelined batch CLI already computed it as the
+        training channel, so passing it here skips a second device
+        bilateral dispatch + N-sized fetch per frame."""
         t = self.trained
         image = _check_image(image_bgr_u8, t.n_pixels)
         lab = self._to_lab(image)
-        L = bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1, sigma_color,
-                                sigma_space)
         teig = shrink_eigenvalues(t.eigvals, shrink_factor)
         out = lab.copy()
-        out[..., 0] = fetch(L)
+        if bilateral_L is None:
+            bilateral_L = fetch(bilateral_filter_u8(
+                jnp.asarray(lab[..., 0]), -1, sigma_color, sigma_space))
+        out[..., 0] = bilateral_L
         # Both chroma planes through one filter application
         # (src/filter.cpp:388-389), batched into a single dispatch.
         out[..., 1:] = self._apply_edit_u8(np.ascontiguousarray(lab[..., 1:]), teig)

@@ -558,9 +558,10 @@ train_filter_stage2b = functools.partial(
 
 
 def _apply_u8_body(V, fs, y):
-    """V diag(fs) V^T y with the clamp-to-u8 epilogue — the algebra of
-    apply_filter_u8 ((N,) or (N, C) channels), inlined so the fused
-    stage-2b variants share it."""
+    """V diag(fs) V^T y with the clamp-to-u8 epilogue ((N,) or (N, C)
+    channels) — the SINGLE source of the u8 apply algebra: apply_filter_u8
+    wraps it and the fused stage-2b variants inline it, so the standalone
+    and fused edits cannot drift."""
     c = y.astype(V.dtype)
     one_d = c.ndim == 1
     if one_d:
@@ -1070,10 +1071,4 @@ def apply_filter_u8(eigvecs: jax.Array, f_eigvals: jax.Array, y_u8: jax.Array):
     both chroma planes with one filter, src/filter.cpp:388-389) go through
     a single pair of MXU matmuls and one device round trip."""
     with jax.default_matmul_precision("highest"):
-        c = y_u8.astype(eigvecs.dtype)
-        one_d = c.ndim == 1
-        if one_d:
-            c = c[:, None]
-        filtered = eigvecs @ (f_eigvals[:, None] * (eigvecs.T @ c))
-        out = jnp.clip(jnp.rint(filtered), 0, 255).astype(jnp.uint8)
-        return out[:, 0] if one_d else out
+        return _apply_u8_body(eigvecs, f_eigvals, y_u8)

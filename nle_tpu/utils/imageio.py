@@ -38,6 +38,10 @@ def imread_bgr(path: str) -> np.ndarray:
 
     try:
         im = Image.open(path)
+        # PIL decodes lazily: a truncated-but-identifiable file passes
+        # Image.open and raises OSError only inside convert(), so the
+        # decode must sit INSIDE the try for the error contract to hold.
+        return _pil_to_bgr(im)
     except FileNotFoundError:
         raise
     except Exception as e:
@@ -46,7 +50,6 @@ def imread_bgr(path: str) -> np.ndarray:
         # reference's "Failed to read file from ..." message) — keep the
         # two backends' error surface identical.
         raise FileNotFoundError(f"Failed to read file from {path}") from e
-    return _pil_to_bgr(im)
 
 
 def imdecode_bgr(data: bytes) -> np.ndarray:
@@ -71,12 +74,15 @@ def imdecode_bgr(data: bytes) -> np.ndarray:
 
     try:
         im = Image.open(io.BytesIO(data))
+        # Decode INSIDE the try: PIL is lazy, so truncated payloads raise
+        # OSError only at convert() time — outside the try they would
+        # escape as a 500 instead of the input-validation 400.
+        return _pil_to_bgr(im)
     except Exception as e:
         # Match the cv2 branch's error class (PIL raises
         # UnidentifiedImageError, an OSError, which HTTP handlers do not
         # map to 400).
         raise ValueError("Could not decode image bytes") from e
-    return _pil_to_bgr(im)
 
 
 def imencode_png(img_bgr_u8: np.ndarray) -> bytes:

@@ -342,3 +342,28 @@ def test_batch_cli_denoise_matches_single(tmp_path, rng, capsys):
          "1,2,3", paths[0]])
     assert rc == 0
     assert "--op=sharpen invalid" in capsys.readouterr().err
+
+
+def test_batch_cli_same_stem_inputs_do_not_clobber(tmp_path, rng, capsys):
+    """Two inputs with the same basename stem must produce two outputs
+    (collision gets a -2 suffix), not silently overwrite one another."""
+    from nle_tpu.cli import batch as batch_cli
+
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(), d2.mkdir()
+    img1 = rng.integers(0, 256, (16, 20, 3), np.uint8)
+    img2 = rng.integers(0, 256, (16, 20, 3), np.uint8)
+    imwrite_bgr(str(d1 / "a.png"), img1)
+    imwrite_bgr(str(d2 / "a.png"), img2)
+
+    out_dir = str(tmp_path / "out")
+    rc = batch_cli.main(
+        [out_dir, "3", "4", "100", "30", "5", "4", "2,3,4,1",
+         str(d1 / "a.png"), str(d2 / "a.png")])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "collision" in captured.err
+    got1 = imread_bgr(os.path.join(out_dir, "a-enhanced.png"))
+    got2 = imread_bgr(os.path.join(out_dir, "a-enhanced-2.png"))
+    # The two inputs differ, so the two outputs must differ too.
+    assert not np.array_equal(got1, got2)

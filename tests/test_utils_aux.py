@@ -118,6 +118,26 @@ def test_imageio_pil_fallback_matches_cv2(tmp_path, rng, monkeypatch):
     with pytest.raises(ValueError):
         imageio.imdecode_bgr(b"not an image")
 
+    # PIL decodes lazily: a TRUNCATED file passes Image.open (the header
+    # is intact) and only errors inside convert() — the error contract
+    # must still hold (FileNotFoundError for files, ValueError for bytes;
+    # an escaped OSError would crash batch runs / return HTTP 500s).
+    big = rng.integers(0, 256, (80, 100, 3), np.uint8)
+    monkeypatch.setattr(imageio, "_HAVE_CV2", True)
+    bigpath = str(tmp_path / "big.png")
+    imageio.imwrite_bgr(bigpath, big)
+    with open(bigpath, "rb") as fh:
+        bigpng = fh.read()
+    truncated = bigpng[: len(bigpng) // 2]
+    truncpath = str(tmp_path / "trunc.png")
+    with open(truncpath, "wb") as fh:
+        fh.write(truncated)
+    monkeypatch.setattr(imageio, "_HAVE_CV2", False)
+    with pytest.raises(FileNotFoundError):
+        imageio.imread_bgr(truncpath)
+    with pytest.raises(ValueError):
+        imageio.imdecode_bgr(truncated)
+
 
 def test_imageio_pil_fallback_applies_exif_orientation(tmp_path, monkeypatch):
     """cv2.imread applies EXIF orientation; the PIL path must match
