@@ -82,10 +82,14 @@ class _CoalescingTrainer:
         self._metrics = metrics
 
     def train_enhancement(self, img_bgr, params):
-        """Blocking: returns a TrainedFilter for img's Lab L channel."""
+        """Blocking: returns (TrainedFilter, lab) for img's Lab L channel
+        (the lab array is handed back so the caller's edit can reuse the
+        conversion via seed_lab_cache instead of re-running the full LUT
+        pipeline on the single host core)."""
         from nle_tpu.color.lab import bgr_to_lab_u8_np
 
-        L = bgr_to_lab_u8_np(img_bgr)[..., 0].astype(np.float32)
+        lab = bgr_to_lab_u8_np(img_bgr)
+        L = lab[..., 0].astype(np.float32)
         key = (L.shape, params)
         box = {"event": threading.Event()}
         with self._cv:
@@ -100,7 +104,7 @@ class _CoalescingTrainer:
         box["event"].wait()
         if "error" in box:
             raise box["error"]
-        return box["filter"]
+        return box["filter"], lab
 
     def _drain(self):
         from nle_tpu.models.batch import train_filters_iter
@@ -161,6 +165,11 @@ class _FilterStore:
         # another request's training/apply on the one chip.
         self._device_lock = device_lock
         self._resident: OrderedDict[str, object] = OrderedDict()
+        # Per-name train generation, bumped by put(): a cold reload that
+        # straddled a re-train must detect it (the checkpoint it np.load-ed
+        # may predate the re-train) and retry instead of installing a
+        # stale filter as authoritative.
+        self._gen: dict[str, int] = {}
         # Evicted but not yet written to disk (save runs OUTSIDE the store
         # lock — it fetches ~100s of MB over the tunnel): get() serves
         # these live objects so eviction is never observable as a miss.
@@ -281,6 +290,7 @@ class _FilterStore:
         with self._lock:
             self._resident[name] = f
             self._resident.move_to_end(name)
+            self._gen[name] = self._gen.get(name, 0) + 1
             self._spilled.discard(name)
             self._on_disk.discard(name)   # a fresh training invalidates it
             self._saving.pop(name, None)  # ... and any pending spill save
@@ -292,35 +302,56 @@ class _FilterStore:
         KeyError."""
         from nle_tpu.models.filter import NLEFilter, load_filter
 
-        with self._lock:
-            f = self._resident.get(name)
-            if f is not None:
-                self._resident.move_to_end(name)
-                return f
-            f = self._saving.get(name)
-            if f is not None:
-                # Evicted, checkpoint still being written: serve the live
-                # object (it stays spilled; no recency reinstatement).
-                return f
-            if name not in self._spilled:
-                raise KeyError(
-                    f"no trained filter named {name!r} "
-                    f"(have: {self._names_locked()})")
-        # Disk + device load OUTSIDE the store lock: a cold reload must not
-        # block unrelated requests' store lookups.
-        loaded = NLEFilter(trained=load_filter(self._path(name)))
-        with self._lock:
-            cur = self._resident.get(name)
-            if cur is not None:  # lost a reload race — use the winner
-                self._resident.move_to_end(name)
-                return cur
-            self._spilled.discard(name)
-            # The checkpoint on disk stays valid for this reloaded copy.
-            self._on_disk.add(name)
-            self._resident[name] = loaded
-            victims = self._pick_victims_locked()
-        self._save_victims(victims)
-        return loaded
+        while True:
+            with self._lock:
+                f = self._resident.get(name)
+                if f is not None:
+                    self._resident.move_to_end(name)
+                    return f
+                f = self._saving.get(name)
+                if f is not None:
+                    # Evicted, checkpoint still being written: serve the
+                    # live object (it stays spilled; no recency
+                    # reinstatement).
+                    return f
+                if name not in self._spilled:
+                    raise KeyError(
+                        f"no trained filter named {name!r} "
+                        f"(have: {self._names_locked()})")
+                gen = self._gen.get(name, 0)
+            # Disk + device load OUTSIDE the store lock: a cold reload must
+            # not block unrelated requests' store lookups. The device
+            # UPLOAD inside load_filter does take the device lock — it is
+            # device traffic like the spill saves, and an unguarded ~N*k
+            # upload concurrent with an HBM-sized training can OOM the one
+            # chip.
+            if self._device_lock is not None:
+                with self._device_lock:
+                    loaded = NLEFilter(trained=load_filter(self._path(name)))
+            else:
+                loaded = NLEFilter(trained=load_filter(self._path(name)))
+            with self._lock:
+                cur = self._resident.get(name)
+                if cur is not None:  # lost a reload race — use the winner
+                    self._resident.move_to_end(name)
+                    return cur
+                f = self._saving.get(name)
+                if f is not None:  # re-trained + mid-eviction while loading
+                    return f
+                if self._gen.get(name, 0) != gen:
+                    # Re-trained (and already evicted again) while this
+                    # thread was np.load-ing: the bytes just read may be
+                    # the PRE-re-train checkpoint — installing them would
+                    # silently serve stale edits. Retry against the fresh
+                    # state.
+                    continue
+                self._spilled.discard(name)
+                # The checkpoint on disk stays valid for this reloaded copy.
+                self._on_disk.add(name)
+                self._resident[name] = loaded
+                victims = self._pick_victims_locked()
+            self._save_victims(victims)
+            return loaded
 
     def _names_locked(self) -> list:
         return sorted(set(self._resident) | self._spilled)
@@ -415,6 +446,20 @@ class _Service:
     def _factored(q) -> bool:
         return q.get("factored", ["0"])[0].lower() in ("1", "true", "yes")
 
+    @staticmethod
+    def _too_big_to_pipeline(img, params) -> bool:
+        """The coalescing trainer keeps TWO dense (npad, mpad) phi buffers
+        alive (models/batch.py lookahead) and never selects the streaming
+        stage 2 — past ~2x phi on a 16 GB chip it would OOM where the
+        per-request train_filter (which auto-streams) succeeds. Estimate
+        phi with the full sample grid padded to the 128-lane bucket."""
+        from nle_tpu.ops.pipeline import _STREAM_BYTES_LIMIT
+
+        n = int(img.shape[0]) * int(img.shape[1])
+        mpad_est = -(-(int(params[0]) * int(params[1])) // 128) * 128
+        # Two phis must fit where train_filter allows one plus headroom.
+        return 4 * n * mpad_est > (3 * _STREAM_BYTES_LIMIT) // 4
+
     def _make_filter(self, img, q, denoise: bool):
         from nle_tpu.models.filter import NLEFilter
 
@@ -440,9 +485,12 @@ class _Service:
         params = self._params(q)
         w = [float(x) for x in q.get("w", ["2,3,4,1"])[0].split(",")]
         img = _decode_bgr(body)
-        if self._factored(q):
-            # V-free capacity mode: trains through the streaming stage 2
-            # (no pipelined coalescing — it is the huge-image path).
+        if self._factored(q) or self._too_big_to_pipeline(img, params):
+            # V-free capacity mode, or an image past the pipelined
+            # trainer's dense two-phi ceiling: the per-request path's
+            # train_filter auto-selects the phi-free streaming stage 2
+            # (the coalescing trainer is dense-only and would OOM —
+            # models/batch.py documents the ~half-single-image ceiling).
             with self.lock:
                 f = self._make_filter(img, q, denoise=False)
                 out = f.enhance(img, w)
@@ -455,8 +503,13 @@ class _Service:
             # the measured +8% interleave (bench.py). Memory-safe: the
             # apply adds only the u8 channel in/out on top of a V that is
             # resident either way.
-            flt = self.trainer.train_enhancement(img, params)
-            out = NLEFilter(trained=flt).enhance(img, w)
+            flt, lab = self.trainer.train_enhancement(img, params)
+            f = NLEFilter(trained=flt)
+            # Reuse the trainer's BGR->Lab conversion: recomputing it per
+            # edit would double the single host core's LUT work on the hot
+            # serving path.
+            f.seed_lab_cache(img, lab)
+            out = f.enhance(img, w)
         # PNG encode is pure host CPU — never under the device lock.
         return _encode_png(out)
 
@@ -544,6 +597,15 @@ def make_server(port: int = 0, token: str | None = None,
     EDITS = {"/enhance": 1, "/denoise": 1, "/train": 0, "/apply": 1}
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket read timeout (StreamRequestHandler.setup applies it to the
+        # connection): without one, a client that stalls mid-body — or just
+        # holds idle keep-alive connections — pins a server thread forever
+        # (slowloris), unauthenticated, since reads happen before any auth
+        # check. ThreadingHTTPServer has no thread bound, so the leak is
+        # unbounded. Timed-out reads surface as socket.timeout, which
+        # handle_one_request maps to close_connection.
+        timeout = int(os.environ.get("NLE_SERVE_SOCKET_TIMEOUT", "120"))
+
         def log_message(self, fmt, *args):  # quiet
             pass
 

@@ -319,11 +319,15 @@ def test_access_log_lines(tmp_path, small_png):
         srv.shutdown()
     lines = [json.loads(x) for x in buf.getvalue().splitlines()]
     assert len(lines) == 2
-    ok = lines[0]
-    assert (ok["status"] == 200 and ok["path"].startswith("/enhance")
-            and ok["ms"] > 0 and ok["bytes_in"] == len(png)
+    # Line ORDER across two connections is racy (the first handler thread
+    # can lose the GIL between writing its response and logging it, while
+    # the second connection's handler logs first) — match lines by path.
+    by_path = {x["path"].split("?")[0]: x for x in lines}
+    ok = by_path["/enhance"]
+    assert (ok["status"] == 200 and ok["ms"] > 0
+            and ok["bytes_in"] == len(png)
             and ok["bytes_out"] > 0 and ok["method"] == "POST")
-    assert lines[1]["status"] == 404
+    assert by_path["/nope"]["status"] == 404
 
 
 def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
@@ -354,7 +358,9 @@ def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
     results = [None] * 3
     def hit(i):
         try:
-            results[i] = trainer.train_enhancement(img, params)
+            # train_enhancement returns (filter, lab); the filter is the
+            # part the batch semantics are about.
+            results[i] = trainer.train_enhancement(img, params)[0]
         except RuntimeError as e:
             results[i] = e
     threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
@@ -374,7 +380,7 @@ def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
         1 for r in results if isinstance(r, str) and r.startswith("ok-")
     ) == 3
     # The worker must still serve a fresh request after the failure.
-    assert trainer.train_enhancement(img, params) == "ok-0"
+    assert trainer.train_enhancement(img, params)[0] == "ok-0"
 
 
 def test_apply_validates_before_decode(server):
@@ -588,3 +594,120 @@ def test_http_fuzz_malformed_requests_never_500(server, small_png):
     with _post(f"{server}/enhance?nr=2&nc=2&hx=50&hy=30&iters=2&k=2"
                "&w=1,1", tiny_png) as r:
         assert r.status == 200
+
+
+def test_reload_racing_retrain_returns_fresh_filter(tmp_path, monkeypatch):
+    """A cold reload that straddles a re-train (+ re-eviction) must not
+    install the pre-re-train checkpoint bytes as authoritative: the
+    generation check detects the interleaving and retries the load."""
+    import serve_http
+    from nle_tpu.models import filter as filter_mod
+
+    store = serve_http._FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    a0, a1, b1, b2 = (_FakeFilter() for _ in range(4))
+    store.put("a", a0)
+    store.put("b", b1)            # evicts a0 -> checkpoint C0 on disk
+
+    gate = threading.Event()      # blocks the reload mid-np.load
+    loads = []
+
+    def fake_load(path):
+        loads.append(path)
+        if len(loads) == 1:
+            gate.wait(10)         # the world moves on while we "read C0"
+            return a0.trained     # stale bytes
+        return a1.trained         # fresh checkpoint C1
+
+    monkeypatch.setattr(filter_mod, "load_filter", fake_load)
+    result = {}
+
+    def reader():
+        result["f"] = store.get("a")
+
+    t = threading.Thread(target=reader)
+    t.start()
+    # Wait for the reader to enter the (blocked) load.
+    for _ in range(100):
+        if loads:
+            break
+        threading.Event().wait(0.01)
+    assert loads, "reader never reached load_filter"
+    store.put("a", a1)            # re-train (gen bump; evicts b1)
+    store.put("b", b2)            # evicts a1 -> fresh checkpoint C1
+    gate.set()                    # the stale load completes only now
+    t.join(10)
+    assert not t.is_alive()
+    # The reader must serve the re-trained filter, never the stale C0 copy.
+    assert result["f"].trained is a1.trained
+    assert len(loads) == 2        # retried after the generation mismatch
+
+
+def test_enhance_big_image_falls_back_to_streaming_path(small_png,
+                                                        monkeypatch):
+    """Images past the pipelined trainer's dense two-phi ceiling must route
+    through the per-request trainer (which auto-selects streaming) instead
+    of OOMing in the dense-only coalescer."""
+    import serve_http
+
+    # The real predicate, on real numbers: a 4 MP image at a 600-sample
+    # grid blows 2x phi; the 40x50 test image does not.
+    class _Shape:
+        def __init__(self, h, w):
+            self.shape = (h, w, 3)
+
+    assert serve_http._Service._too_big_to_pipeline(
+        _Shape(2000, 2000), (20, 30, 100.0, 30.0, 10, 5))
+    assert not serve_http._Service._too_big_to_pipeline(
+        _Shape(40, 50), (3, 4, 100.0, 30.0, 5, 4))
+
+    # Force the fallback on a small image: the endpoint must still serve a
+    # valid enhancement through the per-request path.
+    monkeypatch.setattr(serve_http._Service, "_too_big_to_pipeline",
+                        staticmethod(lambda img, params: True))
+    srv = serve_http.make_server()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        img, png = small_png
+        with _post(f"{base}/enhance?nr=3&nc=4&hx=100&hy=30&iters=5&k=4"
+                   f"&w=2,3,4,1", png) as r:
+            out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                               cv2.IMREAD_COLOR)
+        assert out.shape == img.shape
+        # The fallback trains per-request, not via the coalescer.
+        with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["endpoints"]["/enhance"]["count"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_stalled_client_connection_times_out(monkeypatch):
+    """A client that stops transmitting mid-body must not pin a server
+    thread forever: the handler's socket timeout closes the connection."""
+    import socket
+    import time as time_mod
+
+    import serve_http
+
+    monkeypatch.setenv("NLE_SERVE_SOCKET_TIMEOUT", "1")
+    srv = serve_http.make_server()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(
+            ("127.0.0.1", srv.server_address[1]), timeout=10)
+        s.sendall(b"POST /enhance HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 100000\r\n\r\npartial")
+        s.settimeout(10)
+        t0 = time_mod.monotonic()
+        # The server must close the connection (EOF) well before the
+        # client would have finished never-sending the body.
+        data = b"x"
+        while data:
+            data = s.recv(4096)
+        assert time_mod.monotonic() - t0 < 8
+        s.close()
+    finally:
+        srv.shutdown()
