@@ -65,6 +65,11 @@ class FactoredFilter:
     # cache pins ~1 GB per 64 MP filter past its lifetime).
     _dev: tuple | None = dataclasses.field(
         default=None, init=False, repr=False, compare=False)
+    # Pixel-sharded analog for apply_filter_factored_sharded
+    # (parallel/sharded.py): (mesh, fa, fb, c_rest), rebuilt if the mesh
+    # changes.
+    _dev_sharded: tuple | None = dataclasses.field(
+        default=None, init=False, repr=False, compare=False)
 
     @property
     def n_pixels(self) -> int:

@@ -220,8 +220,6 @@ def _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, n_iter,
     # The affinity kernel vma-annotates its outputs, so the fused Pallas
     # path works inside shard_map(check_vma=True) on TPU; elsewhere this
     # dispatches to the tiled XLA builder.
-    from nle_tpu.ops.affinity import affinity_matmul
-
     phi_bl = (affinity_matmul(fa, fb_local, Uinv, sw, pw,
                               use_pallas=use_pallas)
               * mask_local[:, None])
@@ -275,7 +273,6 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
     m (traced m_dyn) only masks the Sb boundary, as in _train_2a."""
     Uinv32 = Uinv
     nb_local = fb_local.shape[0]
-    qpad = -(-max(nb_local, 1) // 512) * 512
     ppad = -(-p // 128) * 128
     mpad = -(-mb // 128) * 128
 
@@ -309,6 +306,7 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
 
         fa_rows, fb_cols, _ = pad_stream_operands(fa, fb_local)
         ppad = fa_rows.shape[1]   # stream_p_alignment rule
+        qpad = fb_cols.shape[1]   # the helper's TILE_Q padding rule
         # The shard's own validity mask, not the helper's (global pad rows
         # inside this shard are marked invalid by mask_local).
         mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[None, :]
@@ -394,10 +392,12 @@ def train_filter_sharded(
 ):
     """Train filters for a batch of channels (B, H, W) over the mesh.
 
-    Returns (V (B, N, k) pixel-order, S (B, k)). B must divide by the
-    'data' axis size. Batch elements are processed in groups sharing a
-    kept-rank BUCKET mb = bucket_m(m, p) (shapes are static per compile;
-    the per-element true m is traced — see ops/pipeline.py m-bucketing).
+    Returns (V (B, N, k) pixel-order, S (B, k)). Any B works (each bucket
+    group is padded up to the 'data' axis size by repeating its last
+    element; the duplicate work is idempotent). Batch elements are
+    processed in groups sharing a kept-rank BUCKET mb = bucket_m(m, p)
+    (shapes are static per compile; the per-element true m is traced — see
+    ops/pipeline.py m-bucketing).
 
     streaming=True uses the phi-free stage 2 per shard (affinity tiles
     recomputed every sweep): per-shard memory drops from O(nb_local * m) to
@@ -420,6 +420,12 @@ def train_filter_sharded(
         raise ValueError(
             "factored=True is float32-only (models/factored.py); got "
             f"dtype {jnp.dtype(dtype).name}.")
+    if streaming and jnp.dtype(dtype) != jnp.float32:
+        # Same contract as the single-chip twin (ops/pipeline.py): the
+        # streaming Pallas kernels compute in f32.
+        raise ValueError(
+            "streaming stage 2 is float32-only (the Pallas kernels compute "
+            f"in f32); got dtype {jnp.dtype(dtype).name}.")
     channels = np.asarray(channels)
     b, nrows, ncols = channels.shape
     grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
@@ -459,6 +465,7 @@ def train_filter_sharded(
         bucket_m,
         ka_eigh_host64,
         ka_eigh_topk_host64,
+        pack_channel,
     )
 
     from nle_tpu.utils.logging import logger, warn_truncation
@@ -549,13 +556,15 @@ def train_filter_sharded(
             rp, cp, Sb, cphib = step(
                 Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
             )
+        # Submit the lazy group Sb fetch BEFORE the blocking rp/cp fetches
+        # so it rides the tunnel concurrently with them (single-chip
+        # protocol, ops/pipeline.py submit_sb_fetch — measured Sb-in-hand
+        # win); host_orthogonalize resolves it only after the first
+        # element's eig(Wa)+E, hiding the (group, mb, mb) transfer under
+        # host work.
+        sb_group = submit_sb_fetch(Sb)
         rp64 = np.asarray(fetch(rp), np.float64)
         cp64 = np.asarray(fetch(cp), np.float64)
-        # Lazy group Sb fetch on the transfer pool: host_orthogonalize
-        # resolves it only after the first element's eig(Wa)+E, hiding the
-        # (group, mb, mb) transfer under host work (single-chip protocol,
-        # ops/pipeline.py submit_sb_fetch).
-        sb_group = submit_sb_fetch(Sb)
         grts = []
         fact_pieces: dict = {}
         for j, i in enumerate(idx):
@@ -586,8 +595,13 @@ def train_filter_sharded(
                 v_head, W, Sq32 = fact_pieces[j]
                 c_full = np.concatenate(
                     [cp64[j].astype(np.float32), cbl_np[j]])
+                # Same u8-pack rule as the single-chip trainer
+                # (models/factored.py): an 8-bit training channel is kept
+                # as uint8 — 4x smaller checkpoint and 4x cheaper y_train
+                # re-upload in _device_state.
+                y_train_i, _ = pack_channel(channels[i], grid.perm)
                 filters[i] = FactoredFilter(
-                    y_train=flat[i], c=jnp.asarray(c_full),
+                    y_train=y_train_i, c=jnp.asarray(c_full),
                     v_head=jnp.asarray(v_head, jnp.float32),
                     w=jnp.asarray(W), eigvals=jnp.asarray(Sq32),
                     nrows=nrows, ncols=ncols, hx=float(hx), hy=float(hy),
@@ -694,20 +708,41 @@ def apply_filter_factored_sharded(flt, channel, transformed_eigvals,
     nb = n - p
     n_pixel = mesh.shape["pixel"]
     nb_pad = -(-max(nb, 1) // n_pixel) * n_pixel
-
-    from nle_tpu.models.factored import _device_state
+    sh_pix = NamedSharding(mesh, P("pixel"))
 
     y = channel_np.reshape(-1).astype(np.float32)[flt.perm]
-    rr, cc, yt = _device_state(flt)   # cached per-filter device uploads
-    feats = features(rr, cc, yt)
-    fa = feats[:p]
-    fb = jnp.pad(feats[p:], ((0, nb_pad - nb), (0, 0)))
+    state = getattr(flt, "_dev_sharded", None)
+    if state is None or state[0] is not mesh:
+        # Static per-filter operands built on the HOST and placed DIRECTLY
+        # per shard (cached on the filter like _device_state): the (N, 3)
+        # feature tensor must never materialize on one default device, or
+        # capacity would cap at a single chip's HBM and defeat the pixel
+        # mesh this function exists for. flt.c is the one device-resident
+        # piece — its rest block reshards device-to-device (the transient
+        # (nb_pad,) pad on the default device is 4 B/px, not the ~40 B/px
+        # the old feature build paid).
+        dt = np.float32
+        rr = (flt.perm // flt.ncols).astype(dt)
+        cc = (flt.perm % flt.ncols).astype(dt)
+        yt = np.asarray(flt.y_train, dt)   # host pack (uint8 or f32)
+        fb_np = np.zeros((nb_pad, 3), dt)
+        fb_np[:nb, 0] = rr[p:]
+        fb_np[:nb, 1] = cc[p:]
+        fb_np[:nb, 2] = yt[p:]
+        fa = jnp.asarray(np.stack([rr[:p], cc[:p], yt[:p]], axis=-1))
+        fb = jax.device_put(fb_np, NamedSharding(mesh, P("pixel", None)))
+        c_rest = jax.device_put(jnp.pad(flt.c[p:], (0, nb_pad - nb)),
+                                sh_pix)
+        flt._dev_sharded = (mesh, fa, fb, c_rest)
+    _, fa, fb, c_rest = flt._dev_sharded
+
     sw, pw = bandwidth_weights(flt.hx, flt.hy)
     interpret = mesh.devices.flat[0].platform != "tpu"
 
-    c_rest = jnp.pad(flt.c[p:], (0, nb_pad - nb))
-    y_rest = jnp.pad(jnp.asarray(y[p:]), (0, nb_pad - nb))
-    cy = c_rest * y_rest
+    y_rest_np = np.zeros((nb_pad,), np.float32)
+    y_rest_np[:nb] = y[p:]
+    y_rest = jax.device_put(y_rest_np, sh_pix)
+    cy = c_rest * y_rest   # sharded elementwise: stays on its shards
     with jax.default_matmul_precision("highest"):
         proj_rest = _factored_proj_step(mesh, interpret)(
             fb, cy, fa, flt.w, sw, pw)

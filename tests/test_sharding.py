@@ -162,3 +162,37 @@ def test_sharded_mixed_buckets_pad_to_data_axis(monkeypatch):
         out_s = np.asarray(apply_filter(V_s[i][:, :k], fS,
                                         jnp.asarray(batch[i])))
         assert np.abs(out_s - out_1).max() < 0.05
+
+
+def test_sharded_streaming_rejects_non_f32(batch):
+    """Same contract as the single-chip twin: the streaming Pallas kernels
+    compute in f32, so a non-f32 dtype must fail fast with a clear error
+    (not a Mosaic trace error or silent bf16 affinity arithmetic)."""
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError, match="float32-only"):
+        train_filter_sharded(batch, *ARGS, mesh, streaming=True,
+                             dtype=jnp.float64)
+
+
+def test_sharded_factored_stores_u8_pack_and_caches_apply_state(batch):
+    """8-bit training channels keep their uint8 pack in y_train (4x smaller
+    checkpoints, same rule as the single-chip factored trainer), and
+    repeated sharded applies reuse the per-(filter, mesh) sharded device
+    state instead of re-uploading the feature blocks."""
+    from nle_tpu.parallel.sharded import apply_filter_factored_sharded
+
+    mesh = make_mesh(2, 4)
+    flts = train_filter_sharded(batch, *ARGS, mesh, streaming=True,
+                                factored=True)
+    assert all(f.y_train.dtype == np.uint8 for f in flts)
+
+    fS = transform_eigenvalues(flts[0].eigvals, [2.0, 3.0, 4.0, 1.0])
+    out1 = apply_filter_factored_sharded(flts[0], batch[0], fS, mesh)
+    state = flts[0]._dev_sharded
+    assert state is not None and state[0] is mesh
+    out2 = apply_filter_factored_sharded(flts[0], batch[0], fS, mesh)
+    assert flts[0]._dev_sharded is state      # cache reused, not rebuilt
+    np.testing.assert_array_equal(out1, out2)
+    # And the sharded apply agrees with the filter's own single-chip apply.
+    ref = flts[0].apply(batch[0], fS)
+    assert np.abs(out1 - ref).max() < 0.05
