@@ -47,9 +47,23 @@ from nle_tpu.ops.pipeline import (
     train_filter_stage2b,
 )
 from nle_tpu.ops.sampling import sample_grid
-from nle_tpu.utils.logging import warn_truncation
+from nle_tpu.utils.logging import logger, warn_truncation
 
 
+def fits_pipeline(n_pixels: int, n_row_samples: int,
+                  n_col_samples: int) -> bool:
+    """Whether the pipelined schedule's two-phi lookahead fits the chip.
+
+    The one-image lookahead keeps TWO dense (npad, mpad) phi buffers alive
+    (see module docstring), so two phis must fit where the single-image
+    train_filter allows one plus headroom. This is the shared capacity rule
+    for every consumer of train_filters_iter (serving /enhance coalescing,
+    nle-batch); past it, train_filters_iter itself falls back to sequential
+    streaming-capable training rather than OOM the one chip."""
+    from nle_tpu.ops.pipeline import _STREAM_BYTES_LIMIT
+
+    mpad_est = -(-(n_row_samples * n_col_samples) // 128) * 128
+    return 4 * n_pixels * mpad_est <= (3 * _STREAM_BYTES_LIMIT) // 4
 
 
 def train_filters_pipelined(
@@ -105,6 +119,28 @@ def train_filters_iter(
     if any(c.shape != (nrows, ncols) for c in channels):
         raise ValueError("pipelined training requires same-shape channels")
     grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
+    if not fits_pipeline(grid.n_pixels, n_row_samples, n_col_samples):
+        # Past the two-phi lookahead ceiling: the pipelined schedule would
+        # OOM where the per-image train_filter succeeds (it auto-selects
+        # the phi-free streaming stage 2). Train sequentially instead —
+        # the host/device overlap is lost, but the frames complete.
+        from nle_tpu.ops.pipeline import train_filter
+
+        logger.warning(
+            "pipelined trainer: %dx%d at %dx%d samples exceeds the two-phi "
+            "lookahead ceiling; training sequentially (streaming stage 2).",
+            nrows, ncols, n_row_samples, n_col_samples)
+        for chan in channels:
+            packed_np, is_8bit = pack_channel(chan, grid.perm)
+            y_dev = jnp.asarray(packed_np) if is_8bit else None
+            V, S = train_filter(
+                chan, n_row_samples, n_col_samples, hx, hy,
+                n_sinkhorn_iter, n_eig_vectors, eps=eps, grid=grid,
+                pixel_order=False, packed_y_dev=y_dev)[:2]
+            yield TrainedFilter(
+                V, S, nrows, ncols, perm=grid.perm,
+                y_cache=(packed_np, y_dev) if is_8bit else None)
+        return
     p = grid.n_samples
     perm, rr, cc = _grid_device_arrays(grid, jnp.float32)
     sw, pw = bandwidth_weights(hx, hy, jnp.float32)

@@ -168,9 +168,14 @@ class FactoredFilter:
 
     @classmethod
     def load(cls, path: str) -> "FactoredFilter":
-        from nle_tpu.models.filter import _resolve_npz_path
+        from nle_tpu.models.filter import _load_npz_host, _resolve_npz_path
 
-        z = np.load(_resolve_npz_path(path))
+        return cls._from_arrays(_load_npz_host(_resolve_npz_path(path)))
+
+    @classmethod
+    def _from_arrays(cls, z) -> "FactoredFilter":
+        """Build from a mapping of host arrays (device uploads happen
+        here)."""
         return cls(
             y_train=z["y_train"],
             c=jnp.asarray(z["c"]),

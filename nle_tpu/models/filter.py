@@ -70,15 +70,20 @@ class TrainedFilter:
         np.savez_compressed(path, **arrs)
 
     @classmethod
-    def load(cls, path: str) -> "TrainedFilter":
-        z = np.load(_resolve_npz_path(path))
+    def _from_arrays(cls, z) -> "TrainedFilter":
+        """Build from a mapping of host arrays (device uploads happen
+        here)."""
         return cls(
             eigvecs=jnp.asarray(z["eigvecs"]),
             eigvals=jnp.asarray(z["eigvals"]),
             nrows=int(z["shape"][0]),
             ncols=int(z["shape"][1]),
-            perm=z["perm"] if "perm" in z.files else None,
+            perm=z["perm"] if "perm" in z else None,
         )
+
+    @classmethod
+    def load(cls, path: str) -> "TrainedFilter":
+        return cls._from_arrays(_load_npz_host(_resolve_npz_path(path)))
 
 
 def _resolve_npz_path(path: str) -> str:
@@ -91,16 +96,35 @@ def _resolve_npz_path(path: str) -> str:
     return path
 
 
+def _load_npz_host(probe: str) -> dict:
+    """Fully decompress an npz to plain host arrays (pure disk/CPU work)."""
+    with np.load(probe) as z:
+        return {k: z[k] for k in z.files}
+
+
+def load_filter_host(path: str) -> dict:
+    """Disk half of load_filter: decompress a saved filter to HOST arrays
+    only, no device traffic. Callers that serialize device work (the
+    serving filter store's device lock) do this OUTSIDE the lock — seconds
+    of zlib for a megapixel filter — and pay only the upload inside it via
+    filter_from_host."""
+    return _load_npz_host(_resolve_npz_path(path))
+
+
+def filter_from_host(arrays: dict):
+    """Device half of load_filter: upload host arrays from
+    load_filter_host into a TrainedFilter or FactoredFilter."""
+    if "factored" in arrays:
+        from nle_tpu.models.factored import FactoredFilter
+
+        return FactoredFilter._from_arrays(arrays)
+    return TrainedFilter._from_arrays(arrays)
+
+
 def load_filter(path: str):
     """Load a saved filter of either kind: TrainedFilter (.npz with
     eigvecs) or the V-free FactoredFilter (marked with factored=True)."""
-    probe = _resolve_npz_path(path)
-    z = np.load(probe)
-    if "factored" in z.files:
-        from nle_tpu.models.factored import FactoredFilter
-
-        return FactoredFilter.load(probe)
-    return TrainedFilter.load(probe)
+    return filter_from_host(load_filter_host(path))
 
 
 def _check_image(image, n_pixels):

@@ -273,8 +273,6 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
     m (traced m_dyn) only masks the Sb boundary, as in _train_2a."""
     Uinv32 = Uinv
     nb_local = fb_local.shape[0]
-    ppad = -(-p // 128) * 128
-    mpad = -(-mb // 128) * 128
 
     if interpret:
         # Non-TPU (CPU-mesh tests): same association and reduction structure
@@ -307,6 +305,7 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
         fa_rows, fb_cols, _ = pad_stream_operands(fa, fb_local)
         ppad = fa_rows.shape[1]   # stream_p_alignment rule
         qpad = fb_cols.shape[1]   # the helper's TILE_Q padding rule
+        mpad = -(-mb // 128) * 128
         # The shard's own validity mask, not the helper's (global pad rows
         # inside this shard are marked invalid by mask_local).
         mask_pad = jnp.pad(mask_local, (0, qpad - nb_local))[None, :]

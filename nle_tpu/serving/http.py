@@ -300,7 +300,7 @@ class _FilterStore:
     def get(self, name: str):
         """Resident hit, in-flight-eviction hit, spilled reload, or
         KeyError."""
-        from nle_tpu.models.filter import NLEFilter, load_filter
+        from nle_tpu.models.filter import NLEFilter
 
         while True:
             with self._lock:
@@ -319,17 +319,23 @@ class _FilterStore:
                         f"no trained filter named {name!r} "
                         f"(have: {self._names_locked()})")
                 gen = self._gen.get(name, 0)
-            # Disk + device load OUTSIDE the store lock: a cold reload must
-            # not block unrelated requests' store lookups. The device
-            # UPLOAD inside load_filter does take the device lock — it is
-            # device traffic like the spill saves, and an unguarded ~N*k
-            # upload concurrent with an HBM-sized training can OOM the one
-            # chip.
+            # Disk decompress OUTSIDE both locks: a cold reload must not
+            # block unrelated requests' store lookups, and the seconds of
+            # zlib for a megapixel filter are pure host CPU — only the
+            # device UPLOAD takes the device lock (it is device traffic
+            # like the spill saves, and an unguarded ~N*k upload concurrent
+            # with an HBM-sized training can OOM the one chip).
+            from nle_tpu.models.filter import (
+                filter_from_host,
+                load_filter_host,
+            )
+
+            arrays = load_filter_host(self._path(name))
             if self._device_lock is not None:
                 with self._device_lock:
-                    loaded = NLEFilter(trained=load_filter(self._path(name)))
+                    loaded = NLEFilter(trained=filter_from_host(arrays))
             else:
-                loaded = NLEFilter(trained=load_filter(self._path(name)))
+                loaded = NLEFilter(trained=filter_from_host(arrays))
             with self._lock:
                 cur = self._resident.get(name)
                 if cur is not None:  # lost a reload race — use the winner
@@ -449,16 +455,14 @@ class _Service:
     @staticmethod
     def _too_big_to_pipeline(img, params) -> bool:
         """The coalescing trainer keeps TWO dense (npad, mpad) phi buffers
-        alive (models/batch.py lookahead) and never selects the streaming
-        stage 2 — past ~2x phi on a 16 GB chip it would OOM where the
-        per-request train_filter (which auto-streams) succeeds. Estimate
-        phi with the full sample grid padded to the 128-lane bucket."""
-        from nle_tpu.ops.pipeline import _STREAM_BYTES_LIMIT
+        alive (models/batch.py lookahead) — past that ceiling, route to the
+        per-request train_filter (which auto-streams) instead of the
+        coalescer. The capacity rule itself is shared with the trainer
+        (models/batch.py fits_pipeline), which also self-guards."""
+        from nle_tpu.models.batch import fits_pipeline
 
         n = int(img.shape[0]) * int(img.shape[1])
-        mpad_est = -(-(int(params[0]) * int(params[1])) // 128) * 128
-        # Two phis must fit where train_filter allows one plus headroom.
-        return 4 * n * mpad_est > (3 * _STREAM_BYTES_LIMIT) // 4
+        return not fits_pipeline(n, int(params[0]), int(params[1]))
 
     def _make_filter(self, img, q, denoise: bool):
         from nle_tpu.models.filter import NLEFilter
@@ -603,8 +607,11 @@ def make_server(port: int = 0, token: str | None = None,
         # (slowloris), unauthenticated, since reads happen before any auth
         # check. ThreadingHTTPServer has no thread bound, so the leak is
         # unbounded. Timed-out reads surface as socket.timeout, which
-        # handle_one_request maps to close_connection.
-        timeout = int(os.environ.get("NLE_SERVE_SOCKET_TIMEOUT", "120"))
+        # handle_one_request maps to close_connection. 0 (or empty) means
+        # NO timeout — it must map to None, not settimeout(0), which is
+        # non-blocking mode and would fail every read.
+        _t = int(os.environ.get("NLE_SERVE_SOCKET_TIMEOUT", "120") or 0)
+        timeout = _t if _t > 0 else None
 
         def log_message(self, fmt, *args):  # quiet
             pass

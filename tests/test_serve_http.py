@@ -618,7 +618,11 @@ def test_reload_racing_retrain_returns_fresh_filter(tmp_path, monkeypatch):
             return a0.trained     # stale bytes
         return a1.trained         # fresh checkpoint C1
 
-    monkeypatch.setattr(filter_mod, "load_filter", fake_load)
+    # The store splits loading into load_filter_host (disk, patched to
+    # block — that is where the race window lives) + filter_from_host
+    # (device upload, patched to pass the sentinel through).
+    monkeypatch.setattr(filter_mod, "load_filter_host", fake_load)
+    monkeypatch.setattr(filter_mod, "filter_from_host", lambda t: t)
     result = {}
 
     def reader():
