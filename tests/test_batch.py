@@ -14,6 +14,25 @@ def test_pipelined_matches_single():
     chans = [rng.integers(0, 256, (30, 40)).astype(np.float32)
              for _ in range(3)]
     flts = train_filters_pipelined(chans, 4, 5, 40.0, 20.0, 8, 4)
+    _assert_matches_single(chans, flts)
+
+
+def test_past_capacity_falls_back_to_sequential(monkeypatch):
+    """Past the two-phi lookahead ceiling the pipelined trainer must
+    train sequentially (streaming-capable) and still yield filters
+    equivalent to per-image train_filter."""
+    import nle_tpu.models.batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "fits_pipeline",
+                        lambda n, nr, nc: False)
+    rng = np.random.default_rng(6)
+    chans = [rng.integers(0, 256, (30, 40)).astype(np.float32)
+             for _ in range(2)]
+    flts = train_filters_pipelined(chans, 4, 5, 40.0, 20.0, 8, 4)
+    _assert_matches_single(chans, flts)
+
+
+def _assert_matches_single(chans, flts):
     w = [1.0, 2.0, 1.5, 1.2]
     for chan, flt in zip(chans, flts):
         V1, S1 = train_filter(chan, 4, 5, hx=40.0, hy=20.0,
