@@ -1,0 +1,155 @@
+"""Real-chip load check for the HTTP serving stack.
+
+The serving tests (tests/test_serve_http.py) run on the virtual CPU
+backend; the coalescing trainer's pipelined schedule — HTTP request
+threads queueing into one `train_filters_iter` stream, each request's
+edit interleaving with the next frames' device training — only meets the
+real chip (dispatch latency, tunnel fetches, the device lock) here. This
+tool starts the service in-process on the DEFAULT platform (axon = the
+single real chip), fires CONCURRENT /enhance requests over real sockets,
+and asserts:
+
+  - every response decodes to a (H, W, 3) image of the input shape;
+  - the unjittered frame's response is BIT-IDENTICAL to a direct
+    in-process ``NLEFilter`` train+enhance of the same frame (the server
+    path and the library path may not diverge — the CPU selftest proves
+    the same equality for the /train + /apply route);
+  - two byte-identical requests get byte-identical responses
+    (determinism through the coalescer under concurrency);
+  - /metrics shows the concurrent requests actually coalesced into
+    pipelined batches (batched_filters > train_batches).
+
+Inputs reuse the headline bench's frames (tools/bench_input.py rock2 at
+1 MP, rock2 golden params) so the persistent compile cache from bench.py
+makes this cheap. Run from /root/repo (the axon plugin needs that cwd):
+
+    python tools/check_tpu_serving.py            # one JSON line; rc 0 = ok
+    python tools/check_tpu_serving.py --platform=cpu --mp=0.05 --n=4
+
+Record the chip result to SERVING_TPU_CHECK.json (verify skill).
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PARAMS = (20, 30, 500.0, 10.0, 50, 50)   # rock2 golden config (bench.py)
+WEIGHTS = "4,3,4,1"
+
+
+def _frames(img, n):
+    """n distinct same-shape BGR frames: frame 0 unjittered (the
+    bit-exactness reference), frame 1 a byte-copy of frame 0 (the
+    determinism pair), the rest exposure-jittered as bench.py does."""
+    import numpy as np
+
+    from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
+
+    rng = np.random.default_rng(0)
+    frames = [img, img.copy()]
+    span = [d for d in range(-2 * n, 2 * n + 1) if d != 0]
+    for d in rng.choice(span, size=max(0, n - 2), replace=False):
+        lab = bgr_to_lab_u8_np(img)
+        lab[..., 0] = np.clip(lab[..., 0].astype(np.int32) + int(d),
+                              0, 255).astype(np.uint8)
+        frames.append(lab_to_bgr_u8_np(lab))
+    return frames[:n]
+
+
+def main() -> int:
+    mp_target = 1.0
+    n = 8
+    for a in sys.argv[1:]:
+        if a.startswith("--platform="):
+            import jax
+
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
+        elif a.startswith("--mp="):
+            mp_target = float(a.split("=", 1)[1])
+        elif a.startswith("--n="):
+            n = int(a.split("=", 1)[1])
+    if n < 3:
+        raise SystemExit("--n must be >= 3 (reference + determinism pair)")
+
+    import numpy as np
+
+    from nle_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    from bench_input import load_input
+
+    from nle_tpu.models.filter import NLEFilter
+    from nle_tpu.serving.http import make_server
+    from nle_tpu.utils.imageio import imdecode_bgr, imencode_png
+
+    img = load_input(mp_target)
+    mp = img.shape[0] * img.shape[1] / 1e6
+    frames = _frames(img, n)
+    bodies = [imencode_png(f) for f in frames]
+    weights = [float(x) for x in WEIGHTS.split(",")]
+
+    # Library-path reference for frame 0 (trained OUTSIDE the server so a
+    # server-side defect cannot cancel out of the comparison).
+    ref_filter = NLEFilter()
+    ref_filter.train_for_enhancement(frames[0], *PARAMS)
+    ref_out = ref_filter.enhance(frames[0], weights)
+
+    srv = make_server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        cfg = (f"nr={PARAMS[0]}&nc={PARAMS[1]}&hx={PARAMS[2]:g}"
+               f"&hy={PARAMS[3]:g}&iters={PARAMS[4]}&k={PARAMS[5]}"
+               f"&w={WEIGHTS}")
+
+        def post(body):
+            req = urllib.request.Request(f"{base}/enhance?{cfg}", data=body)
+            with urllib.request.urlopen(req, timeout=1800) as r:
+                return r.read()
+
+        post(bodies[-1])   # warmup: compile everything off the clock
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n) as ex:
+            outs = list(ex.map(post, bodies))
+        wall = time.perf_counter() - t0
+
+        decoded = [imdecode_bgr(o) for o in outs]
+        assert all(d.shape == img.shape for d in decoded), \
+            [d.shape for d in decoded]
+        exact = bool(np.array_equal(decoded[0], ref_out))
+        deterministic = outs[0] == outs[1]
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            m = json.loads(r.read())
+        coalesced = m["batched_filters"] > m["train_batches"]
+        psnr_vs_ref = 99.0 if exact else float(
+            10 * np.log10(255.0 ** 2 / np.mean(
+                (decoded[0].astype(np.float64) - ref_out.astype(np.float64))
+                ** 2)))
+        ok = (exact and deterministic and coalesced
+              and m["errors"] == 0 and m["trains"] == n + 1)
+        print(json.dumps({
+            "ok": bool(ok), "n": n, "mp": round(mp, 3),
+            "wall_s": round(wall, 3),
+            "mp_per_s": round(n * mp / wall, 3),
+            "exact_match": exact, "psnr_vs_library": round(psnr_vs_ref, 2),
+            "deterministic": bool(deterministic),
+            "train_batches": m["train_batches"],
+            "batched_filters": m["batched_filters"],
+            "errors": m["errors"],
+        }))
+        return 0 if ok else 1
+    finally:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
