@@ -28,7 +28,15 @@ bench-capacity-factored:
 	python tools/bench_capacity.py --factored --mp=64
 
 serve:
-	python examples/serve_http.py
+	python -m nle_tpu.serving.http
 
 serve-selftest:
-	python examples/serve_http.py --selftest --platform=cpu
+	python -m nle_tpu.serving.http --selftest --platform=cpu
+
+# Real-chip per-round checks (run AFTER `make bench` so the compile cache is
+# warm; record the JSON lines to *_CHECK.json — see .claude/skills/verify).
+tpu-check-sharded:
+	python tools/check_tpu_sharded.py
+
+tpu-check-serving:
+	python tools/check_tpu_serving.py

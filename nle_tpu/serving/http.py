@@ -796,6 +796,15 @@ def main():
             spill_dir = a.split("=", 1)[1]
         elif a.startswith("--access-log="):
             access_log_path = a.split("=", 1)[1]
+        else:
+            # A silently-ignored typo is dangerous here: `--tokn=...` would
+            # start an UNAUTHENTICATED server. Fail loudly instead.
+            print(f"nle-serve: unknown argument {a!r}\n"
+                  "usage: nle-serve [--port=N] [--token=SECRET] "
+                  "[--max-bytes=N] [--max-filters=N] [--spill-dir=DIR] "
+                  "[--access-log=PATH|-] [--platform=NAME] [--selftest]",
+                  file=sys.stderr)
+            sys.exit(2)
     if run_selftest:
         psnr = selftest(platform)
         print(f"selftest PSNR: {psnr:.2f} dB")

@@ -715,3 +715,16 @@ def test_stalled_client_connection_times_out(monkeypatch):
         s.close()
     finally:
         srv.shutdown()
+
+
+def test_main_rejects_unknown_arguments(monkeypatch, capsys):
+    """A typo'd flag must not silently start the server — `--tokn=x`
+    ignored would mean an UNAUTHENTICATED service."""
+    import serve_http
+
+    monkeypatch.setattr(sys, "argv", ["nle-serve", "--tokn=secret"])
+    with pytest.raises(SystemExit) as e:
+        serve_http.main()
+    assert e.value.code == 2
+    err = capsys.readouterr().err
+    assert "unknown argument" in err and "--tokn=secret" in err
