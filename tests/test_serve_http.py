@@ -1,6 +1,7 @@
-"""The HTTP edit service (examples/serve_http.py): routing, train-once /
+"""The HTTP edit service (nle_tpu/serving/http.py, imported here via the
+examples/serve_http.py compatibility shim): routing, train-once /
 edit-many state, and error surfacing over real sockets. The full golden
-PSNR path is `python examples/serve_http.py --selftest --platform=cpu`
+PSNR path is `python -m nle_tpu.serving.http --selftest --platform=cpu`
 (~30 s, exercised by the verify skill)."""
 
 import json
@@ -115,7 +116,7 @@ def test_bad_content_length_is_http_400(server):
 
 def test_concurrent_enhance_coalesces(server, small_png):
     """Concurrent same-shape /enhance requests ride one pipelined batch
-    (examples/serve_http.py _CoalescingTrainer) and each equals the
+    (nle_tpu/serving/http.py _CoalescingTrainer) and each equals the
     sequential result."""
     img, png = small_png
     cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4&w=1,2,2,1"
