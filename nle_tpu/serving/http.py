@@ -16,6 +16,9 @@ Endpoints (image bytes in the request body, PNG bytes or JSON back):
     POST /denoise?...&shrink=2&sigma_color=10&sigma_space=10
                                             one-shot train + denoise
     POST /train?name=scene1&nr=..&nc=..     train a filter, keep it by name
+                                            (mode=denoise trains on the
+                                            bilateral-prefiltered L, the
+                                            reference's trainForDenoise)
     POST /apply?name=scene1&w=2,3,4,1       edit with a kept filter
                                             (train once, edit many;
                                             op=denoise&shrink=2 runs the
@@ -534,14 +537,21 @@ class _Service:
         # Params before decode (cheap-validation-first, as in apply()).
         self._params(q)
         name = q.get("name", ["default"])[0]
+        # mode=denoise trains on the bilateral-prefiltered L channel (the
+        # reference's trainForDenoise, src/filter.cpp:521-537) so a kept
+        # filter used with /apply?op=denoise reproduces the one-shot
+        # /denoise result; the default trains on raw L (trainForEnhancement).
+        mode = q.get("mode", ["enhance"])[0]
+        if mode not in ("enhance", "denoise"):
+            raise ValueError(f"unknown mode {mode!r} (enhance|denoise)")
         img = _decode_bgr(body)
         with self.lock:
-            f = self._make_filter(img, q, denoise=False)
+            f = self._make_filter(img, q, denoise=(mode == "denoise"))
         self.store.put(name, f)
         t = f.trained
         k = int(t.eigvals.shape[0])
         return json.dumps({
-            "name": name, "k": k,
+            "name": name, "k": k, "mode": mode,
             "shape": [int(t.nrows), int(t.ncols)],
         }).encode()
 

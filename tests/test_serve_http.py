@@ -59,7 +59,8 @@ def test_train_then_apply(server, small_png):
     cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4"
     with _post(f"{server}/train?name=t1&{cfg}", png) as r:
         meta = json.loads(r.read())
-    assert meta == {"name": "t1", "k": 4, "shape": [40, 50]}
+    assert meta == {"name": "t1", "k": 4, "mode": "enhance",
+                    "shape": [40, 50]}
     with _post(f"{server}/apply?name=t1&w=1,2,2,1", png) as r:
         assert r.headers["Content-Type"] == "image/png"
         out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
@@ -295,6 +296,35 @@ def test_apply_denoise_op(server, small_png):
     assert out.shape == img.shape
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"{server}/apply?name=dn&op=sharpen", png)
+    assert ei.value.code == 400
+
+
+def test_train_mode_denoise_matches_oneshot(server, small_png):
+    """/train?mode=denoise trains on the bilateral-prefiltered L (the
+    reference's trainForDenoise), so the kept filter + /apply?op=denoise
+    reproduces the one-shot /denoise byte-for-byte; an enhancement-trained
+    filter does NOT (it trained on raw L)."""
+    img, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=5&k=4"
+    with _post(f"{server}/train?name=dnm&mode=denoise&{cfg}", png) as r:
+        meta = json.loads(r.read())
+    assert meta["mode"] == "denoise"
+    with _post(f"{server}/apply?name=dnm&op=denoise&shrink=2", png) as r:
+        out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                           cv2.IMREAD_COLOR)
+    with _post(f"{server}/denoise?{cfg}&shrink=2", png) as r:
+        oneshot = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                               cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(out, oneshot)
+    # raw-L training (the default mode) gives a different filter
+    with _post(f"{server}/train?name=dnm2&{cfg}", png) as r:
+        r.read()
+    with _post(f"{server}/apply?name=dnm2&op=denoise&shrink=2", png) as r:
+        out_raw = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                               cv2.IMREAD_COLOR)
+    assert not np.array_equal(out_raw, oneshot)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/train?name=bad&mode=sharpen&{cfg}", png)
     assert ei.value.code == 400
 
 
