@@ -1,12 +1,16 @@
 """`nle-apply` CLI — edit an image with a PREVIOUSLY trained filter.
 
     nle-apply <filter.npz> <image> <output> <w1> [w2 ...]
+    nle-apply <filter.npz> <image> <output> --op=denoise [--shrink=2]
 
 New capability beyond the reference (which retrains per edit,
 include/filter.hpp:52-53): a filter saved by `nle-enhance --save-filter=`
 or `TrainedFilter.save` re-weights detail layers at apply cost only — two
-skinny MXU matmuls + the Lab round trip. The image must match the training
-image's size (same guard as NLEFilter::enhance, src/filter.cpp:414-420).
+skinny MXU matmuls + the Lab round trip. `--op=denoise` runs the GLIDE
+application instead (shrunk eigenvalues on the chroma planes, bilateral on
+L — src/filter.cpp:349-410), mirroring the serving `/apply?op=denoise`
+surface. The image must match the training image's size (same guard as
+NLEFilter::enhance, src/filter.cpp:414-420).
 """
 
 from __future__ import annotations
@@ -23,16 +27,53 @@ from nle_tpu.cli.common import (
 
 USAGE = "Usage: {prog} <filter.npz> <image> <output> <weight 1> [weight 2 ...]"
 
+_APPLY_FLAG_DOC = """Apply-only flags:
+  --op=enhance|denoise          application mode (denoise = GLIDE: shrunk
+                                eigenvalues on chroma, bilateral on L;
+                                weights are not used and may be omitted)
+  --shrink=K                    denoise eigenvalue shrink exponent (default 2)
+  --sigma-color=S --sigma-space=S   denoise bilateral parameters (default 10)"""
+
+
+def _pop_apply_flags(flags):
+    """Extract the apply-only flags before the shared validator (which
+    would reject them as unknown — they are meaningless on the training
+    CLIs). Returns (op, shrink, sigma_color, sigma_space) or an error
+    string."""
+    op = flags.pop("op", "enhance")
+    if op not in ("enhance", "denoise"):
+        return f"Flag --op={op} invalid (expected enhance|denoise)"
+    vals = {}
+    for name, default in (("shrink", 2.0), ("sigma-color", 10.0),
+                          ("sigma-space", 10.0)):
+        v = flags.pop(name, default)
+        if op == "enhance" and v != default:
+            return f"Flag --{name} only applies with --op=denoise"
+        if isinstance(v, bool):  # bare `--shrink`: float(True) == 1.0 trap
+            return f"Flag --{name} requires a number (--{name}=...)"
+        try:
+            vals[name] = float(v)
+        except ValueError:
+            return f"Flag --{name} requires a number (--{name}=...)"
+    return op, vals["shrink"], vals["sigma-color"], vals["sigma-space"]
+
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     pos, flags = split_flags(argv)
-    if len(pos) < 4:
+    parsed = _pop_apply_flags(flags)
+    err = parsed if isinstance(parsed, str) else validate_flags(flags)
+    op, shrink, sigma_color, sigma_space = (
+        ("enhance", 2.0, 10.0, 10.0) if isinstance(parsed, str) else parsed)
+    # Denoise ignores detail weights (reference denoise signature,
+    # src/denoise.cpp:22-31), so the weight positionals become optional.
+    min_pos = 3 if op == "denoise" else 4
+    if err is None and len(pos) < min_pos:
         print(USAGE.format(prog="nle-apply"), file=sys.stderr)
+        print(_APPLY_FLAG_DOC, file=sys.stderr)
         print(add_common_flags(), file=sys.stderr)
         return 0
 
-    err = validate_flags(flags)
     if err is None:
         try:
             filter_path, image_path, output_path = pos[0], pos[1], pos[2]
@@ -42,6 +83,7 @@ def main(argv=None) -> int:
     if err is not None:
         print(err, file=sys.stderr)
         print(USAGE.format(prog="nle-apply"), file=sys.stderr)
+        print(_APPLY_FLAG_DOC, file=sys.stderr)
         print(add_common_flags(), file=sys.stderr)
         return 0
 
@@ -66,7 +108,11 @@ def main(argv=None) -> int:
 
     flt = NLEFilter(trained=trained)
     try:
-        result = flt.enhance(image, weights)
+        if op == "denoise":
+            result = flt.denoise(image, shrink, sigma_color=sigma_color,
+                                 sigma_space=sigma_space)
+        else:
+            result = flt.enhance(image, weights)
     except ValueError as e:  # size-mismatch guard (src/filter.cpp:414-420)
         print(str(e), file=sys.stderr)
         return 0

@@ -111,6 +111,38 @@ def test_apply_cli_usage_and_missing_inputs(tmp_path, capsys, small_image):
     assert "Failed to read filter" in capsys.readouterr().err
 
 
+def test_apply_cli_denoise_op(tmp_path, small_image, capsys):
+    """nle-apply --op=denoise (GLIDE application of a saved denoise-trained
+    filter) matches the direct nle-denoise output byte-for-byte; weight
+    positionals become optional; flag misuse is rejected with a message."""
+    from nle_tpu.cli.apply import main as apply_main
+    from nle_tpu.cli.denoise import main as denoise_main
+
+    img_path, _ = small_image
+    out1 = tmp_path / "direct.png"
+    fpath = tmp_path / "f.npz"
+    rc = denoise_main([img_path, str(out1), "4", "5", "50", "30", "5", "4",
+                       "10", "10", "2", f"--save-filter={fpath}"])
+    assert rc == 0 and out1.exists() and fpath.exists()
+    out2 = tmp_path / "applied.png"
+    rc = apply_main([str(fpath), img_path, str(out2), "--op=denoise",
+                     "--shrink=2"])
+    assert rc == 0 and out2.exists()
+    import cv2
+
+    np.testing.assert_array_equal(cv2.imread(str(out2)), cv2.imread(str(out1)))
+    capsys.readouterr()
+    # --shrink without --op=denoise, a bad --op, and a valueless --shrink
+    # are all rejected before any work
+    assert apply_main([str(fpath), img_path, str(out2), "1", "--shrink=3"]) == 0
+    assert "--op=denoise" in capsys.readouterr().err
+    assert apply_main([str(fpath), img_path, str(out2), "1", "--op=sharpen"]) == 0
+    assert "invalid" in capsys.readouterr().err
+    assert apply_main([str(fpath), img_path, str(out2), "--op=denoise",
+                       "--shrink"]) == 0
+    assert "requires a number" in capsys.readouterr().err
+
+
 def test_unknown_flag_rejected_before_training(capsys, small_image):
     path, _ = small_image
     rc = enhance_cli.main([path, "/tmp/x.png", "3", "4", "100", "30", "5",
