@@ -21,8 +21,10 @@ from nle_tpu.cli.common import (
     add_common_flags,
     apply_common_flags,
     maybe_show,
+    pop_op,
     split_flags,
     validate_flags,
+    warn_inapplicable,
 )
 
 USAGE = "Usage: {prog} <filter.npz> <image> <output> <weight 1> [weight 2 ...]"
@@ -35,14 +37,20 @@ _APPLY_FLAG_DOC = """Apply-only flags:
   --sigma-color=S --sigma-space=S   denoise bilateral parameters (default 10)"""
 
 
+# Training-time flags the shared validator accepts but nle-apply cannot
+# honor (there is no training here; the filter file fixes eps/solver/type).
+_INAPPLICABLE = ("save-filter", "debug-eigvecs", "eps", "stage1",
+                 "no-pallas", "factored", "precision")
+
+
 def _pop_apply_flags(flags):
     """Extract the apply-only flags before the shared validator (which
     would reject them as unknown — they are meaningless on the training
     CLIs). Returns (op, shrink, sigma_color, sigma_space) or an error
     string."""
-    op = flags.pop("op", "enhance")
-    if op not in ("enhance", "denoise"):
-        return f"Flag --op={op} invalid (expected enhance|denoise)"
+    op, err = pop_op(flags)
+    if err is not None:
+        return err
     vals = {}
     for name, default in (("shrink", 2.0), ("sigma-color", 10.0),
                           ("sigma-space", 10.0)):
@@ -74,10 +82,21 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0
 
+    weights = []
     if err is None:
         try:
             filter_path, image_path, output_path = pos[0], pos[1], pos[2]
-            weights = [float(w) for w in pos[3:]]
+            if op == "denoise":
+                # GLIDE uses shrink, not detail weights (reference denoise
+                # signature, src/denoise.cpp:22-31) — don't require extra
+                # positionals to parse as floats, but don't drop them
+                # silently either.
+                if pos[3:]:
+                    print("nle-apply: --op=denoise ignores the weight "
+                          "positionals " + " ".join(pos[3:]),
+                          file=sys.stderr)
+            else:
+                weights = [float(w) for w in pos[3:]]
         except ValueError as e:
             err = f"Bad argument: {e}"
     if err is not None:
@@ -87,6 +106,9 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0
 
+    warn_inapplicable("nle-apply", flags, _INAPPLICABLE)
+    for k in _INAPPLICABLE:
+        flags.pop(k, None)
     apply_common_flags(flags)
     from nle_tpu.models.filter import NLEFilter, load_filter
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr

@@ -34,9 +34,11 @@ import sys
 from nle_tpu.cli.common import (
     add_common_flags,
     apply_common_flags,
+    pop_op,
     profiled,
     split_flags,
     validate_flags,
+    warn_inapplicable,
 )
 
 USAGE = (
@@ -68,10 +70,7 @@ def main(argv=None) -> int:
               "(default enhance)", file=sys.stderr)
         return 0  # usage exits 0, like the reference CLIs
 
-    op = flags.pop("op", "enhance")
-    err = None
-    if op not in ("enhance", "denoise"):
-        err = f"Flag --op={op} invalid (expected enhance|denoise)"
+    op, err = pop_op(flags)
     if err is None:
         err = validate_flags(flags)
     if err is None:
@@ -94,11 +93,7 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0
 
-    inapplicable = sorted(set(flags) & set(_INAPPLICABLE))
-    if inapplicable:
-        print("nle-batch: ignoring flag(s) not applicable to the pipelined "
-              "trainer: " + ", ".join(f"--{f}" for f in inapplicable),
-              file=sys.stderr)
+    warn_inapplicable("nle-batch", flags, _INAPPLICABLE)
 
     apply_common_flags(flags)
     import numpy as np

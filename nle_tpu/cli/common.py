@@ -79,6 +79,27 @@ def validate_flags(flags) -> str | None:
     return None
 
 
+def pop_op(flags):
+    """Extract the shared `--op=enhance|denoise` flag used by the editing
+    CLIs (nle-apply, nle-batch). Must run BEFORE validate_flags (which
+    rejects --op as unknown — it is meaningless on the training CLIs).
+    Returns (op, error_message_or_None)."""
+    op = flags.pop("op", "enhance")
+    if op not in ("enhance", "denoise"):
+        return op, f"Flag --op={op} invalid (expected enhance|denoise)"
+    return op, None
+
+
+def warn_inapplicable(prog: str, flags, names) -> None:
+    """Warn (loudly, stderr) about known-but-inapplicable flags the caller
+    will ignore — a silently dropped --save-filter would let the user
+    believe a file was written."""
+    hit = sorted(set(flags) & set(names))
+    if hit:
+        print(f"{prog}: ignoring flag(s) not applicable here: "
+              + ", ".join(f"--{f}" for f in hit), file=sys.stderr)
+
+
 def apply_common_flags(flags) -> None:
     """Process flags that must act before JAX computes anything."""
     from nle_tpu.config import enable_persistent_cache

@@ -141,6 +141,35 @@ def test_apply_cli_denoise_op(tmp_path, small_image, capsys):
     assert apply_main([str(fpath), img_path, str(out2), "--op=denoise",
                        "--shrink"]) == 0
     assert "requires a number" in capsys.readouterr().err
+    # weight positionals under --op=denoise are ignored WITH a message
+    assert apply_main([str(fpath), img_path, str(out2), "5", "9",
+                       "--op=denoise"]) == 0
+    assert "ignores the weight" in capsys.readouterr().err
+
+
+def test_apply_cli_warns_on_training_only_flags(tmp_path, small_image,
+                                                capsys):
+    """nle-apply cannot honor training-time flags (there is no training);
+    they must be loudly ignored, never silently dropped — a dropped
+    --save-filter would let the user believe a file was written."""
+    from nle_tpu.cli.apply import main as apply_main
+    from nle_tpu.cli.enhance import main as enhance_main
+
+    img_path, _ = small_image
+    fpath = tmp_path / "f.npz"
+    rc = enhance_main([img_path, str(tmp_path / "o.png"), "4", "5", "100",
+                       "30", "5", "4", "1", "2", f"--save-filter={fpath}"])
+    assert rc == 0
+    capsys.readouterr()
+    out = tmp_path / "a.png"
+    resave = tmp_path / "resaved.npz"
+    rc = apply_main([str(fpath), img_path, str(out), "1", "2",
+                     f"--save-filter={resave}", "--no-pallas"])
+    assert rc == 0 and out.exists()
+    err = capsys.readouterr().err
+    assert "ignoring flag" in err
+    assert "--save-filter" in err and "--no-pallas" in err
+    assert not resave.exists()
 
 
 def test_unknown_flag_rejected_before_training(capsys, small_image):
