@@ -155,6 +155,12 @@ class _FilterStore:
     checkpoint format nle-apply consumes) and dropped from memory — its
     device buffers free with it. A later /apply for a spilled name reloads
     it (possibly evicting another), so capacity bounds memory, not the
+    namespace.
+
+    Warm restart: spill files are `sha1(name).npz` (URL names are not
+    filesystem-safe) with the original name in a `.name` sidecar, so a
+    restarted server pointed at the same --spill-dir recovers every
+    previously spilled filter — checkpoint/resume for the serving
     namespace."""
 
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
@@ -184,6 +190,8 @@ class _FilterStore:
         # max_filters+1 names must not pay a device fetch + npz compress
         # per request.
         self._on_disk: set[str] = set()
+        if spill_dir is not None:
+            self._recover_spills()
 
     def _dir(self) -> str:
         if self._spill_dir is None:
@@ -192,12 +200,37 @@ class _FilterStore:
             os.makedirs(self._spill_dir, exist_ok=True)
         return self._spill_dir
 
-    def _path(self, name: str) -> str:
+    @staticmethod
+    def _stem(name: str) -> str:
         # Names come from URLs; keep the file name safe.
         import hashlib
 
-        return os.path.join(
-            self._dir(), hashlib.sha1(name.encode()).hexdigest() + ".npz")
+        return hashlib.sha1(name.encode()).hexdigest()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self._dir(), self._stem(name) + ".npz")
+
+    def _recover_spills(self) -> None:
+        """Seed the spilled-name set from an existing spill directory (a
+        prior run's checkpoints). Only a `.name` sidecar whose content
+        re-hashes to its own stem AND has a checkpoint next to it is
+        trusted — foreign files, tmp leftovers, and truncated sidecars are
+        skipped."""
+        d = self._spill_dir
+        if not os.path.isdir(d):
+            return
+        for fn in os.listdir(d):
+            if not (fn.endswith(".name") and len(fn) == 45):
+                continue
+            try:
+                with open(os.path.join(d, fn), encoding="utf-8") as fh:
+                    name = fh.read()
+            except OSError:
+                continue
+            stem = fn[: -len(".name")]
+            if (self._stem(name) == stem
+                    and os.path.exists(os.path.join(d, stem + ".npz"))):
+                self._spilled.add(name)
 
     def _pick_victims_locked(self) -> list:
         """Pop LRU filters past capacity; mark them spilled and (when the
@@ -248,6 +281,15 @@ class _FilterStore:
             finally:
                 if os.path.exists(tmp):
                     os.unlink(tmp)
+            # Name sidecar for warm restart (_recover_spills). Written
+            # AFTER the checkpoint: a sidecar without its .npz is ignored
+            # on recovery, the reverse would advertise a missing filter.
+            side = path[: -len(".npz")] + ".name"
+            if not os.path.exists(side):  # content is hash-determined
+                stmp = side + f".tmp-{threading.get_ident()}"
+                with open(stmp, "w", encoding="utf-8") as fh:
+                    fh.write(name)
+                os.replace(stmp, side)
 
         for name, f in victims:
             if not pending(name, f):

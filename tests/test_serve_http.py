@@ -627,6 +627,38 @@ def test_http_fuzz_malformed_requests_never_500(server, small_png):
         assert r.status == 200
 
 
+def test_spill_dir_warm_restart(tmp_path, monkeypatch):
+    """Filters spilled by a previous server process are recovered when a
+    new store points at the same --spill-dir: the URL-hostile name comes
+    back via the .name sidecar and get() reloads the checkpoint. Filters
+    that were resident-only (never checkpointed) are NOT advertised."""
+    import serve_http
+    from nle_tpu.models import filter as filter_mod
+
+    store = serve_http._FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    a, b = _FakeFilter(), _FakeFilter()
+    store.put("scene/1?x=%00", a)   # URL-hostile name
+    store.put("b", b)               # evicts + spills the first
+    assert "scene/1?x=%00" in store.names()
+
+    # "Restart": a fresh store over the same directory.
+    store2 = serve_http._FilterStore(max_filters=2, spill_dir=str(tmp_path))
+    assert store2.names() == ["scene/1?x=%00"]
+    sentinel = object()
+    monkeypatch.setattr(filter_mod, "load_filter_host",
+                        lambda path: ("host", path))
+    monkeypatch.setattr(filter_mod, "filter_from_host", lambda t: sentinel)
+    assert store2.get("scene/1?x=%00").trained is sentinel
+    with pytest.raises(KeyError):
+        store2.get("b")             # resident-only in the old process
+
+    # Foreign/truncated files in the spill dir must be ignored.
+    (tmp_path / ("f" * 40 + ".name")).write_text("mismatched")
+    (tmp_path / "junk.name").write_text("x")
+    store3 = serve_http._FilterStore(max_filters=2, spill_dir=str(tmp_path))
+    assert store3.names() == ["scene/1?x=%00"]
+
+
 def test_reload_racing_retrain_returns_fresh_filter(tmp_path, monkeypatch):
     """A cold reload that straddles a re-train (+ re-eviction) must not
     install the pre-re-train checkpoint bytes as authoritative: the
