@@ -23,6 +23,8 @@ Endpoints (image bytes in the request body, PNG bytes or JSON back):
                                             (train once, edit many;
                                             op=denoise&shrink=2 runs the
                                             GLIDE application instead)
+    DELETE /filters?name=scene1             drop a kept filter (memory,
+                                            checkpoint, and sidecar)
 
 Hardening:
   - request bodies above --max-bytes (default 64 MiB) are rejected with 413
@@ -244,6 +246,31 @@ class _FilterStore:
             self._spilled.add(name)
         return victims
 
+    def _write_checkpoint(self, name: str, f) -> None:
+        # Write-to-temp + atomic rename: a concurrent get() may be
+        # np.load-ing this very path (reloads run outside every lock);
+        # overwriting in place would hand it a truncated npz (EOFError
+        # mid-request — found by tests' concurrent stress hammer).
+        # os.replace keeps every reader on a complete file: the old
+        # inode until the rename, the new one after.
+        path = self._path(name)
+        tmp = path + f".tmp-{threading.get_ident()}.npz"
+        try:
+            f.trained.save(tmp)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # Name sidecar for warm restart (_recover_spills). Written
+        # AFTER the checkpoint: a sidecar without its .npz is ignored
+        # on recovery, the reverse would advertise a missing filter.
+        side = path[: -len(".npz")] + ".name"
+        if not os.path.exists(side):  # content is hash-determined
+            stmp = side + f".tmp-{threading.get_ident()}"
+            with open(stmp, "w", encoding="utf-8") as fh:
+                fh.write(name)
+            os.replace(stmp, side)
+
     def _save_victims(self, victims: list) -> None:
         """Write evicted filters' checkpoints. Runs WITHOUT the store lock
         (a save fetches the (N, k) eigvecs — seconds on the tunnel; holding
@@ -266,30 +293,7 @@ class _FilterStore:
             with self._lock:
                 return self._saving.get(name) is f
 
-        def write_atomic(name, f):
-            # Write-to-temp + atomic rename: a concurrent get() may be
-            # np.load-ing this very path (reloads run outside every lock);
-            # overwriting in place would hand it a truncated npz (EOFError
-            # mid-request — found by tests' concurrent stress hammer).
-            # os.replace keeps every reader on a complete file: the old
-            # inode until the rename, the new one after.
-            path = self._path(name)
-            tmp = path + f".tmp-{threading.get_ident()}.npz"
-            try:
-                f.trained.save(tmp)
-                os.replace(tmp, path)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-            # Name sidecar for warm restart (_recover_spills). Written
-            # AFTER the checkpoint: a sidecar without its .npz is ignored
-            # on recovery, the reverse would advertise a missing filter.
-            side = path[: -len(".npz")] + ".name"
-            if not os.path.exists(side):  # content is hash-determined
-                stmp = side + f".tmp-{threading.get_ident()}"
-                with open(stmp, "w", encoding="utf-8") as fh:
-                    fh.write(name)
-                os.replace(stmp, side)
+        write_atomic = self._write_checkpoint
 
         for name, f in victims:
             if not pending(name, f):
@@ -403,6 +407,67 @@ class _FilterStore:
                 victims = self._pick_victims_locked()
             self._save_victims(victims)
             return loaded
+
+    def delete(self, name: str) -> None:
+        """Remove a kept filter: resident object, pending spill save,
+        spilled checkpoint, and sidecar. Raises KeyError for an unknown
+        name. The generation bump makes any in-flight cold reload of the
+        same name retry and observe the deletion instead of re-installing
+        the just-unlinked checkpoint's bytes."""
+        with self._lock:
+            known = (name in self._resident or name in self._saving
+                     or name in self._spilled)
+            if not known:
+                raise KeyError(
+                    f"no trained filter named {name!r} "
+                    f"(have: {self._names_locked()})")
+            self._resident.pop(name, None)
+            self._saving.pop(name, None)   # invalidates a pending save
+            self._spilled.discard(name)
+            self._on_disk.discard(name)
+            self._gen[name] = self._gen.get(name, 0) + 1
+        path = self._path(name)
+        for p in (path, path[: -len(".npz")] + ".name"):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+
+    def checkpoint_all(self) -> int:
+        """Write every resident filter's checkpoint (+ name sidecar) so a
+        restart on the same spill_dir recovers the FULL namespace, not just
+        what the LRU happened to evict — the graceful-shutdown half of warm
+        restart. Filters whose on-disk checkpoint is already current are
+        skipped. Returns the number written."""
+        from nle_tpu.utils.logging import logger
+
+        with self._lock:
+            items = [(n, f) for n, f in self._resident.items()
+                     if n not in self._on_disk]
+        written = 0
+        for name, f in items:
+            def current() -> bool:
+                with self._lock:
+                    return self._resident.get(name) is f
+            try:
+                if self._device_lock is not None:
+                    with self._device_lock:  # the save fetches device bufs
+                        if not current():
+                            continue  # re-trained while we waited
+                        self._write_checkpoint(name, f)
+                else:
+                    if not current():
+                        continue
+                    self._write_checkpoint(name, f)
+            except Exception as e:
+                logger.warning("checkpoint_all: save failed for %r: %s",
+                               name, e)
+                continue
+            with self._lock:
+                if self._resident.get(name) is f:
+                    self._on_disk.add(name)
+            written += 1
+        return written
 
     def _names_locked(self) -> list:
         return sorted(set(self._resident) | self._spilled)
@@ -697,6 +762,38 @@ def make_server(port: int = 0, token: str | None = None,
                 return self._reply(200, body, "application/json")
             return self._json_err(404, "not found")
 
+        def do_DELETE(self):
+            u = urlparse(self.path)
+            if not self._check_auth(0):
+                return
+            if u.path != "/filters":
+                return self._json_err(404, "not found")
+            name = parse_qs(u.query).get("name", ["default"])[0]
+            try:
+                svc.store.delete(name)
+            except KeyError as e:
+                return self._json_err(404, str(e))
+            return self._reply(200, json.dumps({"deleted": name}).encode(),
+                               "application/json")
+
+        def _check_auth(self, n: int) -> bool:
+            """Bearer-token gate for the mutating methods. Returns False
+            (response already sent) on failure."""
+            if not token:
+                return True
+            import hmac
+
+            auth = self.headers.get("Authorization", "")
+            # Constant-time compare: != short-circuits at the first
+            # differing byte, leaking the token prefix to a client
+            # that can time responses (this is the only auth gate).
+            if hmac.compare_digest(auth, f"Bearer {token}"):
+                return True
+            svc.metrics.reject()
+            self._drain_body(n)
+            self._json_err(401, "missing or bad bearer token")
+            return False
+
         def _drain_body(self, n: int):
             """Read and discard up to n bytes (bounded, chunked — never
             buffered) so a mid-upload client finishes sending and reliably
@@ -727,17 +824,8 @@ def make_server(port: int = 0, token: str | None = None,
                 svc.metrics.reject()
                 self.close_connection = True
                 return self._json_err(400, "bad Content-Length header")
-            if token:
-                import hmac
-
-                auth = self.headers.get("Authorization", "")
-                # Constant-time compare: != short-circuits at the first
-                # differing byte, leaking the token prefix to a client
-                # that can time responses (this is the only auth gate).
-                if not hmac.compare_digest(auth, f"Bearer {token}"):
-                    svc.metrics.reject()
-                    self._drain_body(n)
-                    return self._json_err(401, "missing or bad bearer token")
+            if not self._check_auth(n):
+                return
             if n > max_bytes:
                 svc.metrics.reject()
                 self._drain_body(n)
@@ -769,7 +857,9 @@ def make_server(port: int = 0, token: str | None = None,
             ctype = ("application/json" if out[:1] == b"{" else "image/png")
             return self._reply(200, out, ctype, ms=dt * 1e3, n_in=n)
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    srv.svc = svc  # graceful shutdown (main) checkpoints through this
+    return srv
 
 
 def selftest(platform: str | None = None) -> float:
@@ -875,9 +965,32 @@ def main():
                       max_filters=max_filters, spill_dir=spill_dir,
                       access_log=access_log)
     print(f"nle-tpu edit service on http://127.0.0.1:{port} "
-          "(POST /enhance /denoise /train /apply, GET /healthz /metrics)",
-          flush=True)
-    srv.serve_forever()
+          "(POST /enhance /denoise /train /apply, GET /healthz /metrics, "
+          "DELETE /filters?name=)", flush=True)
+    # Graceful shutdown: SIGTERM/SIGINT checkpoint every resident filter
+    # before exiting, so a restart on the same --spill-dir recovers the
+    # FULL namespace (warm restart), not just what the LRU had evicted.
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        # The first signal means "shut down"; a late SECOND TERM/INT (e.g.
+        # a supervisor re-signaling, or `timeout` forwarding) must not
+        # abort the checkpoint sweep mid-npz-write (observed: a duplicate
+        # TERM landed inside zlib compress and killed the sweep).
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
+        n = srv.svc.store.checkpoint_all()
+        if n:
+            print(f"nle-serve: checkpointed {n} resident filter(s) to "
+                  f"{srv.svc.store._spill_dir}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -627,6 +627,78 @@ def test_http_fuzz_malformed_requests_never_500(server, small_png):
         assert r.status == 200
 
 
+def test_delete_filter(server, small_png):
+    """DELETE /filters removes a kept filter from memory AND disk; a later
+    /apply for the name is a clean 400, a second DELETE a 404."""
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    with _post(f"{server}/train?name=zap&{cfg}", png) as r:
+        r.read()
+
+    def _delete(name):
+        return urllib.request.urlopen(urllib.request.Request(
+            f"{server}/filters?name={name}", method="DELETE"), timeout=30)
+
+    with _delete("zap") as r:
+        assert json.loads(r.read())["deleted"] == "zap"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/apply?name=zap&w=1,1", png)
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _delete("zap")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(urllib.request.Request(
+            f"{server}/nope?name=zap", method="DELETE"), timeout=30)
+    assert ei.value.code == 404
+
+
+def test_delete_requires_auth(locked_server, small_png):
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    with _post_auth(f"{locked_server}/train?name=d&{cfg}", png,
+                    "sekrit") as r:
+        r.read()
+    req = urllib.request.Request(f"{locked_server}/filters?name=d",
+                                 method="DELETE")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 401
+    req.add_header("Authorization", "Bearer sekrit")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["deleted"] == "d"
+
+
+def test_delete_removes_spilled_checkpoint(tmp_path):
+    """Deleting a SPILLED filter unlinks its checkpoint + sidecar, so a
+    warm restart does not resurrect it."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    store.put("a", _FakeFilter())
+    store.put("b", _FakeFilter())   # spills "a" to disk
+    store.delete("a")
+    assert store.names() == ["b"]
+    assert not list(tmp_path.glob("*"))  # a's npz + sidecar both gone
+    assert _FilterStore(max_filters=1,
+                        spill_dir=str(tmp_path)).names() == []
+
+
+def test_checkpoint_all_then_warm_restart(tmp_path):
+    """Graceful shutdown writes every RESIDENT filter (not just LRU
+    evictions); a restarted store on the same dir recovers the full
+    namespace. Already-current checkpoints are skipped on a second call."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=8, spill_dir=str(tmp_path))
+    store.put("a", _FakeFilter())
+    store.put("b", _FakeFilter())
+    assert store.checkpoint_all() == 2
+    assert store.checkpoint_all() == 0   # nothing stale to write
+    store2 = _FilterStore(max_filters=8, spill_dir=str(tmp_path))
+    assert store2.names() == ["a", "b"]
+
+
 def test_spill_dir_warm_restart(tmp_path, monkeypatch):
     """Filters spilled by a previous server process are recovered when a
     new store points at the same --spill-dir: the URL-hostile name comes
