@@ -212,6 +212,13 @@ class _FilterStore:
     def _path(self, name: str) -> str:
         return os.path.join(self._dir(), self._stem(name) + ".npz")
 
+    @staticmethod
+    def _sidecar(npz_path: str) -> str:
+        """The `.name` sidecar path for a checkpoint path — ONE site owns
+        the npz/sidecar naming pairing (warm restart breaks silently if a
+        writer and the recovery scan ever disagree)."""
+        return npz_path[: -len(".npz")] + ".name"
+
     def _recover_spills(self) -> None:
         """Seed the spilled-name set from an existing spill directory (a
         prior run's checkpoints). Only a `.name` sidecar whose content
@@ -227,7 +234,10 @@ class _FilterStore:
             try:
                 with open(os.path.join(d, fn), encoding="utf-8") as fh:
                     name = fh.read()
-            except OSError:
+            except (OSError, UnicodeDecodeError):
+                # Unreadable OR non-UTF-8 (foreign file, sidecar truncated
+                # mid multi-byte char): skip it — one bad file must never
+                # prevent the server from booting.
                 continue
             stem = fn[: -len(".name")]
             if (self._stem(name) == stem
@@ -264,7 +274,7 @@ class _FilterStore:
         # Name sidecar for warm restart (_recover_spills). Written
         # AFTER the checkpoint: a sidecar without its .npz is ignored
         # on recovery, the reverse would advertise a missing filter.
-        side = path[: -len(".npz")] + ".name"
+        side = self._sidecar(path)
         if not os.path.exists(side):  # content is hash-determined
             stmp = side + f".tmp-{threading.get_ident()}"
             with open(stmp, "w", encoding="utf-8") as fh:
@@ -414,6 +424,8 @@ class _FilterStore:
         name. The generation bump makes any in-flight cold reload of the
         same name retry and observe the deletion instead of re-installing
         the just-unlinked checkpoint's bytes."""
+        import contextlib
+
         with self._lock:
             known = (name in self._resident or name in self._saving
                      or name in self._spilled)
@@ -427,28 +439,44 @@ class _FilterStore:
             self._on_disk.discard(name)
             self._gen[name] = self._gen.get(name, 0) + 1
         path = self._path(name)
-        for p in (path, path[: -len(".npz")] + ".name"):
-            try:
-                os.unlink(p)
-            except FileNotFoundError:
-                pass
+        # Unlink INSIDE the device lock: every checkpoint writer
+        # (_save_victims, checkpoint_all) writes while holding it and
+        # re-checks its claim-to-authority after acquiring it, so a saver
+        # already past its check finishes BEFORE we unlink, and one not yet
+        # there observes the popped _saving entry and skips — without this,
+        # a mid-write saver re-creates the files after the unlink and the
+        # deleted filter resurrects on warm restart.
+        lock = (self._device_lock if self._device_lock is not None
+                else contextlib.nullcontext())
+        with lock:
+            for p in (path, self._sidecar(path)):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
 
     def checkpoint_all(self) -> int:
-        """Write every resident filter's checkpoint (+ name sidecar) so a
+        """Write every live filter's checkpoint (+ name sidecar) so a
         restart on the same spill_dir recovers the FULL namespace, not just
         what the LRU happened to evict — the graceful-shutdown half of warm
-        restart. Filters whose on-disk checkpoint is already current are
-        skipped. Returns the number written."""
+        restart. Covers resident filters AND evictees whose background
+        spill save is still in flight (_saving — daemon threads die with
+        the process, so a mid-fetch save would otherwise be lost). Filters
+        whose on-disk checkpoint is already current are skipped. Returns
+        the number written."""
         from nle_tpu.utils.logging import logger
 
         with self._lock:
             items = [(n, f) for n, f in self._resident.items()
                      if n not in self._on_disk]
+            items += [(n, f) for n, f in self._saving.items()
+                      if n not in self._on_disk and n not in self._resident]
         written = 0
         for name, f in items:
             def current() -> bool:
                 with self._lock:
-                    return self._resident.get(name) is f
+                    return (self._resident.get(name) is f
+                            or self._saving.get(name) is f)
             try:
                 if self._device_lock is not None:
                     with self._device_lock:  # the save fetches device bufs
@@ -769,10 +797,17 @@ def make_server(port: int = 0, token: str | None = None,
             if u.path != "/filters":
                 return self._json_err(404, "not found")
             name = parse_qs(u.query).get("name", ["default"])[0]
+            t0 = time.perf_counter()
             try:
                 svc.store.delete(name)
             except KeyError as e:
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
                 return self._json_err(404, str(e))
+            except Exception as e:  # half-deleted state (disk fault, ...)
+                # must surface as a 500, not a dropped connection
+                svc.metrics.record(u.path, time.perf_counter() - t0, False)
+                return self._json_err(500, f"{type(e).__name__}: {e}")
+            svc.metrics.record(u.path, time.perf_counter() - t0, True)
             return self._reply(200, json.dumps({"deleted": name}).encode(),
                                "application/json")
 
@@ -987,10 +1022,16 @@ def main():
         # TERM landed inside zlib compress and killed the sweep).
         signal.signal(signal.SIGTERM, signal.SIG_IGN)
         signal.signal(signal.SIGINT, signal.SIG_IGN)
-        n = srv.svc.store.checkpoint_all()
-        if n:
-            print(f"nle-serve: checkpointed {n} resident filter(s) to "
-                  f"{srv.svc.store._spill_dir}", file=sys.stderr)
+        # Sweep only when checkpoints have somewhere durable to live: a
+        # configured --spill-dir, or the lazily-made temp dir that already
+        # holds this run's evictions (the printed path lets the operator
+        # restart with --spill-dir=<it>). With neither, shutdown must stay
+        # instant — each megapixel checkpoint is seconds of device fetch.
+        if srv.svc.store._spill_dir is not None:
+            n = srv.svc.store.checkpoint_all()
+            if n:
+                print(f"nle-serve: checkpointed {n} filter(s) to "
+                      f"{srv.svc.store._spill_dir}", file=sys.stderr)
 
 
 if __name__ == "__main__":

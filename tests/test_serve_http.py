@@ -651,6 +651,10 @@ def test_delete_filter(server, small_png):
         urllib.request.urlopen(urllib.request.Request(
             f"{server}/nope?name=zap", method="DELETE"), timeout=30)
     assert ei.value.code == 404
+    # DELETE traffic is metered like the POST endpoints.
+    with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+        eps = json.loads(r.read())["endpoints"]
+    assert eps["/filters"]["count"] >= 2 and eps["/filters"]["errors"] >= 1
 
 
 def test_delete_requires_auth(locked_server, small_png):
@@ -699,6 +703,22 @@ def test_checkpoint_all_then_warm_restart(tmp_path):
     assert store2.names() == ["a", "b"]
 
 
+def test_checkpoint_all_covers_inflight_eviction(tmp_path):
+    """An evictee whose background spill save has not completed (_saving)
+    is still in the namespace; graceful shutdown must checkpoint it too —
+    daemon save threads die with the process mid-write."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=8, spill_dir=str(tmp_path))
+    f = _FakeFilter()
+    # The state _pick_victims_locked leaves while the save is in flight.
+    store._saving["x"] = f
+    store._spilled.add("x")
+    assert store.checkpoint_all() == 1
+    assert _FilterStore(max_filters=8,
+                        spill_dir=str(tmp_path)).names() == ["x"]
+
+
 def test_spill_dir_warm_restart(tmp_path, monkeypatch):
     """Filters spilled by a previous server process are recovered when a
     new store points at the same --spill-dir: the URL-hostile name comes
@@ -724,9 +744,12 @@ def test_spill_dir_warm_restart(tmp_path, monkeypatch):
     with pytest.raises(KeyError):
         store2.get("b")             # resident-only in the old process
 
-    # Foreign/truncated files in the spill dir must be ignored.
+    # Foreign/truncated files in the spill dir must be ignored — including
+    # non-UTF-8 sidecars (truncated mid multi-byte char): one bad file must
+    # never prevent the server from booting.
     (tmp_path / ("f" * 40 + ".name")).write_text("mismatched")
     (tmp_path / "junk.name").write_text("x")
+    (tmp_path / ("a" * 40 + ".name")).write_bytes(b"\xff\xfe\xfd")
     store3 = serve_http._FilterStore(max_filters=2, spill_dir=str(tmp_path))
     assert store3.names() == ["scene/1?x=%00"]
 
