@@ -389,7 +389,15 @@ class _FilterStore:
                 load_filter_host,
             )
 
-            arrays = load_filter_host(self._path(name))
+            try:
+                arrays = load_filter_host(self._path(name))
+            except FileNotFoundError:
+                # A concurrent DELETE unlinked the checkpoint between the
+                # spilled-check and np.load. That is a caller-visible
+                # unknown-name condition (400), not a server fault (500):
+                # retry — the next iteration observes the deletion (gen
+                # bumped, name no longer spilled) and raises KeyError.
+                continue
             if self._device_lock is not None:
                 with self._device_lock:
                     loaded = NLEFilter(trained=filter_from_host(arrays))
@@ -437,7 +445,12 @@ class _FilterStore:
             self._saving.pop(name, None)   # invalidates a pending save
             self._spilled.discard(name)
             self._on_disk.discard(name)
-            self._gen[name] = self._gen.get(name, 0) + 1
+            self._gen[name] = gen = self._gen.get(name, 0) + 1
+        if self._spill_dir is None:
+            # Nothing can be on disk, and _path() would lazily mkdtemp a
+            # spill dir as a side effect — which also flips the shutdown
+            # sweep from instant exit to a checkpoint pass. Skip entirely.
+            return
         path = self._path(name)
         # Unlink INSIDE the device lock: every checkpoint writer
         # (_save_victims, checkpoint_all) writes while holding it and
@@ -449,6 +462,20 @@ class _FilterStore:
         lock = (self._device_lock if self._device_lock is not None
                 else contextlib.nullcontext())
         with lock:
+            with self._lock:
+                # The device lock is not FIFO: while this delete waited, a
+                # /train of the SAME name (plus an eviction) may have slipped
+                # in and written the NEW filter's checkpoint. Unlinking now
+                # would permanently lose the re-trained filter (its state
+                # says spilled/on-disk but the file is gone). Any sign of
+                # re-creation — a gen bump past ours or live store state —
+                # means the files now belong to the newer filter: leave them.
+                recreated = (self._gen.get(name, 0) != gen
+                             or name in self._resident
+                             or name in self._saving
+                             or name in self._spilled)
+            if recreated:
+                return
             for p in (path, self._sidecar(path)):
                 try:
                     os.unlink(p)
@@ -792,8 +819,22 @@ def make_server(port: int = 0, token: str | None = None,
 
         def do_DELETE(self):
             u = urlparse(self.path)
-            if not self._check_auth(0):
+            # DELETE bodies are never used, but a client MAY send one: the
+            # bytes must be consumed (or the connection closed) or the next
+            # request parse on this keep-alive connection desyncs — body
+            # bytes get interpreted as a request line.
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                n = -1
+            if n < 0:
+                svc.metrics.reject()
+                self.close_connection = True
+                return self._json_err(400, "bad Content-Length header")
+            if not self._check_auth(n):
                 return
+            if n:
+                self._drain_body(n)  # bounded; closes past the cap
             if u.path != "/filters":
                 return self._json_err(404, "not found")
             name = parse_qs(u.query).get("name", ["default"])[0]

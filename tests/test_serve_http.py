@@ -688,6 +688,125 @@ def test_delete_removes_spilled_checkpoint(tmp_path):
                         spill_dir=str(tmp_path)).names() == []
 
 
+def test_delete_without_spill_dir_stays_dirless(small_png):
+    """delete() on a store that never spilled must not lazily mkdtemp a
+    spill directory (which would also flip the shutdown sweep from instant
+    exit to a checkpoint pass)."""
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=8, spill_dir=None)
+    store.put("a", _FakeFilter())
+    store.delete("a")
+    assert store._spill_dir is None
+    assert store.names() == []
+
+
+def test_delete_racing_retrain_keeps_new_checkpoint(tmp_path):
+    """A /train of the same name that slips in while delete() waits for the
+    device lock must win: delete re-checks for re-creation before unlinking,
+    so the NEW filter's checkpoint survives (previously it was unlinked and
+    the re-trained filter was permanently lost)."""
+    import threading
+
+    from nle_tpu.serving.http import _FilterStore
+
+    fired = []
+
+    class HookLock:
+        """Device lock that runs a one-shot hook when delete() tries to
+        acquire it — emulating the non-FIFO window where a re-train +
+        checkpoint write slips in ahead of the waiting delete."""
+
+        def __init__(self):
+            self._l = threading.RLock()
+            self.hook = None
+
+        def __enter__(self):
+            if self.hook is not None and not fired:
+                fired.append(1)
+                self.hook()
+            self._l.acquire()
+            return self
+
+        def __exit__(self, *a):
+            self._l.release()
+
+        # _FilterStore treats the device lock as a context manager only.
+
+    lock = HookLock()
+    store = _FilterStore(max_filters=8, spill_dir=str(tmp_path),
+                         device_lock=lock)
+    old, new = _FakeFilter(), _FakeFilter()
+    store.put("x", old)
+    store.checkpoint_all()          # old checkpoint on disk
+
+    def retrain():
+        store.put("x", new)
+        store.checkpoint_all()      # new checkpoint written before unlink
+
+    lock.hook = retrain
+    store.delete("x")               # hook fires while waiting for the lock
+    assert fired
+    # The re-created filter and its checkpoint must both survive.
+    assert store.get("x") is new
+    npz = tmp_path / (store._stem("x") + ".npz")
+    assert npz.exists()
+    assert _FilterStore(max_filters=8,
+                        spill_dir=str(tmp_path)).names() == ["x"]
+
+
+def test_reload_racing_delete_raises_keyerror(tmp_path, monkeypatch):
+    """A cold reload whose checkpoint is unlinked by a concurrent DELETE
+    between the spilled-check and np.load must surface as KeyError (HTTP
+    400 unknown-name), not FileNotFoundError (500)."""
+    from nle_tpu.models import filter as filter_mod
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=1, spill_dir=str(tmp_path))
+    store.put("a", _FakeFilter())
+    store.put("b", _FakeFilter())   # spills "a" to disk
+    real_load = filter_mod.load_filter_host
+
+    def load_after_delete(path):
+        store.delete("a")           # unlinks the npz first
+        return real_load(path)
+
+    monkeypatch.setattr(filter_mod, "load_filter_host", load_after_delete)
+    with pytest.raises(KeyError):
+        store.get("a")
+
+
+def test_delete_with_body_keeps_connection_in_sync(server, small_png):
+    """A DELETE carrying a body on a keep-alive connection must not desync
+    the next request on that connection (body bytes must be drained, or the
+    connection closed — never parsed as the next request line)."""
+    import http.client
+
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    with _post(f"{server}/train?name=db&{cfg}", png) as r:
+        r.read()
+    host, port = server.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        body = b"GET /healthz HTTP/1.1\r\n\r\n" * 4  # hostile: looks like a request
+        conn.request("DELETE", "/filters?name=db", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["deleted"] == "db"
+        # Second request on the same connection parses cleanly (the server
+        # may have closed the connection after draining — also in-sync).
+        try:
+            conn.request("GET", "/healthz")
+            resp2 = conn.getresponse()
+            assert resp2.status == 200
+            assert json.loads(resp2.read())["ok"]
+        except (http.client.HTTPException, OSError):
+            pass  # clean close is an acceptable way to stay in sync
+    finally:
+        conn.close()
+
+
 def test_checkpoint_all_then_warm_restart(tmp_path):
     """Graceful shutdown writes every RESIDENT filter (not just LRU
     evictions); a restarted store on the same dir recovers the full
