@@ -75,6 +75,18 @@ class FactoredFilter:
     def n_pixels(self) -> int:
         return self.nrows * self.ncols
 
+    def nbytes(self) -> int:
+        """Accounted host+device residency (serving byte-budget unit).
+        Includes the lazily-built `_dev` feature uploads (rr, cc, y_train
+        as f32 — 12 B/pixel of HBM) whether or not they are built yet: the
+        first apply builds them, so budgeting on the pre-build size would
+        under-account every filter that actually serves traffic."""
+        n = self.y_train.nbytes + self.perm.nbytes
+        for a in (self.c, self.v_head, self.w, self.eigvals):
+            n += a.size * np.dtype(a.dtype).itemsize
+        n += 3 * self.n_pixels * 4   # _dev: rr, cc, y as f32
+        return int(n)
+
     def _apply_packed(self, y_packed: jax.Array, f_eigvals) -> jax.Array:
         rr, cc, y_train = _device_state(self)
         p = self.v_head.shape[0]

@@ -50,6 +50,24 @@ class TrainedFilter:
     def n_pixels(self) -> int:
         return self.nrows * self.ncols
 
+    def nbytes(self) -> int:
+        """Accounted host+device residency of this filter (the serving
+        store's byte-budget unit): the (N, k) eigvecs dominate at
+        4k B/pixel; perm (host int64) and the training-channel transfer
+        cache follow. Filters vary ~1000x in size (a 0.1 MP k=10 filter is
+        ~4 MB; a 5 MP k=50 one ~1 GB), so a count-based residency bound
+        alone cannot protect HBM."""
+        n = 0
+        for a in (self.eigvecs, self.eigvals):
+            n += a.size * np.dtype(a.dtype).itemsize
+        if self.perm is not None:
+            n += self.perm.nbytes
+        if self.y_cache is not None:
+            packed_np, y_dev = self.y_cache
+            n += packed_np.nbytes
+            n += y_dev.size * np.dtype(y_dev.dtype).itemsize
+        return int(n)
+
     def eigvecs_pixel_order(self) -> np.ndarray:
         """Eigenvectors with rows in flat pixel order (host array)."""
         V = fetch(self.eigvecs)

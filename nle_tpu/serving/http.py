@@ -31,10 +31,14 @@ Hardening:
     before any decode work;
   - --token=SECRET (or NLE_SERVE_TOKEN) requires `Authorization: Bearer
     SECRET` on every POST (GET /healthz & /metrics stay open — probes);
-  - named filters live in a bounded LRU (--max-filters, default 8); evicted
-    filters SPILL to disk (TrainedFilter/FactoredFilter.save) and reload
+  - named filters live in a bounded LRU; residency is bounded by BYTES
+    (--max-filter-bytes, default 4 GiB — each filter's host+device bytes
+    are accounted via TrainedFilter/FactoredFilter.nbytes; filters vary
+    ~1000x in size, so a count bound alone could OOM the chip) with
+    --max-filters (default 8) as a secondary count cap; evicted filters
+    SPILL to disk (TrainedFilter/FactoredFilter.save) and reload
     transparently on the next /apply — eviction degrades to a cold load,
-    never to a 404.
+    never to a 404. /metrics reports resident_bytes and evictions.
 
 Device work is serialized with a lock (one chip); decoding/encoding and the
 HTTP plumbing run on the request threads (PNG encode happens OUTSIDE the
@@ -66,6 +70,7 @@ from nle_tpu.utils.imageio import imencode_png as _encode_png
 
 DEFAULT_MAX_BYTES = 64 << 20
 DEFAULT_MAX_FILTERS = 8
+DEFAULT_MAX_FILTER_BYTES = 4 << 30   # resident-filter byte budget (HBM+host)
 _DRAIN_CAP = 8 << 20   # politeness-drain bound for rejected requests
 
 
@@ -167,8 +172,15 @@ class _FilterStore:
 
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
                  spill_dir: str | None = None,
-                 device_lock=None):
+                 device_lock=None,
+                 max_bytes: int = DEFAULT_MAX_FILTER_BYTES):
         self.max_filters = max(1, int(max_filters))
+        # Byte budget over resident filters (host+device, via the filters'
+        # own nbytes accounting). Filters vary ~1000x in size — a 5 MP k=50
+        # TrainedFilter is ~1 GB of HBM — so the count bound alone can OOM
+        # the 16 GB chip with 8 large filters; bytes are the real resource.
+        # The count cap stays as a secondary bound (namespace hygiene).
+        self.max_bytes = max(1, int(max_bytes))
         self._spill_dir = spill_dir
         self._lock = threading.Lock()
         # Spill saves fetch device buffers: serialize them with the
@@ -176,6 +188,10 @@ class _FilterStore:
         # another request's training/apply on the one chip.
         self._device_lock = device_lock
         self._resident: OrderedDict[str, object] = OrderedDict()
+        # Accounted bytes per resident name (filter.nbytes() at insert) and
+        # a lifetime eviction counter — both surfaced via /metrics.
+        self._bytes: dict[str, int] = {}
+        self.evictions = 0
         # Per-name train generation, bumped by put(): a cold reload that
         # straddled a re-train must detect it (the checkpoint it np.load-ed
         # may predate the re-train) and retry instead of installing a
@@ -244,12 +260,32 @@ class _FilterStore:
                     and os.path.exists(os.path.join(d, stem + ".npz"))):
                 self._spilled.add(name)
 
+    @staticmethod
+    def _account(f) -> int:
+        """Host+device bytes a stored filter pins (TrainedFilter /
+        FactoredFilter nbytes; 0 for objects without accounting)."""
+        fn = getattr(getattr(f, "trained", None), "nbytes", None)
+        try:
+            return int(fn()) if callable(fn) else 0
+        except Exception:
+            return 0
+
+    def _resident_bytes_locked(self) -> int:
+        return sum(self._bytes.values())
+
     def _pick_victims_locked(self) -> list:
-        """Pop LRU filters past capacity; mark them spilled and (when the
-        checkpoint is stale) queue them for an out-of-lock save."""
+        """Pop LRU filters past capacity — by COUNT (max_filters) or by
+        BYTES (max_bytes) — mark them spilled and (when the checkpoint is
+        stale) queue them for an out-of-lock save. The newest filter is
+        never evicted even when it alone exceeds the byte budget (it must
+        stay servable; the budget then holds as soon as it has company)."""
         victims = []
-        while len(self._resident) > self.max_filters:
+        while len(self._resident) > 1 and (
+                len(self._resident) > self.max_filters
+                or self._resident_bytes_locked() > self.max_bytes):
             name, f = self._resident.popitem(last=False)
+            self._bytes.pop(name, None)
+            self.evictions += 1
             if name not in self._on_disk:
                 self._saving[name] = f
                 victims.append((name, f))
@@ -334,6 +370,7 @@ class _FilterStore:
                             # Keep the filter alive (over capacity) instead
                             # of losing it to a failed checkpoint write.
                             self._resident[name] = f
+                            self._bytes[name] = self._account(f)
                             self._resident.move_to_end(name)
                             self._spilled.discard(name)
                 logger.warning(
@@ -346,8 +383,10 @@ class _FilterStore:
                     self._on_disk.add(name)
 
     def put(self, name: str, f) -> None:
+        nb = self._account(f)   # outside the lock: touches device metadata
         with self._lock:
             self._resident[name] = f
+            self._bytes[name] = nb
             self._resident.move_to_end(name)
             self._gen[name] = self._gen.get(name, 0) + 1
             self._spilled.discard(name)
@@ -422,6 +461,7 @@ class _FilterStore:
                 # The checkpoint on disk stays valid for this reloaded copy.
                 self._on_disk.add(name)
                 self._resident[name] = loaded
+                self._bytes[name] = self._account(loaded)
                 victims = self._pick_victims_locked()
             self._save_victims(victims)
             return loaded
@@ -442,6 +482,7 @@ class _FilterStore:
                     f"no trained filter named {name!r} "
                     f"(have: {self._names_locked()})")
             self._resident.pop(name, None)
+            self._bytes.pop(name, None)
             self._saving.pop(name, None)   # invalidates a pending save
             self._spilled.discard(name)
             self._on_disk.discard(name)
@@ -538,7 +579,10 @@ class _FilterStore:
     def stats(self) -> dict:
         with self._lock:
             return {"resident": len(self._resident),
-                    "spilled": len(self._spilled)}
+                    "spilled": len(self._spilled),
+                    "resident_bytes": self._resident_bytes_locked(),
+                    "max_bytes": self.max_bytes,
+                    "evictions": self.evictions}
 
 
 class _Metrics:
@@ -601,9 +645,12 @@ class _Service:
     enhance trainings coalesce into pipelined batches."""
 
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
-                 spill_dir: str | None = None):
+                 spill_dir: str | None = None,
+                 max_filter_bytes: int = DEFAULT_MAX_FILTER_BYTES):
         self.lock = threading.Lock()
-        self.store = _FilterStore(max_filters, spill_dir, device_lock=self.lock)
+        self.store = _FilterStore(max_filters, spill_dir,
+                                  device_lock=self.lock,
+                                  max_bytes=max_filter_bytes)
         self.metrics = _Metrics()
         self.trainer = _CoalescingTrainer(self.lock, self.metrics)
 
@@ -745,11 +792,14 @@ def make_server(port: int = 0, token: str | None = None,
                 max_bytes: int = DEFAULT_MAX_BYTES,
                 max_filters: int = DEFAULT_MAX_FILTERS,
                 spill_dir: str | None = None,
-                access_log=None) -> ThreadingHTTPServer:
+                access_log=None,
+                max_filter_bytes: int = DEFAULT_MAX_FILTER_BYTES,
+                ) -> ThreadingHTTPServer:
     """access_log: None (off), or a write()-able stream that receives one
     JSON line per request: ts, client, method, path, status, ms, bytes_in,
     bytes_out (structured access logging for the serving subsystem)."""
-    svc = _Service(max_filters=max_filters, spill_dir=spill_dir)
+    svc = _Service(max_filters=max_filters, spill_dir=spill_dir,
+                   max_filter_bytes=max_filter_bytes)
     token = token if token is not None else os.environ.get("NLE_SERVE_TOKEN")
     log_lock = threading.Lock()
 
@@ -995,6 +1045,8 @@ def main():
     max_bytes = int(os.environ.get("NLE_SERVE_MAX_BYTES", DEFAULT_MAX_BYTES))
     max_filters = int(os.environ.get("NLE_SERVE_MAX_FILTERS",
                                      DEFAULT_MAX_FILTERS))
+    max_filter_bytes = int(os.environ.get("NLE_SERVE_MAX_FILTER_BYTES",
+                                          DEFAULT_MAX_FILTER_BYTES))
     spill_dir = None
     access_log_path = None
     for a in sys.argv[1:]:
@@ -1010,6 +1062,8 @@ def main():
             max_bytes = int(a.split("=", 1)[1])
         elif a.startswith("--max-filters="):
             max_filters = int(a.split("=", 1)[1])
+        elif a.startswith("--max-filter-bytes="):
+            max_filter_bytes = int(a.split("=", 1)[1])
         elif a.startswith("--spill-dir="):
             spill_dir = a.split("=", 1)[1]
         elif a.startswith("--access-log="):
@@ -1019,7 +1073,8 @@ def main():
             # start an UNAUTHENTICATED server. Fail loudly instead.
             print(f"nle-serve: unknown argument {a!r}\n"
                   "usage: nle-serve [--port=N] [--token=SECRET] "
-                  "[--max-bytes=N] [--max-filters=N] [--spill-dir=DIR] "
+                  "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
+                  "[--spill-dir=DIR] "
                   "[--access-log=PATH|-] [--platform=NAME] [--selftest]",
                   file=sys.stderr)
             sys.exit(2)
@@ -1039,7 +1094,8 @@ def main():
                   if access_log_path else None)
     srv = make_server(port, token=token, max_bytes=max_bytes,
                       max_filters=max_filters, spill_dir=spill_dir,
-                      access_log=access_log)
+                      access_log=access_log,
+                      max_filter_bytes=max_filter_bytes)
     print(f"nle-tpu edit service on http://127.0.0.1:{port} "
           "(POST /enhance /denoise /train /apply, GET /healthz /metrics, "
           "DELETE /filters?name=)", flush=True)

@@ -213,7 +213,8 @@ def test_lru_eviction_spills_and_reloads(locked_server, small_png):
         r.read()
     with urllib.request.urlopen(f"{locked_server}/metrics", timeout=10) as r:
         m = json.loads(r.read())["filters"]
-    assert m == {"resident": 2, "spilled": 1}
+    assert (m["resident"], m["spilled"]) == (2, 1)
+    assert m["evictions"] >= 1 and m["resident_bytes"] > 0
     # All three names remain applicable; f2 (the spilled LRU victim)
     # reloads from disk — same filter, same bytes (all three were trained
     # on identical input/params).
@@ -686,6 +687,112 @@ def test_delete_removes_spilled_checkpoint(tmp_path):
     assert not list(tmp_path.glob("*"))  # a's npz + sidecar both gone
     assert _FilterStore(max_filters=1,
                         spill_dir=str(tmp_path)).names() == []
+
+
+class _SizedTrained(_FakeTrained):
+    def __init__(self, nb):
+        super().__init__(False)
+        self._nb = nb
+
+    def nbytes(self):
+        return self._nb
+
+
+class _SizedFilter:
+    def __init__(self, nb):
+        self.trained = _SizedTrained(nb)
+
+
+def test_byte_budget_evicts_by_bytes(tmp_path):
+    """Residency is bounded by accounted BYTES, not just count: 3 large
+    filters blow a budget that holds 25 small ones, and eviction keeps the
+    store under budget while every name stays servable via spill."""
+    from nle_tpu.serving.http import _FilterStore
+
+    budget = 100 << 20
+    small, large = 4 << 20, 40 << 20    # ~0.1 MP k=10 vs multi-MP filters
+    store = _FilterStore(max_filters=100, spill_dir=str(tmp_path),
+                         max_bytes=budget)
+    sizes = {}
+    for i in range(30):
+        nb = large if i % 3 == 0 else small
+        sizes[f"f{i}"] = nb
+        store.put(f"f{i}", _SizedFilter(nb))
+        st = store.stats()
+        assert st["resident_bytes"] <= budget, (i, st)
+    st = store.stats()
+    assert st["evictions"] > 0
+    assert st["resident"] + st["spilled"] == 30   # nothing lost
+    assert sorted(store.names()) == sorted(sizes)
+    # Count cap still applies as a secondary bound.
+    store2 = _FilterStore(max_filters=2, spill_dir=str(tmp_path / "s2"),
+                          max_bytes=budget)
+    for i in range(5):
+        store2.put(f"g{i}", _SizedFilter(small))
+    assert store2.stats()["resident"] == 2
+
+
+def test_byte_budget_all_names_stay_servable(tmp_path, monkeypatch):
+    """After byte-budget evictions, get() on an evicted name reloads it
+    (spill makes the budget bound capacity, not the namespace)."""
+    from nle_tpu.models import filter as filter_mod
+    from nle_tpu.serving.http import _FilterStore
+
+    store = _FilterStore(max_filters=100, spill_dir=str(tmp_path),
+                         max_bytes=10 << 20)
+    for i in range(4):
+        store.put(f"f{i}", _SizedFilter(6 << 20))   # each pair over budget
+    assert store.stats()["resident"] == 1
+    monkeypatch.setattr(filter_mod, "load_filter_host", lambda path: {})
+    monkeypatch.setattr(
+        filter_mod, "filter_from_host",
+        lambda arrays: _SizedTrained(6 << 20))
+    for i in range(4):
+        assert store.get(f"f{i}") is not None
+        # Reloads re-enter the byte accounting and re-evict.
+        assert store.stats()["resident_bytes"] <= 10 << 20
+
+
+def test_metrics_report_resident_bytes(server, small_png):
+    """Real trained filters report nonzero accounted bytes in /metrics."""
+    _, png = small_png
+    cfg = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+    with _post(f"{server}/train?name=bytes1&{cfg}", png) as r:
+        r.read()
+    with urllib.request.urlopen(f"{server}/metrics", timeout=10) as r:
+        filters = json.loads(r.read())["filters"]
+    # 40x50 px, k=3: eigvecs 2000*3*4 B + perm 2000*8 B + caches — small
+    # but decidedly nonzero and below 1 MB.
+    assert 0 < filters["resident_bytes"] < (1 << 20) * filters["resident"]
+    assert "evictions" in filters and "max_bytes" in filters
+
+
+def test_trained_filter_nbytes_accounting():
+    """nbytes() covers the eigvecs + perm + transfer cache (TrainedFilter)
+    and the factored pieces incl. the lazy _dev uploads (FactoredFilter)."""
+    import jax.numpy as jnp
+
+    from nle_tpu.models.factored import FactoredFilter
+    from nle_tpu.models.filter import TrainedFilter
+
+    n, k, p = 1000, 5, 16
+    t = TrainedFilter(
+        eigvecs=jnp.zeros((n, k), jnp.float32),
+        eigvals=jnp.zeros((k,), jnp.float32),
+        nrows=25, ncols=40, perm=np.arange(n))
+    base = n * k * 4 + k * 4 + n * 8
+    assert t.nbytes() == base
+    t.y_cache = (np.zeros(n, np.uint8), jnp.zeros(n, jnp.uint8))
+    assert t.nbytes() == base + 2 * n
+
+    f = FactoredFilter(
+        y_train=np.zeros(n, np.uint8), c=jnp.zeros(n, jnp.float32),
+        v_head=jnp.zeros((p, k), jnp.float32),
+        w=jnp.zeros((p, k), jnp.float32),
+        eigvals=jnp.zeros((k,), jnp.float32), nrows=25, ncols=40,
+        hx=10.0, hy=10.0, perm=np.arange(n))
+    expect = n + n * 8 + n * 4 + 2 * p * k * 4 + k * 4 + 3 * n * 4
+    assert f.nbytes() == expect
 
 
 def test_delete_without_spill_dir_stays_dirless(small_png):
