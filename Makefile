@@ -15,6 +15,10 @@ golden-tpu:
 bench:
 	python bench.py
 
+# Per-round two-mode artifact (single + stream, each line mode-labeled).
+bench-modes:
+	python tools/bench_both_modes.py
+
 install:
 	pip install -e . --no-deps --no-build-isolation
 

@@ -606,15 +606,26 @@ class _Metrics:
             self.train_batches += 1
             self.batched_filters += n_filters
 
+    # Per-endpoint latency reservoir: the last _LAT_WINDOW samples (ring
+    # buffer) back the P50/P99 quantiles in the snapshot — a sliding
+    # window, not lifetime, so the quantiles track CURRENT behavior
+    # (a warm server is not forever haunted by its compile-time P99).
+    _LAT_WINDOW = 1024
+
     def record(self, endpoint: str, seconds: float, ok: bool,
                trains: int = 0, edits: int = 0):
         with self._lock:
             e = self.endpoints.setdefault(
                 endpoint, {"count": 0, "errors": 0, "total_sec": 0.0,
-                           "last_sec": 0.0})
+                           "last_sec": 0.0, "_lat": []})
             e["count"] += 1
             e["total_sec"] += seconds
             e["last_sec"] = seconds
+            lat = e["_lat"]
+            if len(lat) < self._LAT_WINDOW:
+                lat.append(seconds)
+            else:
+                lat[e["count"] % self._LAT_WINDOW] = seconds
             if not ok:
                 e["errors"] += 1
                 self.errors += 1
@@ -625,14 +636,26 @@ class _Metrics:
         with self._lock:
             self.rejected += 1
 
+    @staticmethod
+    def _quantile(sorted_lat: list, q: float) -> float:
+        # Nearest-rank on the sorted window (no interpolation: with a few
+        # samples P99 = the worst observed, which is the honest answer).
+        i = min(len(sorted_lat) - 1, int(q * len(sorted_lat)))
+        return sorted_lat[i]
+
     def snapshot(self) -> dict:
         with self._lock:
-            eps = {
-                k: {**v, "total_sec": round(v["total_sec"], 3),
+            eps = {}
+            for k, v in self.endpoints.items():
+                lat = sorted(v["_lat"])
+                eps[k] = {
+                    **{kk: vv for kk, vv in v.items() if kk != "_lat"},
+                    "total_sec": round(v["total_sec"], 3),
                     "last_sec": round(v["last_sec"], 3),
-                    "mean_sec": round(v["total_sec"] / max(1, v["count"]), 3)}
-                for k, v in self.endpoints.items()
-            }
+                    "mean_sec": round(v["total_sec"] / max(1, v["count"]), 3),
+                    "p50_sec": round(self._quantile(lat, 0.50), 3),
+                    "p99_sec": round(self._quantile(lat, 0.99), 3),
+                }
             return {"trains": self.trains, "edits": self.edits,
                     "train_batches": self.train_batches,
                     "batched_filters": self.batched_filters,

@@ -147,7 +147,24 @@ def test_metrics_endpoint(server, small_png):
     assert m["trains"] >= 1 and m["edits"] >= 1
     e = m["endpoints"]["/enhance"]
     assert e["count"] >= 1 and e["last_sec"] > 0 and "mean_sec" in e
+    # Latency quantiles over the sliding sample window.
+    assert 0 < e["p50_sec"] <= e["p99_sec"]
+    assert "_lat" not in e   # the raw reservoir never leaks into the JSON
     assert "resident" in m["filters"]
+
+
+def test_metrics_quantiles_window():
+    """P50/P99 come from a nearest-rank sliding window: skewed tails show
+    in P99 but not P50, and the ring buffer stays bounded."""
+    from nle_tpu.serving.http import _Metrics
+
+    m = _Metrics()
+    for i in range(2000):
+        m.record("/x", 0.001 if i % 100 else 5.0, True)
+    snap = m.snapshot()["endpoints"]["/x"]
+    assert snap["p50_sec"] == 0.001
+    assert snap["p99_sec"] == 5.0
+    assert len(m.endpoints["/x"]["_lat"]) <= m._LAT_WINDOW
 
 
 @pytest.fixture()
