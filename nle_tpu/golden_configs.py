@@ -54,9 +54,11 @@ DENOISE_GOLDEN = os.path.join(
 # Extended historical recipes from the reference's data/links.md:4-52 —
 # `./nonlocal <in> <out> nr nc hx hy iters k w...` invocations covering
 # bandwidth regimes the README table misses. Only recipes whose input
-# ships in data/ are kept. There are no golden outputs for these, so the
-# opt-in breadth test checks self-consistency (f32 vs f64 pipeline
-# agreement) rather than PSNR vs a shipped file.
+# ships in data/ are kept. The reference ships no golden outputs for
+# these, so the f64 oracle pipeline's outputs are CACHED ONCE under
+# tools/golden_cache/ (committed) and the opt-in breadth test gates the
+# f32 pipeline against them by PSNR — a stored regression anchor, cheaper
+# and stronger than re-deriving the f64 result per run.
 EXTENDED_RECIPES = [
     # name, input, (nr, nc, hx, hy, iters, k), weights   (links.md line)
     ("beach-clouds", "beach-clouds-15.bmp",
@@ -70,6 +72,34 @@ EXTENDED_RECIPES = [
     ("brickwall-links", "brickwall-20.bmp",
      (10, 20, 3000, 25, 10, 20), [2, 3, 3, 1.04]),       # links.md:36
 ]
+
+
+GOLDEN_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "golden_cache")
+
+
+def extended_golden_path(name: str) -> str:
+    """Cached f64-oracle output for a links.md recipe (committed)."""
+    return os.path.join(GOLDEN_CACHE_DIR, f"{name}-f64.png")
+
+
+def generate_extended_goldens() -> None:
+    """Ensure every extended recipe's f64 oracle golden exists (generated
+    in a subprocess by tools/golden_sweep.py --extended-golden-only; pure
+    numpy f64, minutes). No-op when all files are present (they are
+    committed)."""
+    if all(os.path.exists(extended_golden_path(c[0]))
+           for c in EXTENDED_RECIPES):
+        return
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "golden_sweep.py"),
+         "--extended-golden-only"],
+        check=True, cwd=root)
 
 
 def generate_denoise_golden() -> str:

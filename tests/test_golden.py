@@ -1,9 +1,12 @@
 """Golden-image regression against the reference's shipped outputs
 (BASELINE.md; reference README.md:72-84).
 
-The default run checks the smallest config; NLE_RUN_FULL_GOLDEN=1 enforces
-the FULL invariant — all 10 README enhance configs >= 45 dB PLUS the
-end-to-end denoise gate (several minutes on CPU). Config table is shared
+The default run checks the 3 cheapest enhance configs (flower, bird,
+paper — ~35 s, spanning small/medium grids and k=10..30) PLUS the
+end-to-end denoise gate, so a fidelity regression fails an ordinary
+`pytest tests/ -q` run, not just the opt-in full sweep;
+NLE_RUN_FULL_GOLDEN=1 enforces the FULL invariant — all 10 README
+enhance configs >= 45 dB (several minutes on CPU). Config table is shared
 with tools/golden_sweep.py via nle_tpu.golden_configs so the gate and the
 committed snapshot (GOLDEN_TPU.jsonl) cannot drift.
 """
@@ -26,8 +29,12 @@ cv2 = pytest.importorskip("cv2")
 FULL = os.environ.get("NLE_RUN_FULL_GOLDEN") == "1"
 EXTENDED = os.environ.get("NLE_RUN_EXTENDED_GOLDEN") == "1"
 
-# Default (fast) mode: the smallest config only. FULL: the whole table.
-_SELECTED = ENHANCE_CONFIGS if FULL else [ENHANCE_CONFIGS[0]]
+# Default (fast) mode: the cheapest three configs (~35 s together,
+# covering 10x20 through 20x20 grids and k = 10/20/30). FULL: the whole
+# table.
+_DEFAULT_IDS = ("flower", "bird", "paper")
+_SELECTED = (ENHANCE_CONFIGS if FULL
+             else [c for c in ENHANCE_CONFIGS if c[0] in _DEFAULT_IDS])
 
 
 @pytest.mark.parametrize(
@@ -47,10 +54,10 @@ def test_golden_psnr_gate(inp, goldf, params, weights):
     assert psnr >= 45.0, f"{inp}: {psnr:.2f} dB < 45 dB gate"
 
 
-@pytest.mark.skipif(not FULL, reason="NLE_RUN_FULL_GOLDEN=1 only")
 def test_golden_denoise_gate():
     """End-to-end denoise vs our own f64 golden (the reference ships no
-    denoised output — reference README.md:27)."""
+    denoised output — reference README.md:27). Default-suite: ~2 s (taj
+    is 300x300) and the only default coverage of the denoise chain."""
     from nle_tpu.golden_configs import generate_denoise_golden
     from nle_tpu.models.filter import NLEFilter
 
@@ -68,22 +75,30 @@ def test_golden_denoise_gate():
 
 @pytest.mark.skipif(not EXTENDED, reason="NLE_RUN_EXTENDED_GOLDEN=1 only")
 @pytest.mark.parametrize(
-    "inp,params,weights",
-    [(c[1], c[2], c[3]) for c in EXTENDED_RECIPES],
+    "name,inp,params,weights",
+    [(c[0], c[1], c[2], c[3]) for c in EXTENDED_RECIPES],
     ids=[c[0] for c in EXTENDED_RECIPES],
 )
-def test_extended_recipe_selfconsistency(inp, params, weights):
-    """links.md historical recipes (no shipped goldens): the f32 pipeline
-    must agree with the f64 oracle pipeline on the final u8 image."""
+def test_extended_recipe_golden_gate(name, inp, params, weights):
+    """links.md historical recipes: f32 pipeline vs the CACHED f64 oracle
+    goldens (tools/golden_cache/, committed) — a stored regression anchor
+    rather than per-run f32-vs-f64 self-consistency (VERDICT r2 weak#4).
+    Regenerating a missing golden costs minutes of numpy f64 once."""
     import numpy as np
 
+    from nle_tpu.golden_configs import (
+        extended_golden_path,
+        generate_extended_goldens,
+    )
     from nle_tpu.models.filter import NLEFilter
 
+    generate_extended_goldens()
     img = cv2.imread(os.path.join(DATA_DIR, inp))
+    gold = cv2.imread(extended_golden_path(name))
+    assert gold is not None
     f = NLEFilter()
     f.train_for_enhancement(img, *params)
     out = f.enhance(img, weights)
-    ref = O.enhance_image(img, *params, weights)
-    psnr = O.psnr(out, ref)
+    psnr = O.psnr(out, gold)
     assert out.shape == img.shape and out.dtype == np.uint8
-    assert psnr >= 45.0, f"{inp}: f32-vs-f64 {psnr:.2f} dB < 45 dB"
+    assert psnr >= 45.0, f"{inp}: {psnr:.2f} dB < 45 dB vs cached f64"

@@ -196,3 +196,79 @@ def test_sharded_factored_stores_u8_pack_and_caches_apply_state(batch):
     # And the sharded apply agrees with the filter's own single-chip apply.
     ref = flts[0].apply(batch[0], fS)
     assert np.abs(out1 - ref).max() < 0.05
+
+
+# ---- ICI scaling invariants (compiled-program analysis, VERDICT r2 #5) ----
+#
+# The capacity/scaling story claims per-shard memory is O(nb_local) and all
+# cross-shard traffic is m-sized. Correctness tests alone cannot catch a
+# regression that re-materializes an N-sized replicated buffer inside the
+# shard_map body (results would still match); these tests inspect the
+# COMPILED program instead: XLA's memory analysis at n_pixel in {2, 8} and
+# the all-reduce operand shapes in the optimized HLO.
+
+def _compiled_2a(n_pixel: int, streaming: bool, mb: int, nb_pad: int):
+    from nle_tpu.parallel.sharded import (
+        _sharded_2a_step,
+        _sharded_2a_step_streaming,
+    )
+
+    p = mb
+    mesh = make_mesh(1, n_pixel)
+    if streaming:
+        step = _sharded_2a_step_streaming(mesh, p, mb, 3, 1e-10, True)
+    else:
+        step = _sharded_2a_step(mesh, p, mb, 3, 1e-10, False)
+    args = (
+        jnp.zeros((1, p, mb)), jnp.zeros((1, mb)), jnp.zeros((1, p, mb)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, p, 3)),
+        jnp.zeros((1, nb_pad, 3)), jnp.zeros((1, nb_pad)),
+        jnp.float32(1.0), jnp.float32(1.0),
+    )
+    return step.lower(*args).compile()
+
+
+# Probe sizes: large enough that the O(nb_local) term dominates each
+# path's fixed overhead (dense materializes phi (nb_local, mb) so it
+# needs the bigger nb; the streaming path's interpret-mode temps dwarf
+# its constants already at 8k pixels and 16 ranks).
+_PROBES = {False: (64, 1 << 16), True: (16, 1 << 13)}
+
+
+@pytest.mark.parametrize("streaming", [False, True], ids=["dense", "stream"])
+def test_sharded_per_shard_memory_scales_inverse_in_pixel_axis(streaming):
+    """Per-device temp memory of the 2a trainer must shrink ~1/n_pixel:
+    going 2 -> 8 shards divides the N-sized working set by ~4. A replicated
+    N-sized buffer sneaking into the body would pin the ratio near 1."""
+    mb, nb_pad = _PROBES[streaming]
+    t2 = _compiled_2a(2, streaming, mb, nb_pad) \
+        .memory_analysis().temp_size_in_bytes
+    t8 = _compiled_2a(8, streaming, mb, nb_pad) \
+        .memory_analysis().temp_size_in_bytes
+    ratio = t2 / max(1, t8)
+    assert ratio > 2.5, (t2, t8, ratio)
+
+
+@pytest.mark.parametrize("streaming", [False, True], ids=["dense", "stream"])
+def test_sharded_collective_payloads_are_m_sized(streaming):
+    """Every cross-shard all-reduce in the compiled 2a program carries at
+    most O(mb^2) elements (the Sb gram) — never an N-sized payload. A
+    regression that psums a pixel-sized buffer across ICI fails here."""
+    import re
+
+    mb, nb_pad = _PROBES[streaming]
+    compiled = _compiled_2a(8, streaming, mb, nb_pad)
+    nb_local = nb_pad // 8
+    shapes = []
+    for line in compiled.as_text().splitlines():
+        m = re.search(r"=\s+\S*?\[([\d,]*)\][^=]*?\ball-reduce(?:-start)?\(",
+                      line)
+        if m:
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            shapes.append(dims)
+    assert shapes, "no all-reduce found — did psum lowering change?"
+    cap = mb * mb  # batch=1: the (mb, mb) Sb gram is the largest legal
+    for dims in shapes:
+        n_elem = int(np.prod(dims)) if dims else 1
+        assert n_elem <= cap, (dims, shapes)
+        assert n_elem < nb_local, (dims, nb_local)

@@ -42,6 +42,32 @@ def main():
             out_path = a.split("=", 1)[1]
     if "--denoise-golden-only" in sys.argv:
         only = {"taj-denoise"}
+    if "--extended-golden-only" in sys.argv:
+        # Generate the links.md recipes' f64 ORACLE outputs into the cache
+        # (nle_tpu.golden_configs EXTENDED_RECIPES) — pure numpy, no jax
+        # config needed. These are committed as stored regression anchors;
+        # re-running overwrites only missing files.
+        import cv2
+
+        import oracle_numpy as O
+        from nle_tpu.golden_configs import (
+            EXTENDED_RECIPES,
+            extended_golden_path,
+        )
+
+        for name, inp, params, weights in EXTENDED_RECIPES:
+            path = extended_golden_path(name)
+            if os.path.exists(path):
+                continue
+            img = cv2.imread(os.path.join(DATA, inp))
+            t0 = time.time()
+            out = O.enhance_image(img, *params, weights)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cv2.imwrite(path, out)
+            print(json.dumps(dict(note=f"wrote {path}",
+                                  sec=round(time.time() - t0, 1))),
+                  flush=True)
+        return
 
     import jax
 
