@@ -306,12 +306,20 @@ class NLEFilter:
 
     def train_for_denoise(self, image_bgr_u8, n_row_samples, n_col_samples,
                           hx, hy, n_sinkhorn_iter, n_eigen_vectors,
-                          sigma_color=10, sigma_space=10):
-        """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538)."""
+                          sigma_color=10, sigma_space=10, *,
+                          bilateral_L=None):
+        """Train on the bilateral-prefiltered luminance (src/filter.cpp:521-538).
+
+        bilateral_L: optional precomputed bilateral-filtered L plane (host
+        u8 (H, W)) — skips the device bilateral (the pipelined batch CLI
+        computes it once per frame), and is the substitution point the
+        cross-implementation denoise parity gate uses to train with
+        cv2.bilateralFilter's exact output (tests/test_denoise_parity.py)."""
         lab = self._to_lab(np.asarray(image_bgr_u8))
-        denoised = fetch(bilateral_filter_u8(jnp.asarray(lab[..., 0]), -1,
-                                             sigma_color, sigma_space))
-        return self._train(denoised.astype(np.float32),
+        if bilateral_L is None:
+            bilateral_L = fetch(bilateral_filter_u8(
+                jnp.asarray(lab[..., 0]), -1, sigma_color, sigma_space))
+        return self._train(np.asarray(bilateral_L).astype(np.float32),
                            n_row_samples, n_col_samples, hx, hy,
                            n_sinkhorn_iter, n_eigen_vectors)
 
