@@ -18,6 +18,7 @@ from __future__ import annotations
 import sys
 
 from nle_tpu.cli.common import (
+    done_line,
     add_common_flags,
     apply_common_flags,
     maybe_show,
@@ -139,7 +140,7 @@ def main(argv=None) -> int:
         print(str(e), file=sys.stderr)
         return 0
     imwrite_bgr(output_path, result)
-    print("Done.")
+    print(done_line(flags))
     maybe_show(result, flags)
     return 0
 

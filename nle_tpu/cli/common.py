@@ -160,6 +160,16 @@ def make_filter(flags):
     return NLEFilter(**kwargs)
 
 
+def done_line(flags) -> str:
+    """The reference's completion message is "Done. Press any key in
+    result window to exit." (reference src/enhance.cpp:45,
+    src/denoise.cpp:43) — accurate only when a blocking result window
+    follows. Print it verbatim under --show (strict stdout parity);
+    headless runs say just "Done." (no window exists to press a key in)."""
+    return ("Done. Press any key in result window to exit."
+            if flags.get("show") else "Done.")
+
+
 def maybe_show(result, flags, title: str = "Output image") -> None:
     """Optional strict-parity end behavior: the reference blocks on an
     imshow/waitKey(-1) window after writing the output (reference

@@ -14,6 +14,7 @@ from __future__ import annotations
 import sys
 
 from nle_tpu.cli.common import (
+    done_line,
     add_common_flags,
     apply_common_flags,
     make_filter,
@@ -77,7 +78,7 @@ def main(argv=None) -> int:
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:
         flt.trained.save(flags["save-filter"])
-    print("Done.")
+    print(done_line(flags))
     maybe_show(result, flags, "Enhanced image")
     return 0
 

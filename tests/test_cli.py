@@ -52,6 +52,23 @@ def test_enhance_end_to_end(tmp_path, small_image, capsys):
     assert os.path.exists(filt)
 
 
+def test_show_prints_reference_done_line(tmp_path, small_image, capsys,
+                                         monkeypatch):
+    """Under --show the completion message is the reference's exact stdout
+    line (src/enhance.cpp:45); headless runs print just "Done."."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    path, _ = small_image
+    out = str(tmp_path / "out.png")
+    argv = [path, out, "3", "4", "100", "30", "5", "5", "2", "3"]
+    assert enhance_cli.main(argv + ["--show"]) == 0
+    cap = capsys.readouterr()
+    assert "Done. Press any key in result window to exit." in cap.out
+    assert "no display available" in cap.err   # display-less: no window
+    assert enhance_cli.main(argv) == 0
+    assert capsys.readouterr().out.strip().endswith("Done.")
+
+
 def test_enhance_variadic_weights(tmp_path, small_image):
     path, img = small_image
     out = str(tmp_path / "out.png")
