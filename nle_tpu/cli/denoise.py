@@ -74,6 +74,14 @@ def main(argv=None) -> int:
             n_eigen_vectors, sigma_color, sigma_space,
         )
         maybe_dump_eigvecs(flt, flags)
+        # Stdout parity: the reference prints each clamped eigenvalue while
+        # building the shrink transform (src/filter.cpp:378-383). The CLI
+        # reproduces those lines (C++ default float formatting: up to 6
+        # significant digits); the library denoise stays print-free.
+        import numpy as np
+
+        for i, ev in enumerate(np.asarray(flt.trained.eigvals, np.float64)):
+            print(f"eig {i} val: {min(ev, 1.0):.6g}")
         result = flt.denoise(image, shrink_factor, sigma_color, sigma_space)
     imwrite_bgr(output_path, result)
     if "save-filter" in flags:

@@ -76,7 +76,7 @@ def test_enhance_variadic_weights(tmp_path, small_image):
     assert rc == 0 and os.path.exists(out)
 
 
-def test_denoise_end_to_end(tmp_path, small_image):
+def test_denoise_end_to_end(tmp_path, small_image, capsys):
     path, img = small_image
     out = str(tmp_path / "out.png")
     rc = denoise_cli.main(
@@ -84,6 +84,12 @@ def test_denoise_end_to_end(tmp_path, small_image):
     )
     assert rc == 0
     assert imread_bgr(out).shape == img.shape
+    # Stdout parity: one clamped-eigenvalue line per kept eigenvector
+    # (reference src/filter.cpp:378-383), then Done.
+    lines = capsys.readouterr().out.strip().splitlines()
+    eig_lines = [l for l in lines if l.startswith("eig ")]
+    assert len(eig_lines) == 5 and eig_lines[0].startswith("eig 0 val: ")
+    assert all(float(l.rsplit(" ", 1)[1]) <= 1.0 for l in eig_lines)
 
 
 def test_debug_eigvecs_flag(tmp_path, small_image):
