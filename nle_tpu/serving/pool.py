@@ -1,0 +1,352 @@
+"""Multi-worker serving: a front-end router over a pool of nle-serve
+worker processes — the deployment shape for a multi-chip host (one worker
+per chip; each JAX process owns one device).
+
+No reference counterpart (the reference is one process, one training per
+run); this extends nle_tpu/serving/http.py the same way a production
+fleet fronts single-device model servers:
+
+- STATELESS one-shots (/enhance, /denoise) round-robin across workers —
+  every worker can serve any image.
+- NAMED-FILTER traffic (/train, /apply, DELETE /filters) routes by
+  consistent name hash, so a filter is trained, kept, spilled, and
+  applied on the SAME worker (filters are device state; moving them
+  means a checkpoint round trip).
+- /healthz and /metrics aggregate across workers (per-worker blobs kept
+  under "workers").
+
+The pool supervises its workers: spawn, readiness-poll, restart on crash
+(named filters on the restarted worker recover via its --spill-dir warm
+restart), SIGTERM fan-out on shutdown. On THIS machine all workers share
+one chip, so the pool is validated on CPU workers
+(tests/test_serve_pool.py); on a real slice each worker pins its own
+device.
+
+Run:
+
+    nle-serve-pool --workers=2 [--port=8806] [--platform=cpu]
+                   [--spill-root=DIR] [--token=SECRET] [--max-bytes=N]
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_HOP_HEADERS = {"connection", "keep-alive", "transfer-encoding",
+                "content-length", "host"}
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class _Worker:
+    """One supervised nle-serve subprocess."""
+
+    def __init__(self, idx: int, port: int, argv_extra: list,
+                 spill_dir: str | None):
+        self.idx = idx
+        self.port = port
+        self.argv_extra = list(argv_extra)
+        self.spill_dir = spill_dir
+        self.proc: subprocess.Popen | None = None
+        self.restarts = 0
+
+    def spawn(self) -> None:
+        argv = [sys.executable, "-m", "nle_tpu.serving.http",
+                f"--port={self.port}"] + self.argv_extra
+        if self.spill_dir is not None:
+            os.makedirs(self.spill_dir, exist_ok=True)
+            argv.append(f"--spill-dir={self.spill_dir}")
+        # Workers inherit stdout/stderr (operator logs); the axon plugin
+        # needs cwd=/root/repo on this machine, and it is the repo root
+        # everywhere else too.
+        self.proc = subprocess.Popen(argv, cwd="/root/repo")
+
+    def wait_ready(self, timeout: float = 120.0) -> None:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self.proc is not None and self.proc.poll() is not None:
+                raise RuntimeError(
+                    f"worker {self.idx} exited rc={self.proc.returncode} "
+                    "during startup")
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{self.port}/healthz",
+                        timeout=5) as r:
+                    if json.loads(r.read()).get("ok"):
+                        return
+            except Exception:
+                time.sleep(0.2)
+        raise RuntimeError(f"worker {self.idx} not ready in {timeout}s")
+
+    def alive(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None
+
+    def terminate(self) -> None:
+        if self.alive():
+            self.proc.terminate()
+
+    def kill_wait(self, grace: float = 30.0) -> None:
+        if self.proc is None:
+            return
+        try:
+            self.proc.wait(timeout=grace)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            self.proc.wait(timeout=10)
+
+
+class WorkerPool:
+    """Spawn + supervise N workers; route by endpoint semantics."""
+
+    def __init__(self, n_workers: int, worker_args: list,
+                 spill_root: str | None = None):
+        self._lock = threading.Lock()
+        self._rr = 0
+        self.workers = []
+        for i in range(n_workers):
+            spill = (os.path.join(spill_root, f"worker-{i}")
+                     if spill_root else None)
+            self.workers.append(
+                _Worker(i, _free_port(), worker_args, spill))
+        self._stop = threading.Event()
+        self._monitor: threading.Thread | None = None
+
+    def start(self) -> None:
+        for w in self.workers:
+            w.spawn()
+        for w in self.workers:
+            w.wait_ready()
+        self._monitor = threading.Thread(target=self._supervise,
+                                         daemon=True)
+        self._monitor.start()
+
+    def _supervise(self) -> None:
+        """Restart crashed workers. A worker with a --spill-dir recovers
+        its spilled/checkpointed filters on restart (warm restart);
+        resident-only state of a CRASHED (not gracefully stopped) worker
+        is lost, exactly like a single-server crash."""
+        while not self._stop.is_set():
+            for w in self.workers:
+                if self._stop.is_set():
+                    return
+                if w.proc is not None and not w.alive():
+                    w.restarts += 1
+                    w.spawn()
+                    try:
+                        w.wait_ready()
+                    except RuntimeError:
+                        pass   # retried on the next sweep
+            self._stop.wait(1.0)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for w in self.workers:
+            w.terminate()
+        for w in self.workers:
+            w.kill_wait()
+
+    # -- routing ----------------------------------------------------------
+
+    def pick(self, path: str, query: str) -> _Worker:
+        if path in ("/train", "/apply", "/filters"):
+            # Sticky: a named filter lives on one worker (device state).
+            import hashlib
+
+            name = parse_qs(query).get("name", ["default"])[0]
+            h = int.from_bytes(
+                hashlib.sha1(name.encode()).digest()[:8], "big")
+            return self.workers[h % len(self.workers)]
+        with self._lock:
+            self._rr += 1
+            start = self._rr
+        # Round-robin, skipping dead workers (mid-restart).
+        for off in range(len(self.workers)):
+            w = self.workers[(start + off) % len(self.workers)]
+            if w.alive():
+                return w
+        return self.workers[start % len(self.workers)]
+
+
+def make_pool_server(pool: WorkerPool, port: int = 0,
+                     max_bytes: int | None = None) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _forward(self, method: str, body: bytes | None):
+            u = urlparse(self.path)
+            w = pool.pick(u.path, u.query)
+            conn = http.client.HTTPConnection("127.0.0.1", w.port,
+                                              timeout=600)
+            try:
+                headers = {k: v for k, v in self.headers.items()
+                           if k.lower() not in _HOP_HEADERS}
+                conn.request(method, self.path, body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                ctype = resp.getheader("Content-Type",
+                                       "application/octet-stream")
+                self._reply(resp.status, data, ctype)
+            except (OSError, http.client.HTTPException) as e:
+                self._reply(502, json.dumps(
+                    {"error": f"worker {w.idx} unreachable: "
+                              f"{type(e).__name__}: {e}"}).encode())
+            finally:
+                conn.close()
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                views = []
+                for w in pool.workers:
+                    try:
+                        with urllib.request.urlopen(
+                                f"http://127.0.0.1:{w.port}/healthz",
+                                timeout=10) as r:
+                            views.append(json.loads(r.read()))
+                    except Exception:
+                        views.append({"ok": False})
+                body = json.dumps({
+                    "ok": all(v.get("ok") for v in views),
+                    "workers": len(views),
+                    "filters": sorted(
+                        n for v in views for n in v.get("filters", [])),
+                }).encode()
+                return self._reply(200, body)
+            if path == "/metrics":
+                blobs = []
+                for w in pool.workers:
+                    try:
+                        with urllib.request.urlopen(
+                                f"http://127.0.0.1:{w.port}/metrics",
+                                timeout=10) as r:
+                            blobs.append(json.loads(r.read()))
+                    except Exception:
+                        blobs.append(None)
+                tot = {k: sum(b[k] for b in blobs if b)
+                       for k in ("trains", "edits", "errors", "rejected")}
+                tot["resident_bytes"] = sum(
+                    b["filters"]["resident_bytes"] for b in blobs if b)
+                tot["restarts"] = sum(w.restarts for w in pool.workers)
+                tot["workers"] = [
+                    b if b is not None else {"error": "unreachable"}
+                    for b in blobs]
+                return self._reply(200, json.dumps(tot).encode())
+            return self._forward("GET", None)
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                n = -1
+            if n < 0:
+                self.close_connection = True
+                return self._reply(400, json.dumps(
+                    {"error": "bad Content-Length header"}).encode())
+            if max_bytes is not None and n > max_bytes:
+                # Reject at the front door; do not stream a huge body
+                # toward a worker that will refuse it anyway. Drain a
+                # bounded amount first so a mid-upload client sees the 413
+                # instead of a connection reset (same politeness rule as
+                # the worker, serving/http.py _drain_body).
+                remaining = min(n, 8 << 20)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 16))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
+                return self._reply(413, json.dumps(
+                    {"error": f"request body {n} bytes exceeds limit "
+                              f"{max_bytes}"}).encode())
+            body = self.rfile.read(n)
+            self._forward("POST", body)
+
+        def do_DELETE(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                n = 0
+            body = self.rfile.read(n) if n > 0 else None
+            self._forward("DELETE", body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    srv.pool = pool
+    return srv
+
+
+def main() -> int:
+    n_workers = 2
+    port = 8806
+    worker_args = []
+    spill_root = None
+    max_bytes = None
+    for a in sys.argv[1:]:
+        if a.startswith("--workers="):
+            n_workers = int(a.split("=", 1)[1])
+        elif a.startswith("--port="):
+            port = int(a.split("=", 1)[1])
+        elif a.startswith("--spill-root="):
+            spill_root = a.split("=", 1)[1]
+        elif a.startswith("--max-bytes="):
+            max_bytes = int(a.split("=", 1)[1])
+            worker_args.append(a)
+        elif a.startswith(("--platform=", "--token=", "--max-filters=",
+                           "--max-filter-bytes=", "--access-log=")):
+            worker_args.append(a)
+        else:
+            print(f"nle-serve-pool: unknown argument {a!r}\n"
+                  "usage: nle-serve-pool [--workers=N] [--port=N] "
+                  "[--spill-root=DIR] [--platform=NAME] [--token=SECRET] "
+                  "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
+                  "[--access-log=PATH|-]", file=sys.stderr)
+            return 2
+    pool = WorkerPool(n_workers, worker_args, spill_root=spill_root)
+    pool.start()
+    srv = make_pool_server(pool, port, max_bytes=max_bytes)
+    print(f"nle-tpu serving pool on http://127.0.0.1:{port} "
+          f"({n_workers} workers: "
+          f"{', '.join(str(w.port) for w in pool.workers)})", flush=True)
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
+        pool.stop()   # workers checkpoint via their own SIGTERM handling
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""Multi-worker serving pool (nle_tpu/serving/pool.py): routing semantics
+(sticky named-filter hash, stateless round-robin), metric aggregation, and
+crash-restart recovery over real worker processes on CPU."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+CFG = "nr=4&nc=5&hx=50&hy=30&iters=3&k=3"
+
+
+@pytest.fixture(scope="module")
+def pool_server(tmp_path_factory):
+    from nle_tpu.serving.pool import WorkerPool, make_pool_server
+
+    spill_root = str(tmp_path_factory.mktemp("pool-spill"))
+    pool = WorkerPool(2, ["--platform=cpu"], spill_root=spill_root)
+    pool.start()
+    srv = make_pool_server(pool, max_bytes=1 << 20)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", pool
+    srv.shutdown()
+    pool.stop()
+
+
+@pytest.fixture(scope="module")
+def small_png():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return img, buf.tobytes()
+
+
+def _post(url, data, timeout=300):
+    return urllib.request.urlopen(
+        urllib.request.Request(url, data=data), timeout=timeout)
+
+
+def test_pool_healthz(pool_server):
+    base, pool = pool_server
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["ok"] and meta["workers"] == 2
+
+
+def test_pool_round_robin_enhance(pool_server, small_png):
+    """Stateless one-shots succeed through the router and land on BOTH
+    workers (round-robin): after 4 requests each worker's /metrics shows
+    at least one /enhance."""
+    base, pool = pool_server
+    img, png = small_png
+    outs = []
+    for _ in range(4):
+        with _post(f"{base}/enhance?{CFG}&w=1,2,2,1", png) as r:
+            outs.append(cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                                     cv2.IMREAD_COLOR))
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])   # deterministic
+    counts = []
+    for w in pool.workers:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{w.port}/metrics", timeout=30) as r:
+            m = json.loads(r.read())
+        counts.append(m["endpoints"].get("/enhance", {}).get("count", 0))
+    assert all(c >= 1 for c in counts), counts
+
+
+def test_pool_sticky_named_filters(pool_server, small_png):
+    """/train then /apply for the same name route to the same worker, so
+    the kept filter is found; a name-hash mismatch would 400."""
+    base, pool = pool_server
+    img, png = small_png
+    for name in ("alpha", "beta", "gamma"):
+        with _post(f"{base}/train?name={name}&{CFG}", png) as r:
+            assert json.loads(r.read())["name"] == name
+        with _post(f"{base}/apply?name={name}&w=1,2,2,1", png) as r:
+            out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                               cv2.IMREAD_COLOR)
+        assert out.shape == img.shape
+    # The pool healthz advertises the union of worker namespaces.
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        names = json.loads(r.read())["filters"]
+    assert {"alpha", "beta", "gamma"} <= set(names)
+    # Unknown names surface the worker's 400 through the router.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/apply?name=nope&w=1,1", png)
+    assert ei.value.code == 400
+    # DELETE routes sticky too.
+    req = urllib.request.Request(f"{base}/filters?name=gamma",
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["deleted"] == "gamma"
+
+
+def test_pool_metrics_aggregate(pool_server, small_png):
+    base, pool = pool_server
+    with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["trains"] >= 1 and m["edits"] >= 1
+    assert len(m["workers"]) == 2
+    assert "resident_bytes" in m
+
+
+def test_pool_front_door_size_limit(pool_server):
+    base, pool = pool_server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/enhance?{CFG}", b"x" * (2 << 20))
+    assert ei.value.code == 413
+
+
+def test_pool_worker_restart_recovers_filters(pool_server, small_png):
+    """SIGTERM a worker that holds a named filter: the supervisor restarts
+    it, warm restart recovers the checkpointed filter from its spill dir,
+    and /apply keeps working through the router."""
+    import time
+
+    base, pool = pool_server
+    img, png = small_png
+    name = "sticky-restart"
+    with _post(f"{base}/train?name={name}&{CFG}", png) as r:
+        r.read()
+    with _post(f"{base}/apply?name={name}&w=1,2,2,1", png) as r:
+        want = r.read()
+    w = pool.pick("/train", f"name={name}")
+    old_proc = w.proc
+    w.terminate()              # graceful: worker checkpoints to spill dir
+    old_proc.wait(timeout=60)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if w.alive() and w.proc is not old_proc:
+            try:
+                w.wait_ready(timeout=5)
+                break
+            except RuntimeError:
+                pass
+        time.sleep(0.3)
+    assert w.alive() and w.proc is not old_proc, "supervisor did not restart"
+    with _post(f"{base}/apply?name={name}&w=1,2,2,1", png) as r:
+        got = r.read()
+    assert got == want         # recovered filter, identical bytes
+    assert pool.workers[w.idx].restarts >= 1
