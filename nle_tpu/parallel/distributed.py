@@ -109,6 +109,7 @@ def train_filters_multihost(
     *,
     eps: float | None = None,
     streaming: bool = False,
+    factored: bool = False,
 ):
     """Train this process's batch of channels (B_local, H, W), one image
     per process per SPMD step, over the global mesh. Every process must
@@ -116,7 +117,11 @@ def train_filters_multihost(
     all-gather, because a divergent process would deadlock the SPMD
     program. Returns [(V (N, k_i), S (k_i,)), ...] host arrays for the
     LOCAL images (pixel-order rows, same contract as
-    ops/pipeline.train_filter)."""
+    ops/pipeline.train_filter).
+
+    factored=True (requires streaming=True): returns V-free
+    FactoredFilters instead — the multi-host capacity path; no (N, k)
+    eigenvector build happens anywhere (models/factored.py)."""
     from jax.experimental import multihost_utils
 
     from nle_tpu.config import default_eps
@@ -136,6 +141,10 @@ def train_filters_multihost(
     )
     from nle_tpu.utils.logging import logger, warn_truncation
 
+    if factored and not streaming:
+        raise ValueError(
+            "factored=True requires streaming=True (same contract as "
+            "parallel/sharded.py train_filter_sharded).")
     if mesh is None:
         mesh = make_global_mesh()
     channels_local = np.asarray(channels_local, np.float32)
@@ -182,12 +191,19 @@ def train_filters_multihost(
         # their true m is traced, so results are unchanged).
         m_all = multihost_utils.process_allgather(np.array([m], np.int64))
         mb = max(bucket_m(int(mi), p) for mi in m_all.ravel())
-        k_step = min(n_eig_vectors, int(m_all.min()))
-        if k_step < n_eig_vectors:
-            logger.warning(
-                "Multihost step %d: kept rank %d on some process limits "
-                "every process's eigenvector count to %d (requested %d).",
-                step_i, int(m_all.min()), k_step, n_eig_vectors)
+        if factored:
+            # V-free: no global eigenvector build follows, so each process
+            # keeps its OWN k = min(n_eig, m) (no cross-process truncation
+            # — same rule as the single-process factored mesh trainer).
+            k_step = min(n_eig_vectors, m)
+        else:
+            k_step = min(n_eig_vectors, int(m_all.min()))
+            if k_step < n_eig_vectors:
+                logger.warning(
+                    "Multihost step %d: kept rank %d on some process "
+                    "limits every process's eigenvector count to %d "
+                    "(requested %d).",
+                    step_i, int(m_all.min()), k_step, n_eig_vectors)
 
         def padded(a64, arr1d=False):
             pad = ((0, mb - a64.shape[-1]),) if arr1d else (
@@ -227,6 +243,22 @@ def train_filters_multihost(
         GrT = va_np[:m, k_step:]
         Vu = (cp64[m:p, None] * Um64[m:]) @ GrT
         top = np.concatenate([va_np[:m, :k_step], Vu], axis=0).astype(dt)
+
+        if factored:
+            from nle_tpu.models.factored import FactoredFilter
+            from nle_tpu.ops.pipeline import pack_channel
+
+            cbl_np = _local_row(cphib, pixel_axis=1)[0, :nb]
+            c_full = np.concatenate([cp64.astype(dt), cbl_np])
+            y_train_i, _ = pack_channel(chan, grid.perm)
+            out.append(FactoredFilter(
+                y_train=y_train_i, c=jnp.asarray(c_full),
+                v_head=jnp.asarray(top, jnp.float32),
+                w=jnp.asarray((Uinv64 @ GrT).astype(np.float32)),
+                eigvals=jnp.asarray(Sq[:k_step].astype(np.float32)),
+                nrows=nrows, ncols=ncols, hx=float(hx), hy=float(hy),
+                perm=grid.perm))
+            continue
 
         grt_g = jax.make_array_from_process_local_data(
             sh_data, va_np[:, k_step:2 * k_step].astype(dt)[None])
@@ -280,8 +312,25 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
         signs[signs == 0] = 1.0
         err = np.abs(V * signs - V1).max()
         assert err < 5e-3, (tag, err)
+
+    # V-free factored capacity path over the same global mesh.
+    from nle_tpu.ops.transform import transform_eigenvalues
+
+    (flt,) = train_filters_multihost(
+        chan[None], *args, mesh, streaming=True, factored=True)
+    assert np.allclose(np.asarray(flt.eigvals), S1[: flt.eigvals.shape[0]],
+                       rtol=2e-4, atol=1e-5)
+    fS = transform_eigenvalues(flt.eigvals, [2.0, 3.0, 4.0, 1.0])
+    out_f = flt.apply(chan, fS)
+    V, S = results[False]
+    fS1 = np.asarray(transform_eigenvalues(jnp.asarray(S),
+                                           [2.0, 3.0, 4.0, 1.0]))
+    ref = V @ (fS1 * (V.T @ chan.reshape(-1)))
+    assert np.abs(out_f.reshape(-1) - ref).max() < 0.1, (
+        np.abs(out_f.reshape(-1) - ref).max())
     print(f"multihost selfcheck pid={pid}/{nproc}: ok "
-          f"(dense + streaming match single-process)", flush=True)
+          f"(dense + streaming + factored match single-process)",
+          flush=True)
 
 
 def run_localhost_workers(n_proc: int, local_devices: int = 2,

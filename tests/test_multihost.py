@@ -41,6 +41,35 @@ def test_multihost_single_process_path_matches_pipeline():
         assert np.abs(V * signs - V1).max() < 5e-3
 
 
+def test_multihost_factored_matches_dense():
+    """factored=True returns V-free FactoredFilters whose eigvals and
+    apply match the dense multihost result (capacity path symmetry with
+    the single-process mesh trainer)."""
+    import jax.numpy as jnp
+
+    from nle_tpu.ops.transform import transform_eigenvalues
+    from nle_tpu.parallel.distributed import (
+        make_global_mesh,
+        train_filters_multihost,
+    )
+
+    mesh = make_global_mesh()
+    rng = np.random.default_rng(5)
+    chan = rng.integers(0, 256, (1, 24, 32)).astype(np.float32)
+    args = (3, 4, 50.0, 30.0, 5, 5)
+    [(V, S)] = train_filters_multihost(chan, *args, mesh)
+    (flt,) = train_filters_multihost(chan, *args, mesh,
+                                     streaming=True, factored=True)
+    np.testing.assert_allclose(np.asarray(flt.eigvals), S,
+                               rtol=2e-4, atol=1e-5)
+    fS = transform_eigenvalues(jnp.asarray(S), [2.0, 3.0, 4.0, 1.0])
+    out_f = flt.apply(chan[0], np.asarray(fS))
+    ref = V @ (np.asarray(fS) * (V.T @ chan[0].reshape(-1)))
+    assert np.abs(out_f.reshape(-1) - ref).max() < 0.1
+    with pytest.raises(ValueError, match="streaming"):
+        train_filters_multihost(chan, *args, mesh, factored=True)
+
+
 def test_multihost_two_process_localhost():
     """The full 2-process path: spawn two workers against an ephemeral
     localhost coordinator; each trains one image over the (2, 2) global
