@@ -287,10 +287,17 @@ def make_pool_server(pool: WorkerPool, port: int = 0,
             self._forward("POST", body)
 
         def do_DELETE(self):
+            # DELETE bodies are never used downstream; read them only to
+            # keep the connection in sync, and refuse outsized ones rather
+            # than buffering them (same bound as the rejected-POST drain).
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
                 n = 0
+            if n > (8 << 20):
+                self.close_connection = True
+                return self._reply(413, json.dumps(
+                    {"error": f"DELETE body {n} bytes refused"}).encode())
             body = self.rfile.read(n) if n > 0 else None
             self._forward("DELETE", body)
 
