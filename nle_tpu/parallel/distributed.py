@@ -68,10 +68,17 @@ def make_global_mesh() -> Mesh:
     devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     n_proc = jax.process_count()
     n_local = len(devs) // n_proc
-    if n_proc * n_local != len(devs):
+    # Per-process uniformity, not just total divisibility: 3+1 devices
+    # over 2 processes reshapes "evenly" but row 1 would mix two hosts'
+    # devices — 'pixel' collectives would cross DCN and a process's
+    # addressable shards would span two data rows (_local_row breaks).
+    counts = {}
+    for d in devs:
+        counts[d.process_index] = counts.get(d.process_index, 0) + 1
+    if len(set(counts.values())) != 1 or n_proc * n_local != len(devs):
         raise RuntimeError(
-            f"uneven device counts across processes: {len(devs)} devices "
-            f"over {n_proc} processes")
+            f"uneven device counts across processes: {counts} "
+            f"({len(devs)} devices over {n_proc} processes)")
     return Mesh(np.array(devs).reshape(n_proc, n_local), ("data", "pixel"))
 
 
@@ -80,21 +87,30 @@ def _local_row(arr, pixel_axis: int | None = None) -> np.ndarray:
 
     P('data')-sharded (replicated over 'pixel'): any addressable shard is
     the row. P('data', 'pixel')-sharded: concatenate this process's pixel
-    shards in pixel order along `pixel_axis`."""
+    shards in pixel order along `pixel_axis`.
+
+    Shard data comes back through utils.transfer.fetch — on the
+    tunnel-attached TPU a bare np.asarray of an N-sized device buffer hits
+    the latency-bound single-request path (~0.2-4 MB/s vs fetch's ~40,
+    CLAUDE.md transfer rule); on CPU fetch degrades to a plain copy."""
+    from nle_tpu.utils.transfer import fetch, transfer_pool
+
     shards = arr.addressable_shards
     if pixel_axis is None:
-        return np.asarray(shards[0].data)
+        return fetch(shards[0].data)
     shards = sorted(shards,
                     key=lambda s: s.index[pixel_axis].start or 0)
-    # Dedup replicated copies (same pixel offset on several devices).
-    seen, parts = set(), []
+    # Dedup replicated copies (same pixel offset on several devices), then
+    # fetch the distinct shards concurrently on the transfer pool.
+    seen, distinct = set(), []
     for s in shards:
         off = s.index[pixel_axis].start or 0
         if off in seen:
             continue
         seen.add(off)
-        parts.append(np.asarray(s.data))
-    return np.concatenate(parts, axis=pixel_axis)
+        distinct.append(s)
+    futs = [transfer_pool().submit(fetch, s.data) for s in distinct]
+    return np.concatenate([f.result() for f in futs], axis=pixel_axis)
 
 
 def train_filters_multihost(
@@ -128,7 +144,6 @@ def train_filters_multihost(
     from nle_tpu.ops.affinity import bandwidth_weights
     from nle_tpu.ops.pipeline import (
         bucket_m,
-        host_orthogonalize,
         ka_eigh_host64,
     )
     from nle_tpu.ops.sampling import sample_grid
@@ -138,6 +153,8 @@ def train_filters_multihost(
         _sharded_2a_step,
         _sharded_2a_step_streaming,
         _sharded_2b_streaming,
+        element_host_chain,
+        factored_from_pieces,
     )
     from nle_tpu.utils.logging import logger, warn_truncation
 
@@ -149,12 +166,27 @@ def train_filters_multihost(
         mesh = make_global_mesh()
     channels_local = np.asarray(channels_local, np.float32)
     b_local, nrows, ncols = channels_local.shape
-    # Config agreement: one int vector all-gathered over DCN. A mismatch
-    # means the caller broke the SPMD contract; fail loudly on every
-    # process rather than deadlocking in a collective.
+    if eps is None:
+        eps_v = float(default_eps(jnp.float32))
+    else:
+        eps_v = float(eps)
+    # Config agreement: EVERY parameter that shapes the compiled SPMD
+    # program or its math (incl. hx/hy/eps, which bake into the jitted
+    # step, and the streaming/factored mode switches) all-gathered over
+    # DCN. A mismatch means the caller broke the SPMD contract; fail
+    # loudly on every process rather than deadlocking in a collective or
+    # silently training under inconsistent params.
+    # float32 on the HOST first: process_allgather ships through the f32
+    # device path (x64 off), so comparing f64 originals against the
+    # round-tripped values would mismatch on every non-representable
+    # float (eps=1e-10 was the first casualty). Quantizing both sides
+    # identically keeps the equality exact.
     cfg = np.array([b_local, nrows, ncols, n_row_samples, n_col_samples,
-                    n_sinkhorn_iter, n_eig_vectors], np.int64)
-    cfg_all = multihost_utils.process_allgather(cfg)
+                    n_sinkhorn_iter, n_eig_vectors,
+                    float(hx), float(hy), eps_v,
+                    float(bool(streaming)), float(bool(factored))],
+                   np.float32)
+    cfg_all = np.asarray(multihost_utils.process_allgather(cfg), np.float32)
     if not (cfg_all == cfg[None, :]).all():
         raise ValueError(
             f"multihost config mismatch across processes: {cfg_all}")
@@ -165,7 +197,7 @@ def train_filters_multihost(
     nb = n - p
     n_pixel = mesh.shape["pixel"]
     nb_pad = -(-nb // n_pixel) * n_pixel
-    eps = float(default_eps(jnp.float32) if eps is None else eps)
+    eps = eps_v
     sw, pw = bandwidth_weights(hx, hy)
     dt = np.float32
 
@@ -234,30 +266,25 @@ def train_filters_multihost(
             rp, cp, Sb, cphib = step(
                 Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw)
 
+        # Sb rides the transfer pool concurrently with the blocking rp/cp
+        # fetches and resolves only inside host_orthogonalize (after its
+        # eig(Wa) work) — the same fetch-overlap protocol as the
+        # single-process trainers (ops/pipeline.py submit_sb_fetch).
+        from nle_tpu.utils.transfer import transfer_pool
+
+        sb_fut = transfer_pool().submit(lambda: _local_row(Sb)[0])
         rp64 = _local_row(rp)[0].astype(np.float64)
         cp64 = _local_row(cp)[0].astype(np.float64)
-        sb_local = _local_row(Sb)[0]          # (mb, mb)
-        va_np, Sq = host_orthogonalize(
-            np.stack([rp64, cp64]), (lambda sb=sb_local: sb),
-            Um64, lam64, m, mb, k_step, eps)
-        GrT = va_np[:m, k_step:]
-        Vu = (cp64[m:p, None] * Um64[m:]) @ GrT
-        top = np.concatenate([va_np[:m, :k_step], Vu], axis=0).astype(dt)
+        va_np, Sq, GrT, top = element_host_chain(
+            rp64, cp64, (lambda: sb_fut.result()),
+            Um64, lam64, m, mb, k_step, eps, dt)
 
         if factored:
-            from nle_tpu.models.factored import FactoredFilter
-            from nle_tpu.ops.pipeline import pack_channel
-
             cbl_np = _local_row(cphib, pixel_axis=1)[0, :nb]
-            c_full = np.concatenate([cp64.astype(dt), cbl_np])
-            y_train_i, _ = pack_channel(chan, grid.perm)
-            out.append(FactoredFilter(
-                y_train=y_train_i, c=jnp.asarray(c_full),
-                v_head=jnp.asarray(top, jnp.float32),
-                w=jnp.asarray((Uinv64 @ GrT).astype(np.float32)),
-                eigvals=jnp.asarray(Sq[:k_step].astype(np.float32)),
-                nrows=nrows, ncols=ncols, hx=float(hx), hy=float(hy),
-                perm=grid.perm))
+            out.append(factored_from_pieces(
+                chan, grid, hx, hy, cp64, cbl_np, top,
+                (Uinv64 @ GrT).astype(np.float32),
+                Sq[:k_step].astype(np.float32)))
             continue
 
         grt_g = jax.make_array_from_process_local_data(
@@ -357,7 +384,8 @@ def run_localhost_workers(n_proc: int, local_devices: int = 2,
              f"--nproc={n_proc}", f"--pid={i}",
              f"--local-devices={local_devices}"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd="/root/repo"))
+            env=env,
+            cwd=("/root/repo" if os.path.isdir("/root/repo") else None)))
     fails = []
     for i, proc in enumerate(procs):
         try:

@@ -373,6 +373,46 @@ def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
     return rp, cp, Sb, cbl
 
 
+def element_host_chain(rp64, cp64, sb, Um64, lam64, m: int, mb: int,
+                       k: int, eps: float, dtype):
+    """Per-element host-f64 orthogonalization chain + sampled-row V
+    assembly, shared by the single-process mesh trainer and the multihost
+    trainer (parallel/distributed.py) — ONE definition so a numerics fix
+    here cannot silently diverge between the two (an inline duplicate of
+    this chain once dropped the NLE_Q_SOLVER override; see
+    host_orthogonalize's history note). Returns (va_np, Sq, GrT, top):
+    top is the (p, k) sampled-pixel rows of V."""
+    from nle_tpu.ops.pipeline import host_orthogonalize
+
+    p = Um64.shape[0]
+    va_np, Sq = host_orthogonalize(
+        np.stack([rp64, cp64]), sb, Um64, lam64, m, mb, k, eps)
+    GrT = va_np[:m, k:]
+    Vu = (cp64[m:p, None] * Um64[m:]) @ GrT
+    top = np.concatenate([va_np[:m, :k], Vu], axis=0).astype(np.dtype(dtype))
+    return va_np, Sq, GrT, top
+
+
+def factored_from_pieces(channel, grid, hx, hy, cp64, cbl, top, W, Sq):
+    """Assemble a V-free FactoredFilter from trainer pieces (shared by the
+    mesh and multihost factored paths). Keeps the u8 pack rule: an 8-bit
+    training channel stays uint8 in y_train (4x smaller checkpoints,
+    models/factored.py)."""
+    from nle_tpu.models.factored import FactoredFilter
+    from nle_tpu.ops.pipeline import pack_channel
+
+    y_train, _ = pack_channel(channel, grid.perm)
+    c_full = np.concatenate([cp64.astype(np.float32),
+                             np.asarray(cbl, np.float32)])
+    return FactoredFilter(
+        y_train=y_train, c=jnp.asarray(c_full),
+        v_head=jnp.asarray(top, jnp.float32),
+        w=jnp.asarray(np.asarray(W, np.float32)),
+        eigvals=jnp.asarray(np.asarray(Sq, np.float32)),
+        nrows=grid.nrows, ncols=grid.ncols, hx=float(hx), hy=float(hy),
+        perm=grid.perm)
+
+
 def train_filter_sharded(
     channels,
     n_row_samples: int,
@@ -464,7 +504,6 @@ def train_filter_sharded(
         bucket_m,
         ka_eigh_host64,
         ka_eigh_topk_host64,
-        pack_channel,
     )
 
     from nle_tpu.utils.logging import logger, warn_truncation
@@ -491,8 +530,6 @@ def train_filter_sharded(
             "element's eigenvector count to %d (requested %d).",
             int(ms.min()), k_out, n_eig_vectors)
     if factored:
-        from nle_tpu.models.factored import FactoredFilter
-
         filters: list = [None] * b
         V_out = np.zeros((0,))    # unused in factored mode
         S_out = np.zeros((0,))
@@ -500,11 +537,10 @@ def train_filter_sharded(
         V_out = np.zeros((b, n, k_out), dtype=np.dtype(dtype))
         S_out = np.zeros((b, k_out), dtype=np.dtype(dtype))
 
-    # The balanced-block rebuild + orthogonalization chain is the ONE
-    # shared host_orthogonalize definition (ops/pipeline.py) — it also
-    # honors the NLE_Q_SOLVER override, which an inline duplicate here
-    # silently dropped once.
-    from nle_tpu.ops.pipeline import host_orthogonalize, submit_sb_fetch
+    # The per-element chain runs through element_host_chain (one shared
+    # definition with the multihost trainer; it wraps the ONE
+    # host_orthogonalize in ops/pipeline.py, which honors NLE_Q_SOLVER).
+    from nle_tpu.ops.pipeline import submit_sb_fetch
 
     n_data = mesh.shape["data"]
     for mb in np.unique(mbs):
@@ -569,14 +605,9 @@ def train_filter_sharded(
         for j, i in enumerate(idx):
             m = int(ms[i])
             k = min(n_eig_vectors, m)
-            Um64 = stage1[i][0]
-            va_np, Sq = host_orthogonalize(
-                np.stack([rp64[j], cp64[j]]), (lambda jj=j: sb_group()[jj]),
-                Um64, stage1[i][1], m, mb, k, eps)
-            GrT = va_np[:m, k:]
-            Vu = (cp64[j][m:p, None] * Um64[m:]) @ GrT
-            top = np.concatenate(
-                [va_np[:m, :k], Vu], axis=0).astype(np.dtype(dtype))
+            va_np, Sq, GrT, top = element_host_chain(
+                rp64[j], cp64[j], (lambda jj=j: sb_group()[jj]),
+                stage1[i][0], stage1[i][1], m, mb, k, eps, dtype)
             if factored:
                 fact_pieces[j] = (top, (stage1[i][2] @ GrT).astype(np.float32),
                                   Sq.astype(np.float32))
@@ -592,19 +623,9 @@ def train_filter_sharded(
                 if filters[i] is not None:
                     continue   # padded duplicate of the group's last element
                 v_head, W, Sq32 = fact_pieces[j]
-                c_full = np.concatenate(
-                    [cp64[j].astype(np.float32), cbl_np[j]])
-                # Same u8-pack rule as the single-chip trainer
-                # (models/factored.py): an 8-bit training channel is kept
-                # as uint8 — 4x smaller checkpoint and 4x cheaper y_train
-                # re-upload in _device_state.
-                y_train_i, _ = pack_channel(channels[i], grid.perm)
-                filters[i] = FactoredFilter(
-                    y_train=y_train_i, c=jnp.asarray(c_full),
-                    v_head=jnp.asarray(v_head, jnp.float32),
-                    w=jnp.asarray(W), eigvals=jnp.asarray(Sq32),
-                    nrows=nrows, ncols=ncols, hx=float(hx), hy=float(hy),
-                    perm=grid.perm)
+                filters[i] = factored_from_pieces(
+                    channels[i], grid, hx, hy, cp64[j], cbl_np[j],
+                    v_head, W, Sq32)
             continue
         with jax.default_matmul_precision("highest"):
             grt_dev = jnp.asarray(np.stack(grts), dtype)

@@ -17,15 +17,19 @@ fleet fronts single-device model servers:
 
 The pool supervises its workers: spawn, readiness-poll, restart on crash
 (named filters on the restarted worker recover via its --spill-dir warm
-restart), SIGTERM fan-out on shutdown. On THIS machine all workers share
-one chip, so the pool is validated on CPU workers
-(tests/test_serve_pool.py); on a real slice each worker pins its own
-device.
+restart), SIGTERM fan-out on shutdown. Device pinning is delegated to the
+platform's env mechanism via --worker-env (values may contain `{i}`, the
+worker index — e.g. `--worker-env=TPU_VISIBLE_DEVICES={i}` gives each
+worker its own chip on a multi-chip host); every worker also gets
+NLE_POOL_WORKER_INDEX. On THIS machine there is one chip, so the pool is
+validated on CPU workers (tests/test_serve_pool.py) — run TPU workers
+here only as --workers=1 (concurrent processes contend on the one chip).
 
 Run:
 
     nle-serve-pool --workers=2 [--port=8806] [--platform=cpu]
                    [--spill-root=DIR] [--token=SECRET] [--max-bytes=N]
+                   [--worker-env=KEY=VALUE]
 """
 
 from __future__ import annotations
@@ -41,8 +45,18 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from nle_tpu.serving.http import DEFAULT_MAX_BYTES
+
 _HOP_HEADERS = {"connection", "keep-alive", "transfer-encoding",
                 "content-length", "host"}
+
+
+def _repo_cwd() -> str | None:
+    """Working directory for worker subprocesses. On this machine the axon
+    PJRT plugin only initializes when the process starts with
+    cwd=/root/repo (CLAUDE.md); elsewhere (pip-installed package) workers
+    simply inherit the parent's cwd."""
+    return "/root/repo" if os.path.isdir("/root/repo") else None
 
 
 def _free_port() -> int:
@@ -59,11 +73,12 @@ class _Worker:
     """One supervised nle-serve subprocess."""
 
     def __init__(self, idx: int, port: int, argv_extra: list,
-                 spill_dir: str | None):
+                 spill_dir: str | None, env_extra: dict | None = None):
         self.idx = idx
         self.port = port
         self.argv_extra = list(argv_extra)
         self.spill_dir = spill_dir
+        self.env_extra = dict(env_extra or {})
         self.proc: subprocess.Popen | None = None
         self.restarts = 0
 
@@ -73,10 +88,13 @@ class _Worker:
         if self.spill_dir is not None:
             os.makedirs(self.spill_dir, exist_ok=True)
             argv.append(f"--spill-dir={self.spill_dir}")
-        # Workers inherit stdout/stderr (operator logs); the axon plugin
-        # needs cwd=/root/repo on this machine, and it is the repo root
-        # everywhere else too.
-        self.proc = subprocess.Popen(argv, cwd="/root/repo")
+        # Workers inherit stdout/stderr (operator logs). Per-worker device
+        # pinning happens through env_extra (--worker-env, e.g.
+        # TPU_VISIBLE_DEVICES={i} on a multi-chip host) plus the always-set
+        # NLE_POOL_WORKER_INDEX.
+        env = dict(os.environ, **self.env_extra,
+                   NLE_POOL_WORKER_INDEX=str(self.idx))
+        self.proc = subprocess.Popen(argv, cwd=_repo_cwd(), env=env)
 
     def wait_ready(self, timeout: float = 120.0) -> None:
         deadline = time.monotonic() + timeout
@@ -116,15 +134,24 @@ class WorkerPool:
     """Spawn + supervise N workers; route by endpoint semantics."""
 
     def __init__(self, n_workers: int, worker_args: list,
-                 spill_root: str | None = None):
+                 spill_root: str | None = None,
+                 worker_env: dict | None = None):
+        """worker_env: extra env vars per worker; values may contain `{i}`,
+        substituted with the worker index — the device-pinning hook for a
+        multi-chip host (e.g. {"TPU_VISIBLE_DEVICES": "{i}"} gives each
+        worker its own chip). Without it, workers inherit the parent env
+        unchanged — on a single-chip machine run CPU workers
+        (--platform=cpu) or exactly one worker, since concurrent processes
+        contend on one chip."""
         self._lock = threading.Lock()
         self._rr = 0
         self.workers = []
         for i in range(n_workers):
             spill = (os.path.join(spill_root, f"worker-{i}")
                      if spill_root else None)
+            env_i = {k: v.format(i=i) for k, v in (worker_env or {}).items()}
             self.workers.append(
-                _Worker(i, _free_port(), worker_args, spill))
+                _Worker(i, _free_port(), worker_args, spill, env_i))
         self._stop = threading.Event()
         self._monitor: threading.Thread | None = None
 
@@ -185,7 +212,12 @@ class WorkerPool:
 
 
 def make_pool_server(pool: WorkerPool, port: int = 0,
-                     max_bytes: int | None = None) -> ThreadingHTTPServer:
+                     max_bytes: int = DEFAULT_MAX_BYTES,
+                     ) -> ThreadingHTTPServer:
+    """max_bytes bounds what the front door will BUFFER per request (the
+    whole body is read before forwarding): it defaults to the worker's own
+    64 MiB limit — an uncapped default would let one oversized POST OOM
+    the router."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
@@ -267,7 +299,7 @@ def make_pool_server(pool: WorkerPool, port: int = 0,
                 self.close_connection = True
                 return self._reply(400, json.dumps(
                     {"error": "bad Content-Length header"}).encode())
-            if max_bytes is not None and n > max_bytes:
+            if n > max_bytes:
                 # Reject at the front door; do not stream a huge body
                 # toward a worker that will refuse it anyway. Drain a
                 # bounded amount first so a mid-upload client sees the 413
@@ -290,10 +322,17 @@ def make_pool_server(pool: WorkerPool, port: int = 0,
             # DELETE bodies are never used downstream; read them only to
             # keep the connection in sync, and refuse outsized ones rather
             # than buffering them (same bound as the rejected-POST drain).
+            # A malformed Content-Length must close the connection, not be
+            # treated as 0 — unread body bytes would desync the next
+            # keep-alive request (same rule as the worker's do_DELETE).
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
-                n = 0
+                n = -1
+            if n < 0:
+                self.close_connection = True
+                return self._reply(400, json.dumps(
+                    {"error": "bad Content-Length header"}).encode())
             if n > (8 << 20):
                 self.close_connection = True
                 return self._reply(413, json.dumps(
@@ -311,7 +350,8 @@ def main() -> int:
     port = 8806
     worker_args = []
     spill_root = None
-    max_bytes = None
+    max_bytes = DEFAULT_MAX_BYTES
+    worker_env: dict = {}
     for a in sys.argv[1:]:
         if a.startswith("--workers="):
             n_workers = int(a.split("=", 1)[1])
@@ -322,6 +362,17 @@ def main() -> int:
         elif a.startswith("--max-bytes="):
             max_bytes = int(a.split("=", 1)[1])
             worker_args.append(a)
+        elif a.startswith("--worker-env="):
+            # KEY=VALUE with optional {i} worker-index substitution, e.g.
+            # --worker-env=TPU_VISIBLE_DEVICES={i} pins one chip per
+            # worker on a multi-chip host. Repeatable.
+            kv = a.split("=", 1)[1]
+            if "=" not in kv:
+                print(f"nle-serve-pool: --worker-env needs KEY=VALUE, "
+                      f"got {kv!r}", file=sys.stderr)
+                return 2
+            k, v = kv.split("=", 1)
+            worker_env[k] = v
         elif a.startswith(("--platform=", "--token=", "--max-filters=",
                            "--max-filter-bytes=", "--access-log=")):
             worker_args.append(a)
@@ -330,9 +381,11 @@ def main() -> int:
                   "usage: nle-serve-pool [--workers=N] [--port=N] "
                   "[--spill-root=DIR] [--platform=NAME] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
-                  "[--access-log=PATH|-]", file=sys.stderr)
+                  "[--worker-env=KEY=VALUE] [--access-log=PATH|-]",
+                  file=sys.stderr)
             return 2
-    pool = WorkerPool(n_workers, worker_args, spill_root=spill_root)
+    pool = WorkerPool(n_workers, worker_args, spill_root=spill_root,
+                      worker_env=worker_env)
     pool.start()
     srv = make_pool_server(pool, port, max_bytes=max_bytes)
     print(f"nle-tpu serving pool on http://127.0.0.1:{port} "

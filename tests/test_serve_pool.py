@@ -116,6 +116,35 @@ def test_pool_front_door_size_limit(pool_server):
     assert ei.value.code == 413
 
 
+def test_pool_delete_bad_content_length(pool_server):
+    """Malformed Content-Length on DELETE gets a clean 400 + close (never
+    a silent n=0 that would desync the keep-alive stream)."""
+    import http.client
+
+    base, pool = pool_server
+    host, port = base.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("DELETE", "/filters?name=x")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_pool_worker_env_substitution(tmp_path):
+    """--worker-env values template the worker index (the device-pinning
+    hook); every worker also gets NLE_POOL_WORKER_INDEX."""
+    from nle_tpu.serving.pool import WorkerPool
+
+    pool = WorkerPool(3, [], worker_env={"FAKE_DEVICE": "dev{i}"})
+    assert [w.env_extra["FAKE_DEVICE"] for w in pool.workers] == \
+        ["dev0", "dev1", "dev2"]
+
+
 def test_pool_worker_restart_recovers_filters(pool_server, small_png):
     """SIGTERM a worker that holds a named filter: the supervisor restarts
     it, warm restart recovers the checkpointed filter from its spill dir,
