@@ -41,6 +41,32 @@ def test_multihost_single_process_path_matches_pipeline():
         assert np.abs(V * signs - V1).max() < 5e-3
 
 
+def test_multihost_multi_step_batch():
+    """B_local > 1: images train one-per-step in order; each result
+    matches its own single-process train. Exercises the per-step bucket
+    agreement loop (different images can land in different buckets)."""
+    from nle_tpu.ops.pipeline import train_filter
+    from nle_tpu.parallel.distributed import (
+        make_global_mesh,
+        train_filters_multihost,
+    )
+
+    mesh = make_global_mesh()
+    rng = np.random.default_rng(21)
+    batch = np.stack([
+        rng.integers(0, 256, (24, 32)).astype(np.float32),
+        np.full((24, 32), 128.0, np.float32),   # degenerate: rank-deficient
+        rng.integers(0, 256, (24, 32)).astype(np.float32),
+    ])
+    args = (3, 4, 50.0, 30.0, 5, 5)
+    results = train_filters_multihost(batch, *args, mesh, streaming=True)
+    assert len(results) == 3
+    for chan, (V, S) in zip(batch, results):
+        V1, S1 = train_filter(chan, *args, use_pallas=False)
+        S1 = np.asarray(S1)[: S.shape[0]]
+        np.testing.assert_allclose(S, S1, rtol=2e-4, atol=1e-5)
+
+
 def test_multihost_factored_matches_dense():
     """factored=True returns V-free FactoredFilters whose eigvals and
     apply match the dense multihost result (capacity path symmetry with

@@ -145,6 +145,33 @@ def test_pool_worker_env_substitution(tmp_path):
         ["dev0", "dev1", "dev2"]
 
 
+def test_pool_router_fuzz_no_5xx_or_desync(pool_server, small_png):
+    """Malformed traffic through the router gets clean 4xx JSON from the
+    worker (or the front door), never a 5xx or a connection desync."""
+    _, png = small_png
+    probes = [
+        ("POST", "/enhance", b"not an image"),           # 400 decode
+        ("POST", "/enhance?nr=x&nc=2&hx=1&hy=1", png),   # 400 params
+        ("POST", "/apply?name=%00%ff&w=1", png),         # 400 unknown name
+        ("POST", "/nope", png),                          # 404 route
+        ("POST", "/train?nr=2", png),                    # 400 missing params
+    ]
+    base, pool = pool_server
+    for method, path, body in probes:
+        req = urllib.request.Request(f"{base}{path}", data=body,
+                                     method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == 200, (path, r.status)
+        except urllib.error.HTTPError as e:
+            body_out = e.read()
+            assert 400 <= e.code < 500, (path, e.code, body_out[:200])
+            assert "error" in json.loads(body_out), body_out[:200]
+    # The pool is still healthy afterwards.
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+
 def test_pool_worker_restart_recovers_filters(pool_server, small_png):
     """SIGTERM a worker that holds a named filter: the supervisor restarts
     it, warm restart recovers the checkpointed filter from its spill dir,
