@@ -583,7 +583,7 @@ def test_filter_store_concurrent_stress(tmp_path):
         try:
             for it in range(150):
                 name = names[int(rng.integers(len(names)))]
-                op = rng.integers(3)
+                op = rng.integers(4)   # put / get / names+stats / delete
                 if op == 0:
                     store.put(name, tiny_filter(float(seed * 1000 + it)))
                 elif op == 1:
@@ -591,9 +591,15 @@ def test_filter_store_concurrent_stress(tmp_path):
                         store.get(name)
                     except KeyError:
                         pass  # never trained yet — legitimate
+                elif op == 3:
+                    try:
+                        store.delete(name)
+                    except KeyError:
+                        pass  # unknown / already deleted — legitimate
                 else:
                     store.names()
-                    store.stats()
+                    st = store.stats()
+                    assert st["resident_bytes"] >= 0
         except Exception as e:  # pragma: no cover - failure path
             errors.append(e)
 
