@@ -6,7 +6,8 @@ idles while the other works. For a stream of images this schedules image
 i+1's device stage 2a behind image i's, so image i's host chain (and image
 i+2's stage 1) runs WHILE the device sweeps Sinkhorn for i+1 — JAX's async
 dispatch provides the queueing; the only blocking point per image is the
-(m+2, m)-sized fetch of its balancing vectors.
+(2, mb)-sized rc fetch of its balancing vectors (~5 KB; Sb rides the
+async transfer pool).
 
 Per-image cost approaches max(device_time, host_time) instead of their sum
 (measured ~1.3-1.5x throughput on 1 MP streams, tools/bench_batch.py).
@@ -112,12 +113,28 @@ def train_filters_iter(
     list form and editing afterwards — editing inside the loop makes the
     consumer's device fetches queue behind the next frame's Sinkhorn and
     stalls stage-1 submission (measured ~6% slower on 8x1 MP streams)."""
-    channels = [np.asarray(c) for c in channels]
-    if not channels:
+    # Lazy: only the FIRST channel is pulled upfront (its shape configures
+    # the grid and the capacity decision); the rest stream one at a time —
+    # materializing the whole iterable would hold every frame of a long
+    # stream in host RAM and delay frame 0's filter until the producer
+    # finished (defeating the first-result-latency contract above).
+    chan_it = iter(channels)
+    try:
+        first = np.asarray(next(chan_it))
+    except StopIteration:
         return
-    nrows, ncols = channels[0].shape
-    if any(c.shape != (nrows, ncols) for c in channels):
-        raise ValueError("pipelined training requires same-shape channels")
+    nrows, ncols = first.shape
+
+    def validated():
+        yield first
+        for c in chan_it:
+            c = np.asarray(c)
+            if c.shape != (nrows, ncols):
+                raise ValueError(
+                    "pipelined training requires same-shape channels")
+            yield c
+
+    channels = validated()
     grid = sample_grid(nrows, ncols, n_row_samples, n_col_samples)
     if not fits_pipeline(grid.n_pixels, n_row_samples, n_col_samples):
         # Past the two-phi lookahead ceiling: the pipelined schedule would
@@ -132,7 +149,11 @@ def train_filters_iter(
             nrows, ncols, n_row_samples, n_col_samples)
         for chan in channels:
             packed_np, is_8bit = pack_channel(chan, grid.perm)
-            y_dev = jnp.asarray(packed_np) if is_8bit else None
+            # Ship the packed channel either way (u8 when 8-bit-valued,
+            # f32 otherwise): leaving packed_y_dev=None would make
+            # train_filter redo the pack_channel scans just performed.
+            y_dev = (jnp.asarray(packed_np) if is_8bit
+                     else jnp.asarray(packed_np.astype(np.float32)))
             V, S = train_filter(
                 chan, n_row_samples, n_col_samples, hx, hy,
                 n_sinkhorn_iter, n_eig_vectors, eps=eps, grid=grid,
@@ -148,10 +169,16 @@ def train_filters_iter(
     def submit(chan):
         """Host stage 1 + async device stage 2a for one channel."""
         Um64, lam64, _ = ka_eigh_host64(
-            chan.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            chan[grid.sel_rows, grid.sel_cols].astype(np.float64),
             grid.sel_rows, grid.sel_cols, hx, hy, eps,
         )
         m = lam64.shape[0]
+        if m == 0:
+            # Same clean error train_filter raises (a NaN-poisoned frame
+            # keeps zero eigenvalues above eps); proceeding would build
+            # zero-width stage-2 shapes and crash obscurely downstream.
+            raise ValueError(
+                "Affinity matrix Ka has no eigenvalues above eps.")
         mb = bucket_m(m, p)
         warn_truncation(p, m, eps)
         packed_np, is_8bit = pack_channel(chan, grid.perm)

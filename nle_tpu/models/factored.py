@@ -259,7 +259,7 @@ def train_filter_factored(
 
     with stage("Computing kernel"):
         Um64, lam64, _ = ka_eigh_host64(
-            channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            channel_np[grid.sel_rows, grid.sel_cols].astype(np.float64),
             grid.sel_rows, grid.sel_cols, hx, hy, float(eps))
     m = lam64.shape[0]
     if m == 0:

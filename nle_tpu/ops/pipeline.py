@@ -886,7 +886,7 @@ def train_filter(
             s1_fn = ka_eigh_host64 if stage1 == "host64" \
                 else ka_eigh_topk_host64
             Um64, lam64, Uinv64 = s1_fn(
-                channel_np.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+                channel_np[grid.sel_rows, grid.sel_cols].astype(np.float64),
                 grid.sel_rows, grid.sel_cols, hx, hy, float(eps),
             )
             m = lam64.shape[0]

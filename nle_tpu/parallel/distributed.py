@@ -214,7 +214,7 @@ def train_filters_multihost(
         chan = channels_local[step_i]
         flat = chan.reshape(-1)[grid.perm].astype(dt)
         Um64, lam64, Uinv64 = ka_eigh_host64(
-            chan.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+            chan[grid.sel_rows, grid.sel_cols].astype(np.float64),
             grid.sel_rows, grid.sel_cols, hx, hy, eps)
         m = lam64.shape[0]
         warn_truncation(p, m, eps)

@@ -21,6 +21,10 @@ import numpy as np
 # Threshold below which a single np.asarray is used as-is.
 _SMALL_BYTES = 4 << 20
 _CHUNK_BYTES = 2 << 20
+# Leading dims at or above this take one-row-per-request chunking even
+# when rows exceed _CHUNK_BYTES (no relayout, no HBM doubling); below it
+# the on-device flatten is used (tiny-C channel-major case).
+_MIN_LEAD_CHUNKS = 8
 _WORKERS = 8
 
 _executor: ThreadPoolExecutor | None = None
@@ -65,14 +69,17 @@ def fetch(arr) -> np.ndarray:
 
     Chunks along the LEADING axis when rows are small enough that row
     groups hit the ~2 MB request sweet spot (zero extra device memory:
-    leading-axis slices need no relayout). Arrays whose single rows
-    exceed the chunk size — channel-major (C, N) results with a tiny
-    leading dim — are flattened ON DEVICE first and the 1-D view chunked:
-    slicing the MINOR axis of a 2-D device array measured pathologically
-    slow (a (2, 8M) u8 fetch: ~1.4 s either bare or column-chunked;
-    ~0.4 s flattened+chunked). The flatten is a device relayout copy, so
-    it is reserved for exactly that tiny-leading-dim case — a (N, k)
-    eigvec fetch near chip capacity must not transiently double HBM."""
+    leading-axis slices need no relayout). When single rows exceed the
+    chunk size but the leading dim still offers enough slices
+    (>= _MIN_LEAD_CHUNKS), one-row-per-request chunking is used — still
+    zero extra device memory, requests a few MB each (a (600, 1M) f32
+    near chip capacity MUST take this path: flattening it would relayout
+    a second full-size copy and OOM). Only arrays with a TINY leading dim
+    — channel-major (C, N) results — are flattened ON DEVICE first and
+    the 1-D view chunked: slicing the MINOR axis of a 2-D device array
+    measured pathologically slow (a (2, 8M) u8 fetch: ~1.4 s either bare
+    or column-chunked; ~0.4 s flattened+chunked), and at C <= 4 the
+    relayout copy is small."""
     if isinstance(arr, np.ndarray):
         return arr
     nbytes = getattr(arr, "nbytes", 0)
@@ -80,7 +87,7 @@ def fetch(arr) -> np.ndarray:
         return np.asarray(arr)
     shape = arr.shape
     row_bytes = max(1, nbytes // shape[0])
-    if row_bytes <= _CHUNK_BYTES:
+    if row_bytes <= _CHUNK_BYTES or shape[0] >= _MIN_LEAD_CHUNKS:
         n = shape[0]
         src = arr
     else:

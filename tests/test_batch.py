@@ -1,6 +1,7 @@
 """Pipelined multi-image training must reproduce per-image train_filter."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -45,3 +46,50 @@ def _assert_matches_single(chans, flts):
         out_p = np.asarray(apply_filter(jnp.asarray(Vp), fS, jnp.asarray(chan)))
         out_1 = np.asarray(apply_filter(V1, fS, jnp.asarray(chan)))
         assert np.abs(out_p - out_1).max() < 1e-3
+
+
+def test_iter_is_lazy_on_streaming_producers():
+    """train_filters_iter must not materialize a lazy producer: with the
+    one-image lookahead, the first filter arrives after pulling at most
+    two frames — a long stream's tail stays unproduced until needed."""
+    from nle_tpu.models.batch import train_filters_iter
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (20, 24)).astype(np.float32)
+              for _ in range(6)]
+    pulled = []
+
+    def producer():
+        for i, f in enumerate(frames):
+            pulled.append(i)
+            yield f
+
+    it = train_filters_iter(producer(), 3, 4, 100.0, 30.0, 3, 3)
+    first = next(it)
+    assert first.eigvecs.shape[0] == 20 * 24
+    assert len(pulled) <= 3, pulled   # first + lookahead, not the stream
+    rest = list(it)
+    assert len(rest) == 5 and len(pulled) == 6
+
+
+def test_iter_mixed_shapes_raise():
+    from nle_tpu.models.batch import train_filters_iter
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (20, 24)).astype(np.float32),
+              rng.integers(0, 256, (24, 20)).astype(np.float32)]
+    with pytest.raises(ValueError, match="same-shape"):
+        list(train_filters_iter(frames, 3, 4, 100.0, 30.0, 3, 3))
+
+
+def test_iter_degenerate_stage1_raises_cleanly():
+    """A NaN-poisoned frame must raise a clean ValueError from stage 1
+    (scipy's finiteness check), never an obscure zero-width stage-2 crash.
+    (True m == 0 is unreachable for finite inputs — trace(Ka) = p forces
+    an eigenvalue >= 1 — but submit() guards it as defense-in-depth,
+    mirroring train_filter.)"""
+    from nle_tpu.models.batch import train_filters_iter
+
+    bad = np.full((20, 24), np.nan, np.float32)
+    with pytest.raises(ValueError):
+        list(train_filters_iter([bad], 3, 4, 100.0, 30.0, 3, 3))

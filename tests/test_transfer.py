@@ -19,6 +19,9 @@ def test_fetch_matches_asarray(rng):
         rng.integers(0, 255, 5 * _SMALL_BYTES, dtype=np.uint8),  # u8 chunked
         # tiny leading dim, huge rows: the on-device-flatten path
         rng.integers(0, 255, (2, 3 * _SMALL_BYTES), dtype=np.uint8),
+        # many big rows (>= _MIN_LEAD_CHUNKS leading): one-row-per-request
+        # leading-axis path — must NOT flatten (no transient HBM double)
+        rng.integers(0, 255, (9, 3 * _SMALL_BYTES), dtype=np.uint8),
         # many small rows: the zero-extra-HBM leading-axis path
         rng.random((big_rows // 2, 3)).astype(np.float32),
     ]
