@@ -134,8 +134,50 @@ def main() -> int:
             10 * np.log10(255.0 ** 2 / np.mean(
                 (decoded[0].astype(np.float64) - ref_out.astype(np.float64))
                 ** 2)))
+        # Byte-budget eviction on the real chip: keep 3 named filters under
+        # a budget that holds ~1.5 of them — training b and c evicts a
+        # (device buffers free; checkpoint fetched over the tunnel), and a
+        # later /apply for a must reload from spill and return bytes
+        # IDENTICAL to the pre-eviction edit.
+        import tempfile
+
+        from nle_tpu.models.filter import TrainedFilter
+
+        one = TrainedFilter(
+            eigvecs=ref_filter.trained.eigvecs,
+            eigvals=ref_filter.trained.eigvals,
+            nrows=img.shape[0], ncols=img.shape[1]).nbytes()
+        budget = int(1.5 * one)
+        tcfg = cfg.rsplit("&w=", 1)[0]
+        with tempfile.TemporaryDirectory(prefix="nle-evict-") as spill:
+            srv2 = make_server(max_filter_bytes=budget, spill_dir=spill)
+            port2 = srv2.server_address[1]
+            threading.Thread(target=srv2.serve_forever, daemon=True).start()
+            try:
+                base2 = f"http://127.0.0.1:{port2}"
+
+                def call(path, body):
+                    req = urllib.request.Request(f"{base2}{path}", data=body)
+                    with urllib.request.urlopen(req, timeout=1800) as r:
+                        return r.read()
+
+                call(f"/train?name=a&{tcfg}", bodies[0])
+                out_a1 = call(f"/apply?name=a&w={WEIGHTS}", bodies[0])
+                call(f"/train?name=b&{tcfg}", bodies[2])
+                call(f"/train?name=c&{tcfg}", bodies[3])
+                with urllib.request.urlopen(f"{base2}/metrics",
+                                            timeout=30) as r:
+                    m2 = json.loads(r.read())["filters"]
+                out_a2 = call(f"/apply?name=a&w={WEIGHTS}", bodies[0])
+                evict_ok = (m2["evictions"] >= 1
+                            and m2["resident_bytes"] <= budget
+                            and out_a1 == out_a2)
+            finally:
+                srv2.shutdown()
+
         ok = (exact and deterministic and coalesced
-              and m["errors"] == 0 and m["trains"] == n + 1)
+              and m["errors"] == 0 and m["trains"] == n + 1
+              and evict_ok)
         print(json.dumps({
             "ok": bool(ok), "n": n, "mp": round(mp, 3),
             "wall_s": round(wall, 3),
@@ -145,6 +187,8 @@ def main() -> int:
             "train_batches": m["train_batches"],
             "batched_filters": m["batched_filters"],
             "errors": m["errors"],
+            "evict_reload_exact": bool(evict_ok),
+            "evictions": m2["evictions"],
         }))
         return 0 if ok else 1
     finally:
