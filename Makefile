@@ -44,3 +44,7 @@ tpu-check-sharded:
 
 tpu-check-serving:
 	python tools/check_tpu_serving.py
+
+# Sustained mixed-traffic soak against one server (CPU, ~60 s).
+soak-serving:
+	python tools/soak_serving.py
