@@ -149,11 +149,11 @@ def train_filters_iter(
             nrows, ncols, n_row_samples, n_col_samples)
         for chan in channels:
             packed_np, is_8bit = pack_channel(chan, grid.perm)
-            # Ship the packed channel either way (u8 when 8-bit-valued,
-            # f32 otherwise): leaving packed_y_dev=None would make
-            # train_filter redo the pack_channel scans just performed.
-            y_dev = (jnp.asarray(packed_np) if is_8bit
-                     else jnp.asarray(packed_np.astype(np.float32)))
+            # Ship the packed u8 channel (exact in ANY compute dtype);
+            # non-8-bit channels pass packed_y_dev=None so train_filter
+            # packs at its own resolved dtype — pre-casting to f32 here
+            # would silently degrade a float64 run's stage-2 input.
+            y_dev = jnp.asarray(packed_np) if is_8bit else None
             V, S = train_filter(
                 chan, n_row_samples, n_col_samples, hx, hy,
                 n_sinkhorn_iter, n_eig_vectors, eps=eps, grid=grid,

@@ -21,10 +21,15 @@ import numpy as np
 # Threshold below which a single np.asarray is used as-is.
 _SMALL_BYTES = 4 << 20
 _CHUNK_BYTES = 2 << 20
-# Leading dims at or above this take one-row-per-request chunking even
-# when rows exceed _CHUNK_BYTES (no relayout, no HBM doubling); below it
-# the on-device flatten is used (tiny-C channel-major case).
+# One-row-per-request leading-axis chunking is taken (no relayout, no HBM
+# doubling) when there are at least this many rows AND each row stays
+# within _BIG_ROW_BYTES (near the measured 1-4 MB request sweet spot).
 _MIN_LEAD_CHUNKS = 8
+_BIG_ROW_BYTES = 8 << 20
+# Above that, the on-device flatten (a full relayout copy) is used only
+# while the transient copy is modest; past _FLATTEN_LIMIT the per-row
+# path is taken anyway — oversized requests degrade speed, an OOM kills.
+_FLATTEN_LIMIT = 256 << 20
 _WORKERS = 8
 
 _executor: ThreadPoolExecutor | None = None
@@ -67,19 +72,21 @@ def _pool() -> ThreadPoolExecutor:
 def fetch(arr) -> np.ndarray:
     """Device->host transfer of a jax array (or passthrough for numpy).
 
-    Chunks along the LEADING axis when rows are small enough that row
-    groups hit the ~2 MB request sweet spot (zero extra device memory:
-    leading-axis slices need no relayout). When single rows exceed the
-    chunk size but the leading dim still offers enough slices
-    (>= _MIN_LEAD_CHUNKS), one-row-per-request chunking is used — still
-    zero extra device memory, requests a few MB each (a (600, 1M) f32
-    near chip capacity MUST take this path: flattening it would relayout
-    a second full-size copy and OOM). Only arrays with a TINY leading dim
-    — channel-major (C, N) results — are flattened ON DEVICE first and
-    the 1-D view chunked: slicing the MINOR axis of a 2-D device array
-    measured pathologically slow (a (2, 8M) u8 fetch: ~1.4 s either bare
-    or column-chunked; ~0.4 s flattened+chunked), and at C <= 4 the
-    relayout copy is small."""
+    Path choice, in order:
+    1. rows <= _CHUNK_BYTES: group rows into ~2 MB leading-axis chunks
+       (zero extra device memory — leading slices need no relayout).
+    2. rows <= _BIG_ROW_BYTES and >= _MIN_LEAD_CHUNKS rows:
+       one-row-per-request leading-axis chunking — still zero extra
+       device memory, requests 2-8 MB each (a (600, 1M) f32 near chip
+       capacity MUST take a no-relayout path: flattening it would
+       allocate a second full-size copy and OOM).
+    3. total <= _FLATTEN_LIMIT: flatten ON DEVICE and chunk the 1-D view
+       — slicing the MINOR axis of a 2-D device array measured
+       pathologically slow (a (2, 8M) u8 fetch: ~1.4 s either bare or
+       column-chunked; ~0.4 s flattened+chunked); the relayout copy is
+       bounded by the limit.
+    4. else: one-row-per-request anyway — oversized requests only
+       degrade throughput, a multi-GB relayout can kill the job."""
     if isinstance(arr, np.ndarray):
         return arr
     nbytes = getattr(arr, "nbytes", 0)
@@ -87,7 +94,10 @@ def fetch(arr) -> np.ndarray:
         return np.asarray(arr)
     shape = arr.shape
     row_bytes = max(1, nbytes // shape[0])
-    if row_bytes <= _CHUNK_BYTES or shape[0] >= _MIN_LEAD_CHUNKS:
+    if (row_bytes <= _CHUNK_BYTES
+            or (row_bytes <= _BIG_ROW_BYTES
+                and shape[0] >= _MIN_LEAD_CHUNKS)
+            or nbytes > _FLATTEN_LIMIT):
         n = shape[0]
         src = arr
     else:

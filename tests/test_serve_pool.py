@@ -160,13 +160,14 @@ def test_pool_router_fuzz_no_5xx_or_desync(pool_server, small_png):
     for method, path, body in probes:
         req = urllib.request.Request(f"{base}{path}", data=body,
                                      method=method)
-        try:
-            with urllib.request.urlopen(req, timeout=120) as r:
-                assert r.status == 200, (path, r.status)
-        except urllib.error.HTTPError as e:
-            body_out = e.read()
-            assert 400 <= e.code < 500, (path, e.code, body_out[:200])
-            assert "error" in json.loads(body_out), body_out[:200]
+        # Every probe is malformed: a 200 would mean garbage input was
+        # silently "processed" — as much a regression as a 5xx.
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        body_out = ei.value.read()
+        assert 400 <= ei.value.code < 500, (path, ei.value.code,
+                                            body_out[:200])
+        assert "error" in json.loads(body_out), body_out[:200]
     # The pool is still healthy afterwards.
     with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
         assert json.loads(r.read())["ok"]

@@ -75,8 +75,9 @@ def main() -> int:
             mp_target = float(a.split("=", 1)[1])
         elif a.startswith("--n="):
             n = int(a.split("=", 1)[1])
-    if n < 3:
-        raise SystemExit("--n must be >= 3 (reference + determinism pair)")
+    if n < 4:
+        raise SystemExit("--n must be >= 4 (reference + determinism pair + "
+                         "two distinct frames for the eviction phase)")
 
     import numpy as np
 

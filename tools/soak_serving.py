@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> int:
     seconds = 60.0
     n_threads = 4
+    platform_set = False
     for a in sys.argv[1:]:
         if a.startswith("--seconds="):
             seconds = float(a.split("=", 1)[1])
@@ -42,14 +43,14 @@ def main() -> int:
             import jax
 
             jax.config.update("jax_platforms", a.split("=", 1)[1])
+            platform_set = True
         else:
             print(f"unknown argument {a!r}", file=sys.stderr)
             return 2
-    else:
-        if not any(x.startswith("--platform=") for x in sys.argv[1:]):
-            import jax
+    if not platform_set:
+        import jax
 
-            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
 
     import tempfile
 
@@ -71,6 +72,7 @@ def main() -> int:
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         stop = time.monotonic() + seconds
         counts = {"ok": 0, "4xx": 0}
+        counts_lock = threading.Lock()
         errors: list = []
         peak_bytes = [0]
         names = [f"s{i}" for i in range(8)]
@@ -101,15 +103,24 @@ def main() -> int:
                     try:
                         with urllib.request.urlopen(req, timeout=300) as r:
                             body = r.read()
-                            counts["ok"] += 1
                             if url.endswith("/metrics"):
                                 f = json.loads(body)["filters"]
-                                peak_bytes[0] = max(peak_bytes[0],
-                                                    f["resident_bytes"])
+                            else:
+                                f = None
+                            # Locked read-modify-write: a lost max() update
+                            # could silently drop an over-budget
+                            # observation — the exact signal this soak
+                            # exists to catch.
+                            with counts_lock:
+                                counts["ok"] += 1
+                                if f is not None:
+                                    peak_bytes[0] = max(
+                                        peak_bytes[0], f["resident_bytes"])
                     except urllib.error.HTTPError as e:
                         e.read()
                         if 400 <= e.code < 500:
-                            counts["4xx"] += 1   # deleted-name races etc.
+                            with counts_lock:
+                                counts["4xx"] += 1  # deleted-name races etc.
                         else:
                             errors.append((url, e.code))
             except Exception as e:   # transport faults are failures too
