@@ -355,9 +355,48 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
     ref = V @ (fS1 * (V.T @ chan.reshape(-1)))
     assert np.abs(out_f.reshape(-1) - ref).max() < 0.1, (
         np.abs(out_f.reshape(-1) - ref).max())
+    # Bucket-divergence phase: the processes deliberately land in
+    # DIFFERENT rank buckets (p=150: the random image keeps m=150 ->
+    # bucket 150, the flat one m~64 -> bucket 128), so the step runs at
+    # the MAX bucket and the deficient process executes with mb larger
+    # than its own natural bucket — the zero-padded-columns/traced-m
+    # contract that no single-process test can reach (the mesh trainer
+    # groups per bucket and never mixes them).
+    chan2 = (np.full((40, 45), 77.0, np.float32) if pid % 2
+             else rng.integers(0, 256, (40, 45)).astype(np.float32))
+    args2 = (10, 15, 30.0, 30.0, 4, 5)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        from nle_tpu.ops.pipeline import bucket_m, ka_eigh_host64
+        from nle_tpu.ops.sampling import sample_grid
+
+        g2 = sample_grid(40, 45, 10, 15)
+        _, lam2, _ = ka_eigh_host64(
+            chan2[g2.sel_rows, g2.sel_cols].astype(np.float64),
+            g2.sel_rows, g2.sel_cols, 30.0, 30.0, 1e-10)
+        buckets = {int(bucket_m(int(mi), g2.n_samples)) for mi in
+                   multihost_utils.process_allgather(
+                       np.array([lam2.shape[0]])).ravel()}
+        assert len(buckets) > 1, (
+            f"bucket-divergence phase is vacuous: all buckets {buckets}")
+    (V2, S2), = train_filters_multihost(chan2[None], *args2, mesh)
+    V1b, S1b = train_filter(chan2, *args2, use_pallas=False)
+    V1b, S1b = np.asarray(V1b), np.asarray(S1b)
+    k2 = S2.shape[0]
+    # Looser than the full-rank phase above: a truncating chain (m=64 of
+    # 150 kept) amplifies the cross-implementation f32 noise — the
+    # single-process MESH trainer at its OWN bucket already differs from
+    # train_filter by ~5e-4 relative here (measured), so this is the
+    # noise class, not an mb-padding defect (the forced-larger-bucket run
+    # measured CLOSER to train_filter than the own-bucket one).
+    assert np.allclose(S2, S1b[:k2], rtol=2e-3, atol=1e-4), (S2, S1b)
+    signs = np.sign(np.sum(V2 * V1b[:, :k2], axis=0))
+    signs[signs == 0] = 1.0
+    assert np.abs(V2 * signs - V1b[:, :k2]).max() < 2e-2
     print(f"multihost selfcheck pid={pid}/{nproc}: ok "
-          f"(dense + streaming + factored match single-process)",
-          flush=True)
+          f"(dense + streaming + factored + divergent-bucket match "
+          f"single-process)", flush=True)
 
 
 def run_localhost_workers(n_proc: int, local_devices: int = 2,
