@@ -116,6 +116,32 @@ def test_pool_front_door_size_limit(pool_server):
     assert ei.value.code == 413
 
 
+def test_pool_auth_passthrough(tmp_path, small_png):
+    """Worker bearer-token auth works through the router: the
+    Authorization header is forwarded (it is not a hop-by-hop header), so
+    a locked pool 401s without the token and serves with it."""
+    from nle_tpu.serving.pool import WorkerPool, make_pool_server
+
+    _, png = small_png
+    pool = WorkerPool(1, ["--platform=cpu", "--token=sek"])
+    pool.start()
+    srv = make_pool_server(pool)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/enhance?{CFG}&w=1,1", png)
+        assert ei.value.code == 401
+        req = urllib.request.Request(f"{base}/enhance?{CFG}&w=1,1",
+                                     data=png)
+        req.add_header("Authorization", "Bearer sek")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()
+        pool.stop()
+
+
 def test_pool_delete_bad_content_length(pool_server):
     """Malformed Content-Length on DELETE gets a clean 400 + close (never
     a silent n=0 that would desync the keep-alive stream)."""
