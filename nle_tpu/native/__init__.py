@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -21,37 +22,53 @@ _SO = os.path.join(_DIR, "_labcolor.so")
 _MARKER = os.path.join(_DIR, "_labcolor.built")
 
 _lib = None
+# One build/load at a time: the serving server calls the Lab conversion
+# from concurrent request threads, and two first-callers racing the
+# check-build-dlopen sequence could have one compiler rewriting the very
+# .so the other just dlopen'ed (SIGBUS on its file-backed mappings).
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-                 _SRC, "-o", _SO],
-                check=True, capture_output=True,
-            )
-            return True
-        except (OSError, subprocess.CalledProcessError):
-            continue
-    # retry without OpenMP
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-                check=True, capture_output=True,
-            )
-            return True
-        except (OSError, subprocess.CalledProcessError):
-            continue
+    # Compile to a private temp name, then os.replace into place: CDLL in
+    # this (or another) process always opens a COMPLETE file — never one a
+    # linker is still writing — and the old inode stays valid for anyone
+    # who already mapped it.
+    tmp = f"{_SO}.tmp-{os.getpid()}"
+    flag_sets = (
+        ["-O3", "-march=native", "-fopenmp", "-shared", "-fPIC"],
+        ["-O3", "-shared", "-fPIC"],   # retry without OpenMP
+    )
+    for flags in flag_sets:
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run(
+                    [cc, *flags, _SRC, "-o", tmp],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, _SO)
+                return True
+            except (OSError, subprocess.CalledProcessError):
+                continue
+    if os.path.exists(tmp):
+        os.unlink(tmp)
     return False
 
 
 def load():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+    Thread-safe: concurrent first calls serialize on a lock."""
     global _lib
     if _lib is not None:
         return _lib
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib
     try:
         import platform
 

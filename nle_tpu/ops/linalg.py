@@ -38,7 +38,11 @@ def safe_reciprocal(x: jax.Array, eps: float) -> jax.Array:
 
 
 def safe_rsqrt(x: jax.Array, eps: float) -> jax.Array:
-    valid = jnp.abs(x) >= eps
+    # x >= eps, NOT |x| >= eps: rsqrt needs a positive argument — copying
+    # safe_reciprocal's magnitude guard here would let x <= -eps through
+    # to a NaN instead of the masked 0 the name promises. (Call sites all
+    # pre-mask with x >= eps today; this keeps the function safe anyway.)
+    valid = x >= eps
     return jnp.where(valid, jax.lax.rsqrt(jnp.where(valid, x, 1.0)), 0.0)
 
 
@@ -66,6 +70,15 @@ def eigh_descending(M: jax.Array, eps: float, method: str = "xla"):
         the f32 pipeline, so spending a microsecond-scale host roundtrip
         buys back most of the reference's fp64 fidelity.
     """
+    if method not in ("xla", "host64", "host64-chain"):
+        # Fail fast: a typo'd method silently falling through to the f32
+        # device eigh would cost ~25 dB of golden PSNR with no error
+        # (the chain gates fidelity). "host64-chain" reaches here from
+        # ka_eigh_stage when the f64 work lives in the OUTER host chain —
+        # the inner eigh then correctly runs the device path.
+        raise ValueError(
+            f"unknown eigh method {method!r} "
+            "(expected 'xla', 'host64', or 'host64-chain')")
     low = jnp.tril(M)
     M = low + jnp.tril(M, -1).T
     if method == "host64":

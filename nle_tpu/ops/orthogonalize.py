@@ -163,8 +163,14 @@ def host_chain64(wa, rga, sb, k: int, eps: float,
             "(NLE_Q_SOLVER?)")
 
     def eigh_desc_raw(M):
-        low = np.tril(M)
-        lam, U = _eigh64(low + np.tril(M, -1).T)
+        # Lower-triangle semantics (the repo-wide eigh rule) come for free:
+        # scipy.linalg.eigh (lower=True) and np.linalg.eigh (UPLO='L')
+        # read ONLY the lower triangle, so passing M directly is
+        # bit-identical to mirroring it first — and skips two m x m f64
+        # temporaries on the latency-critical single-core host chain.
+        # (The topk branch below MUST still mirror: ARPACK matvecs use the
+        # full matrix.)
+        lam, U = _eigh64(M)
         return U[:, ::-1].copy(), lam[::-1].copy()
 
     def rsqrt_safe(x):
