@@ -157,6 +157,7 @@ def train_filters_multihost(
         factored_from_pieces,
     )
     from nle_tpu.utils.logging import logger, warn_truncation
+    from nle_tpu.utils.transfer import transfer_pool
 
     if factored and not streaming:
         raise ValueError(
@@ -166,10 +167,7 @@ def train_filters_multihost(
         mesh = make_global_mesh()
     channels_local = np.asarray(channels_local, np.float32)
     b_local, nrows, ncols = channels_local.shape
-    if eps is None:
-        eps_v = float(default_eps(jnp.float32))
-    else:
-        eps_v = float(eps)
+    eps = float(default_eps(jnp.float32) if eps is None else eps)
     # Config agreement: EVERY parameter that shapes the compiled SPMD
     # program or its math (incl. hx/hy/eps, which bake into the jitted
     # step, and the streaming/factored mode switches) all-gathered over
@@ -183,7 +181,7 @@ def train_filters_multihost(
     # identically keeps the equality exact.
     cfg = np.array([b_local, nrows, ncols, n_row_samples, n_col_samples,
                     n_sinkhorn_iter, n_eig_vectors,
-                    float(hx), float(hy), eps_v,
+                    float(hx), float(hy), eps,
                     float(bool(streaming)), float(bool(factored))],
                    np.float32)
     cfg_all = np.asarray(multihost_utils.process_allgather(cfg), np.float32)
@@ -197,7 +195,6 @@ def train_filters_multihost(
     nb = n - p
     n_pixel = mesh.shape["pixel"]
     nb_pad = -(-nb // n_pixel) * n_pixel
-    eps = eps_v
     sw, pw = bandwidth_weights(hx, hy)
     dt = np.float32
 
@@ -270,8 +267,6 @@ def train_filters_multihost(
         # fetches and resolves only inside host_orthogonalize (after its
         # eig(Wa) work) — the same fetch-overlap protocol as the
         # single-process trainers (ops/pipeline.py submit_sb_fetch).
-        from nle_tpu.utils.transfer import transfer_pool
-
         sb_fut = transfer_pool().submit(lambda: _local_row(Sb)[0])
         rp64 = _local_row(rp)[0].astype(np.float64)
         cp64 = _local_row(cp)[0].astype(np.float64)
@@ -319,6 +314,13 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
     chan = rng.integers(0, 256, (24, 32)).astype(np.float32)
     args = (3, 4, 50.0, 30.0, 5, 5)
 
+    def assert_v_matches(V, V_ref, tol, tag):
+        # Eigenvector sign is per-column arbitrary; compare up to sign.
+        signs = np.sign(np.sum(V * V_ref, axis=0))
+        signs[signs == 0] = 1.0
+        err = np.abs(V * signs - V_ref).max()
+        assert err < tol, (tag, err)
+
     results = {}
     for streaming in (False, True):
         (V, S), = train_filters_multihost(
@@ -334,11 +336,7 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
         tag = "streaming" if streaming else "dense"
         assert np.allclose(S, S1, rtol=2e-4, atol=1e-5), (
             tag, S, S1)
-        # Eigenvector sign is per-column arbitrary; compare up to sign.
-        signs = np.sign(np.sum(V * V1, axis=0))
-        signs[signs == 0] = 1.0
-        err = np.abs(V * signs - V1).max()
-        assert err < 5e-3, (tag, err)
+        assert_v_matches(V, V1, 5e-3, tag)
 
     # V-free factored capacity path over the same global mesh.
     from nle_tpu.ops.transform import transform_eigenvalues
@@ -391,9 +389,7 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
     # noise class, not an mb-padding defect (the forced-larger-bucket run
     # measured CLOSER to train_filter than the own-bucket one).
     assert np.allclose(S2, S1b[:k2], rtol=2e-3, atol=1e-4), (S2, S1b)
-    signs = np.sign(np.sum(V2 * V1b[:, :k2], axis=0))
-    signs[signs == 0] = 1.0
-    assert np.abs(V2 * signs - V1b[:, :k2]).max() < 2e-2
+    assert_v_matches(V2, V1b[:, :k2], 2e-2, "divergent-bucket")
     print(f"multihost selfcheck pid={pid}/{nproc}: ok "
           f"(dense + streaming + factored + divergent-bucket match "
           f"single-process)", flush=True)
