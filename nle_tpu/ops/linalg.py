@@ -91,7 +91,8 @@ def eigh_descending(M: jax.Array, eps: float, method: str = "xla"):
     return U, lam
 
 
-def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
+def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10,
+                            *, return_converged: bool = False):
     """Iterative top-k symmetric eigensolver, host-side.
 
     API-parity port of the reference's optional Spectra path
@@ -107,6 +108,11 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
     rotated eigenbases — violating the repo's bitwise training-determinism
     invariant (tests/test_pipeline.py). n == 1 (k would clamp to 0, which
     ARPACK rejects) falls back to the dense solver.
+
+    return_converged=True appends a bool: False when ARPACK stopped short
+    (warn-and-continue). Rank-DISCOVERY callers (ka_eigh_topk_host64's
+    doubling loop) need it — a non-converged short result is
+    indistinguishable from genuine eps-truncation by length alone.
     """
     import scipy.sparse.linalg as spla
 
@@ -115,11 +121,13 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
     M = np.asarray(M, np.float64)
     n = M.shape[0]
     k = min(n_largest, n - 1)
+    converged = True
     if k < 1:
         lam, U = eigh64(M)
         lam, U = lam[::-1].copy(), U[:, ::-1].copy()
         keep = int(np.count_nonzero(lam >= eps))
-        return U[:, :keep], lam[:keep]
+        out = (U[:, :keep], lam[:keep])
+        return (*out, True) if return_converged else out
     ncv = min(2 * k, n)
     v0 = np.full(n, 1.0 / np.sqrt(n))
     try:
@@ -129,13 +137,14 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10):
             "Eigen decomposition NOT successful. Results might be inaccurate."
         )
         lam, U = e.eigenvalues, e.eigenvectors
+        converged = False
     order = np.argsort(lam)[::-1]
     lam = lam[order]
     U = U[:, order]
     keep = int(np.count_nonzero(lam >= eps))
     if keep < lam.size:
-        return U[:, :keep], lam[:keep]
-    return U, lam
+        U, lam = U[:, :keep], lam[:keep]
+    return (U, lam, converged) if return_converged else (U, lam)
 
 
 def _host_eigh64(M: jax.Array):

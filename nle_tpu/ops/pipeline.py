@@ -107,11 +107,20 @@ def _grid_device_arrays(grid: SampleGrid, dtype):
     hit = _GRID_CACHE.get(key)
     if hit is None:
         perm = jnp.asarray(grid.perm)
-        rr = (perm // grid.ncols).astype(dtype)
-        cc = (perm % grid.ncols).astype(dtype)
+        # Coordinates stay exact-integer floats: sub-32-bit payload dtypes
+        # (bf16/f16) would quantize row/col indices past 256/2048 columns,
+        # breaking the raw-integer-difference affinity rule
+        # (ops/affinity.py) with banded wrong distances.
+        coord_dt = (dtype if jnp.dtype(dtype).itemsize >= 4
+                    else jnp.float32)
+        rr = (perm // grid.ncols).astype(coord_dt)
+        cc = (perm % grid.ncols).astype(coord_dt)
         hit = (perm, rr, cc)
-        if len(_GRID_CACHE) > 16:
-            _GRID_CACHE.clear()
+        while len(_GRID_CACHE) > 16:
+            # Evict the OLDEST entry, not the whole cache: dict preserves
+            # insertion order, and clearing everything would re-upload
+            # every hot grid's ~12 MB/MP on its next call.
+            _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
         _GRID_CACHE[key] = hit
     return hit
 
@@ -186,7 +195,15 @@ def ka_eigh_topk_host64(y_sel, rows_sel, cols_sel, hx, hy, eps, k0: int = 64):
         return ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps)
     k = min(max(k0, 8), p - 1)
     while True:
-        U, lam = topk_eigendecomposition(Ka, k, eps)
+        U, lam, converged = topk_eigendecomposition(
+            Ka, k, eps, return_converged=True)
+        if not converged:
+            # A short NON-converged result is indistinguishable from
+            # genuine eps-truncation by length alone; treating it as "tail
+            # captured" would silently train an under-ranked filter (the
+            # balanced-block boundary moves and golden PSNR collapses).
+            # The warn already fired; the exact solver recovers.
+            return ka_eigh_host64(y_sel, rows_sel, cols_sel, hx, hy, eps)
         if lam.size < k:
             break                    # truncation happened: tail captured
         if k >= p - 1:
@@ -291,6 +308,16 @@ def stage2_dense_small(n: int, mb: int) -> bool:
     return 4 * npad * mpad <= _CPHI_BYTES_LIMIT or not scaled_fits_vmem(mpad)
 
 
+def _stage2_fused(dtype, use_pallas: bool | None) -> bool:
+    """Whether stage 2a takes the fused Pallas path for this dtype — the
+    ONE definition both the stage-2a dispatch and stage2b_factor_scaled
+    derive from, so the two gates cannot drift apart (a drift would scale
+    the factor twice or never and silently corrupt V)."""
+    pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
+                 else use_pallas)
+    return pallas_ok and jnp.dtype(dtype) == jnp.float32
+
+
 def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
                           use_pallas: bool | None = None) -> bool:
     """Whether stage 2a returns a pre-scaled diag(c) phi factor (vs the
@@ -298,10 +325,8 @@ def stage2b_factor_scaled(n: int, mb: int, dtype=jnp.float32,
     matmul) — the static `scaled` argument train_filter_stage2b needs. ONE
     definition shared by every caller of the split stage-2 protocol
     (train_filter, models/batch.py) so the branch cannot drift."""
-    pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
-                 else use_pallas)
-    fused = pallas_ok and jnp.dtype(dtype) == jnp.float32
-    return (not fused) or stage2_dense_small(n, mb)
+    return (not _stage2_fused(dtype, use_pallas)
+            or stage2_dense_small(n, mb))
 
 
 def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
@@ -410,6 +435,21 @@ def pack_stage1(Um64, lam64, dtype=np.float32, mb: int | None = None):
     return out
 
 
+def pack_stage1_device(Um_d, lam_d, m: int, mb: int, dtype):
+    """Device twin of pack_stage1: assemble [Um; lam; m-digits] from an
+    already-device-resident eigensystem (stage1='device') without a
+    host->device re-upload. MUST mirror pack_stage1's layout exactly —
+    row p = lam, row p+1 = base-256 m digits — and a parity test pins the
+    two against each other (tests/test_bucketing.py)."""
+    digits = jnp.zeros((1, mb), dtype)
+    digits = digits.at[0, 0].set(m % 256)
+    if mb > 1:
+        digits = digits.at[0, 1].set(m // 256)
+    pad = ((0, 0), (0, mb - m))
+    return jnp.concatenate(
+        [jnp.pad(Um_d, pad), jnp.pad(lam_d[None, :], pad), digits], axis=0)
+
+
 def _unpack_stage1(stage1_packed, p):
     """(Um (p, mb), lam (mb,), Uinv (p, mb), m traced int32 scalar).
 
@@ -464,9 +504,7 @@ def train_filter_stage2a(
         phi_b = affinity_matmul(fa, fb, Uinv, sw, pw,
                                 use_pallas=False if interpret else use_pallas)
         n = y.shape[0]
-        pallas_ok = (jax.default_backend() == "tpu" if use_pallas is None
-                     else use_pallas)
-        if pallas_ok and phi_b.dtype == jnp.float32 and Um.dtype == jnp.float32:
+        if _stage2_fused(phi_b.dtype, use_pallas) and Um.dtype == phi_b.dtype:
             from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_gram_pallas
             from nle_tpu.ops.pallas.sinkhorn_kernel import (
                 padded_shape,
@@ -912,14 +950,7 @@ def train_filter(
             # pad to the bucket and append the m digits on device instead
             # of a host->device re-upload (~30-60 ms on the tunnel).
             Um_d, lam_d = dev_s1
-            digits = jnp.zeros((1, mb), dtype)
-            digits = digits.at[0, 0].set(m % 256)
-            if mb > 1:
-                digits = digits.at[0, 1].set(m // 256)
-            pad = ((0, 0), (0, mb - m))
-            stage1_dev = jnp.concatenate(
-                [jnp.pad(Um_d, pad), jnp.pad(lam_d[None, :], pad), digits],
-                axis=0)
+            stage1_dev = pack_stage1_device(Um_d, lam_d, m, mb, dtype)
         else:
             stage1_dev = jnp.asarray(pack_stage1(Um64, lam64,
                                                  np.dtype(dtype), mb=mb))
@@ -949,8 +980,9 @@ def train_filter(
         with stage("Nystrom approximation + Sinkhorn"):
             if streaming:
                 logger.info(
-                    "phi (%d x %d) exceeds NLE_STREAM_BYTES: using the "
-                    "phi-free streaming stage 2.", grid.n_pixels, m)
+                    "using the phi-free streaming stage 2 for phi "
+                    "(%d x %d) (requested, or past the NLE_STREAM_BYTES/"
+                    "VMEM capacity rules).", grid.n_pixels, m)
                 rc_dev, sb_dev, c_full = train_filter_stage2a_streaming(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,

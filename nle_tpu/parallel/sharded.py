@@ -167,8 +167,10 @@ def _coord_rest_arrays(grid, mesh: Mesh, dtype, nb_pad: int):
             jax.device_put(np.pad(rr, (0, nb_pad - nb)), sh_pix),
             jax.device_put(np.pad(cc, (0, nb_pad - nb)), sh_pix),
         )
-        if len(_COORD_CACHE) > 8:
-            _COORD_CACHE.clear()
+        while len(_COORD_CACHE) > 8:
+            # Evict oldest-first (insertion order), not the whole cache —
+            # same rationale as pipeline._GRID_CACHE.
+            _COORD_CACHE.pop(next(iter(_COORD_CACHE)))
         _COORD_CACHE[key] = hit
     return hit
 

@@ -216,3 +216,21 @@ def test_ranks_share_compiled_program(monkeypatch, caplog):
         size_after_first = train_filter_stage2a._cache_size()
         train_filter(img2, 7, 8, hx, hy, 4, 4)
     assert train_filter_stage2a._cache_size() == size_after_first
+
+
+def test_pack_stage1_device_matches_host():
+    """pack_stage1_device (the stage1='device' on-device assembly) must
+    produce the exact layout pack_stage1 defines — one packing contract,
+    two implementations, pinned against each other (incl. a rank needing
+    two base-256 digits)."""
+    from nle_tpu.ops.pipeline import pack_stage1_device
+
+    rng = np.random.default_rng(1)
+    for p, m, mb in [(12, 7, 10), (300, 260, 384)]:
+        Um64 = rng.standard_normal((p, m))
+        lam64 = np.sort(rng.uniform(1e-8, 2.0, m))[::-1].copy()
+        host = pack_stage1(Um64, lam64, mb=mb)
+        dev = pack_stage1_device(
+            jnp.asarray(Um64, jnp.float32), jnp.asarray(lam64, jnp.float32),
+            m, mb, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(dev), host)

@@ -247,3 +247,32 @@ def test_topk_n1_dense_fallback():
     assert lam.shape == (1,)
     np.testing.assert_allclose(lam[0], 3.0)
     np.testing.assert_allclose(np.abs(U), [[1.0]])
+
+
+def test_ka_topk_nonconvergence_falls_back_to_exact(rng, monkeypatch):
+    """A NON-converged short ARPACK result must not be mistaken for
+    eps-truncation ("tail captured"): the doubling loop falls back to the
+    exact dense solver instead of silently training under-ranked."""
+    from nle_tpu.ops import linalg as linalg_mod
+    from nle_tpu.ops.pipeline import ka_eigh_host64, ka_eigh_topk_host64
+    from nle_tpu.ops.sampling import sample_grid
+
+    chan = rng.integers(0, 256, (20, 24)).astype(np.float32)
+    grid = sample_grid(20, 24, 4, 5)
+    args = (chan[grid.sel_rows, grid.sel_cols], grid.sel_rows,
+            grid.sel_cols, 50.0, 30.0, 1e-10)
+    exact = ka_eigh_host64(*args)
+    real = linalg_mod.topk_eigendecomposition
+
+    def unconverged(M, k, eps, *, return_converged=False):
+        out = real(M, k, eps, return_converged=True)
+        # Simulate ARPACK stopping short: fewer pairs than asked, flagged.
+        U, lam, _ = out
+        short = max(1, k // 2)
+        res = (U[:, :short], lam[:short], False)
+        return res if return_converged else res[:2]
+
+    monkeypatch.setattr(linalg_mod, "topk_eigendecomposition", unconverged)
+    got = ka_eigh_topk_host64(*args, k0=8)
+    for a, b in zip(got, exact):
+        np.testing.assert_array_equal(a, b)
