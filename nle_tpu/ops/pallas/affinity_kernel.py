@@ -38,11 +38,17 @@ def ptiled_fits(m: int) -> bool:
     B (e.g. the k-column eigenvector tail) rides the fused kernel for ANY
     sampling-grid size."""
     mpad = _round_up(max(m, 1), 128)
-    return 4 * (3 * TILE_Q * mpad + TILE_Q * PTILE) <= 10 * 2**20
+    # Terms spelled out per buffer (NOT merged): the accumulator is
+    # TILE_Q-tall but the two B slices are PTILE-tall — a merged
+    # 3*TILE_Q*mpad only happens to be correct while PTILE == TILE_Q,
+    # and retuning PTILE must not silently under-count VMEM.
+    vmem = 4 * (TILE_Q * mpad          # output accumulator
+                + 2 * PTILE * mpad     # double-buffered B slices
+                + TILE_Q * PTILE)      # affinity tile
+    return vmem <= 10 * 2**20
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from nle_tpu.ops.pallas._common import round_up as _round_up
 
 
 def _out_struct(shape, *operands):
@@ -121,7 +127,16 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     p = fa.shape[0]
     q = fb.shape[0]
     m = B.shape[1]
-
+    if not ptiled_fits(m):
+        # Loud, early: past this width even the p-tiled branch's VMEM
+        # working set cannot fit and Mosaic would die with an opaque
+        # compile-time error. Route wide-B requests through
+        # affinity_matmul (ops/affinity.py), which falls back to the
+        # tiled XLA builder.
+        raise ValueError(
+            f"B width {m} exceeds the p-tiled kernel's VMEM budget "
+            "(ptiled_fits); use affinity_matmul, which auto-falls back "
+            "to the XLA builder.")
     ppad = _round_up(p, 128)
     mpad = _round_up(m, 128)
     qpad = _round_up(max(q, 1), TILE_Q)
@@ -138,6 +153,11 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
 
     sw2 = jnp.asarray(sw, jnp.float32).reshape(1, 1)
     pw2 = jnp.asarray(pw, jnp.float32).reshape(1, 1)
+    # vma uniformity under shard_map(check_vma=True): replicated scalars /
+    # sample features must match the pixel-sharded fb's varying axes (the
+    # streaming kernels do the same; pcast is a no-op single-chip).
+    sw2, pw2, fb_cols, fa_rows, bp = _unify_vma(
+        sw2, pw2, fb_cols, fa_rows, bp)
 
     def cost_for(ppad_: int) -> pl.CostEstimate:
         # Per-branch: the p-tiled branch re-pads p to a PTILE multiple, so
@@ -176,6 +196,8 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     ppad = _round_up(p, PTILE)
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))
     bp = jnp.pad(B, ((0, ppad - p), (0, mpad - m)))
+    sw2, pw2, fb_cols, fa_rows, bp = _unify_vma(
+        sw2, pw2, fb_cols, fa_rows, bp)
     out = pl.pallas_call(
         _kernel_ptiled,
         grid=(qpad // TILE_Q, ppad // PTILE),

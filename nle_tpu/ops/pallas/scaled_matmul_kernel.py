@@ -24,8 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from nle_tpu.ops.pallas._common import round_up as _round_up
 
 
 def gram_tile(mpad: int) -> int:

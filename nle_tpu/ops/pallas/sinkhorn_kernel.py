@@ -30,8 +30,7 @@ from nle_tpu.ops.linalg import safe_reciprocal
 TILE_N = 1024
 
 
-def _round_up(x: int, mult: int) -> int:
-    return -(-x // mult) * mult
+from nle_tpu.ops.pallas._common import round_up as _round_up
 
 
 def padded_shape(n: int, m: int, tile: int = TILE_N) -> tuple[int, int]:
@@ -83,6 +82,13 @@ def sinkhorn_halfstep_pallas(phi_pad: jax.Array, t: jax.Array, eps,
     t: (Mpad,) float32. Returns (x (Npad,), s (Mpad,)).
     """
     npad, mpad = phi_pad.shape
+    if npad % tile or mpad % 128:
+        # Same loud guard as the manual twin: a non-multiple would make the
+        # grid silently SKIP the tail rows (uninitialized x, missing s
+        # contributions). Zero-pad with padded_shape first.
+        raise ValueError(
+            f"phi_pad {phi_pad.shape} must be (k*{tile}, j*128) — use "
+            "padded_shape()")
     grid = (npad // tile,)
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     x, s_parts = pl.pallas_call(
@@ -249,14 +255,26 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
     trajectory, not the fixed point. It remains available as an explicit
     fast/preview mode: ~1.8x on the dominant HBM-bound stage.
 
-    NLE_SINKHORN_BF16: "off" (default) disables; "auto"/"on" runs all but
-    the last 2 iterations in bf16 (needs >= 2 bf16 iterations to amortize
-    writing the copy); an integer pins the count; "all" skips the polish
-    (for A/B tests). An explicit `bf16_iters` argument also enables it.
+    Precedence (one consistent rule: an EXPLICITLY SET env var is the
+    operator's override and always wins; an unset env defers to the
+    caller's argument):
+      - env unset (default: off): the `bf16_iters` argument decides
+        (None -> 0).
+      - env "off"/"0"/"false": authoritative 0 — the operator can kill
+        the fidelity-risky mode regardless of code paths passing
+        bf16_iters.
+      - env integer: authoritative count.
+      - env "auto"/"on": argument wins if given, else all but the last 2
+        iterations (needs >= 2 bf16 iterations to amortize the copy).
+      - env "all": every iteration bf16, no polish (A/B tests).
     """
-    env = os.environ.get("NLE_SINKHORN_BF16", "off").lower()
+    raw = os.environ.get("NLE_SINKHORN_BF16")
+    arg = 0 if bf16_iters is None else max(0, min(max_iter, bf16_iters))
+    if raw is None:
+        return arg
+    env = raw.lower()
     if env in ("off", "0", "false"):
-        return 0 if bf16_iters is None else max(0, min(max_iter, bf16_iters))
+        return 0
     if env == "all":
         return max_iter
     if env not in ("auto", "on", "1", "true"):
@@ -267,7 +285,7 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
                 f"NLE_SINKHORN_BF16={env!r}: expected off/auto/all or an "
                 "integer iteration count") from None
     if bf16_iters is not None:
-        return max(0, min(max_iter, bf16_iters))
+        return arg
     lead = max_iter - 2
     return lead if lead >= 2 else 0
 
@@ -284,10 +302,16 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
 
     Mixed-precision schedule: the first `bf16_iters` iterations stream a
     bfloat16 copy of phi (half the HBM bytes of the pipeline's dominant
-    stage), then the remaining iterations re-run on the float32 phi. Only
-    the final (r, c) are consumed downstream, and Sinkhorn is a contraction,
-    so the trailing f32 iterations polish away the bf16 rounding of the
-    early trajectory (golden-PSNR validated across the README configs).
+    stage), then the remaining iterations re-run on the float32 phi.
+    OFF BY DEFAULT and NOT golden-safe: the polish cannot erase the bf16
+    trajectory error within the reference's fixed iteration budget on
+    some scenes (see _resolve_bf16_iters — bird/rock2 fail the 45 dB
+    gate). Preview/fast mode only.
+
+    NOTE: NLE_SINKHORN_KERNEL / NLE_SINKHORN_BF16 are read at TRACE time
+    (this function runs inside jitted stage 2a): changing them mid-process
+    does not affect already-compiled shapes — set them before the first
+    training of a shape, or use a fresh process (bench.py does).
     """
     nrows, mcols = phi.shape
     n = nrows if n is None else n
@@ -310,7 +334,12 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     # phi are zero), so s0 is exact.
     s0 = phi_pad.T @ r0
 
-    kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual")
+    kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual").lower()
+    if kernel_kind not in ("manual", "auto"):
+        # A typo must not silently select the manual kernel and benchmark
+        # it against itself (same fail-fast rule as NLE_SINKHORN_BF16).
+        raise ValueError(
+            f"NLE_SINKHORN_KERNEL={kernel_kind!r}: expected manual|auto")
     if kernel_kind == "auto":
         def halfstep(p, t):
             return sinkhorn_halfstep_pallas(p, t, eps, interpret=interpret,

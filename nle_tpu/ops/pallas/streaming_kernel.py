@@ -55,8 +55,7 @@ PTILE = 1024
 MAX_STREAM_P_FUSED = 1792
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from nle_tpu.ops.pallas._common import round_up as _round_up
 
 
 def stream_p_alignment(p: int) -> int:

@@ -160,3 +160,78 @@ def test_sinkhorn_manual_rejects_nondivisible_rows():
     t = jnp.ones((128,), jnp.float32)
     with pytest.raises(ValueError, match="multiple of chunk"):
         sinkhorn_halfstep_manual(phi, t, 1e-10, chunk=1024, interpret=True)
+
+
+def test_resolve_bf16_env_off_is_authoritative(monkeypatch):
+    """An EXPLICIT NLE_SINKHORN_BF16=off kills the fidelity-risky mode even
+    when code passes bf16_iters; an unset env defers to the argument."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_bf16_iters
+
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "off")
+    assert _resolve_bf16_iters(10, 5) == 0      # operator override wins
+    monkeypatch.setenv("NLE_SINKHORN_BF16", "4")
+    assert _resolve_bf16_iters(10, 0) == 4      # integer env authoritative
+    monkeypatch.delenv("NLE_SINKHORN_BF16", raising=False)
+    assert _resolve_bf16_iters(10, 5) == 5
+
+
+def test_sinkhorn_kernel_env_validated(monkeypatch):
+    import jax.numpy as jnp
+    import pytest
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+
+    monkeypatch.setenv("NLE_SINKHORN_KERNEL", "pallas")   # typo'd value
+    phi = jnp.ones((64, 8), jnp.float32)
+    lam = jnp.ones((8,), jnp.float32)
+    with pytest.raises(ValueError, match="NLE_SINKHORN_KERNEL"):
+        sinkhorn_vectors_fused(phi, lam, 3, 1e-10, interpret=True)
+
+
+def test_sinkhorn_auto_kernel_matches_manual(monkeypatch, rng):
+    """The NLE_SINKHORN_KERNEL=auto pipelined kernel (striped accumulator,
+    traced-index stores) must agree with the manual default — previously
+    untested anywhere, even in interpret mode."""
+    import jax.numpy as jnp
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        padded_shape,
+        sinkhorn_halfstep_manual,
+        sinkhorn_halfstep_pallas,
+        sinkhorn_vectors_fused,
+    )
+
+    n, m = 500, 7
+    npad, mpad = padded_shape(n, m, tile=256)
+    phi = np.zeros((npad, mpad), np.float32)
+    phi[:n, :m] = rng.random((n, m)) + 0.1
+    t = np.zeros(mpad, np.float32)
+    t[:m] = rng.random(m) + 0.1
+    x_a, s_a = sinkhorn_halfstep_pallas(
+        jnp.asarray(phi), jnp.asarray(t), 1e-10, interpret=True, tile=256)
+    x_m, s_m = sinkhorn_halfstep_manual(
+        jnp.asarray(phi), jnp.asarray(t), 1e-10, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_m),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_m),
+                               rtol=1e-6, atol=1e-7)
+    # And the non-divisible guard matches the manual twin's.
+    import pytest
+
+    with pytest.raises(ValueError, match="padded_shape"):
+        sinkhorn_halfstep_pallas(jnp.ones((300, 128), jnp.float32),
+                                 jnp.ones((128,), jnp.float32), 1e-10,
+                                 interpret=True, tile=256)
+    # Full fused driver under the auto kernel agrees with the manual one.
+    monkeypatch.setenv("NLE_SINKHORN_KERNEL", "auto")
+    r_a, c_a = sinkhorn_vectors_fused(jnp.asarray(phi[:n, :m]),
+                                      jnp.asarray(t[:m]), 4, 1e-10,
+                                      interpret=True, tile=256)
+    monkeypatch.setenv("NLE_SINKHORN_KERNEL", "manual")
+    r_m, c_m = sinkhorn_vectors_fused(jnp.asarray(phi[:n, :m]),
+                                      jnp.asarray(t[:m]), 4, 1e-10,
+                                      interpret=True, tile=256)
+    np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_m),
+                               rtol=1e-5, atol=1e-6)
