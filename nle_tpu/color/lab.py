@@ -114,11 +114,6 @@ def _srgb_to_linear(c):
     return jnp.where(c > _SRGB_T, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
 
 
-def _linear_to_srgb(c):
-    c = jnp.clip(c, 0.0, 1.0)
-    return jnp.where(c > _SRGB_INV_T, 1.055 * c ** (1.0 / 2.4) - 0.055, 12.92 * c)
-
-
 def _f(t):
     return jnp.where(t > _T0, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
 

@@ -93,3 +93,42 @@ def test_bilateral_vs_opencv(rng, sigma_color, sigma_space):
     diff = np.abs(got - want)
     assert diff.max() <= 1, f"max diff {diff.max()}"
     assert (diff > 0).mean() < 0.02
+
+
+def test_bgr_to_lab_float_formula_within_2lsb(rng):
+    """The float-formula forward conversion (the documented cross-check of
+    the integer LUT pipeline, color/lab.py module docstring) stays within
+    +-2 LSB of OpenCV on random images. It is NOT the training path — the
+    LUT pipeline is bit-exact and training is chaotic in L — but its
+    agreement bound is what validates the LUT constants."""
+    from nle_tpu.color.lab import bgr_to_lab_u8_float
+
+    img = _rand_img(rng, 64, 80)
+    want = cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.int32)
+    got = np.asarray(bgr_to_lab_u8_float(jnp.asarray(img))).astype(np.int32)
+    assert np.abs(got - want).max() <= 2
+    assert np.abs(got - want).mean() < 0.2
+
+
+def test_native_rebuild_from_source(tmp_path, monkeypatch, rng):
+    """Force the build-on-import path (native/__init__.py _build): compile
+    labcolor.c fresh into a temp location, load it, and check the forward
+    conversion is bit-exact vs cv2 — covering the stale-marker rebuild,
+    the temp-compile + atomic-replace flow, and the ctypes wiring."""
+    from nle_tpu import native as nat
+    from nle_tpu.color import lab as labmod
+
+    so = tmp_path / "_labcolor.so"
+    marker = tmp_path / "_labcolor.built"
+    monkeypatch.setattr(nat, "_SO", str(so))
+    monkeypatch.setattr(nat, "_MARKER", str(marker))
+    monkeypatch.setattr(nat, "_lib", None)
+    lib = nat.load()
+    if lib is None:
+        pytest.skip("no C compiler available")
+    assert so.exists() and marker.exists()
+    img = _rand_img(rng, 32, 48)
+    got = nat.bgr2lab_u8(img, labmod._GAMMA_TAB, labmod._CBRT_TAB,
+                         labmod._XYZ_COEFFS, labmod._L_SCALE, labmod._L_SHIFT)
+    want = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    np.testing.assert_array_equal(got, want)

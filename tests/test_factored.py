@@ -103,6 +103,9 @@ def test_factored_save_load_roundtrip(tmp_path, image):
     assert isinstance(ff2, FactoredFilter)
     got = ff2.apply(image, fS)
     np.testing.assert_array_equal(got, want)
+    # The direct classmethod resolves the same .npz suffix rule.
+    ff3 = FactoredFilter.load(path)
+    np.testing.assert_array_equal(ff3.apply(image, fS), want)
 
 
 def test_factored_size_guard(image):

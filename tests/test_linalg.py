@@ -47,3 +47,29 @@ def test_safe_reciprocal_matches_inplace_reciprocal():
 def test_safe_rsqrt():
     x = jnp.array([4.0, 1e-12, 0.25])
     np.testing.assert_allclose(safe_rsqrt(x, EPS), [0.5, 0.0, 2.0], atol=1e-12)
+
+
+def test_eigh_descending_host64_matches_xla():
+    """method="host64" (pure_callback into LAPACK f64) agrees with the
+    device path on an exactly-representable symmetric matrix, and runs the
+    callback under jit (the path the CPU fallback of ka_eigh_stage uses;
+    axon cannot — CLAUDE.md — so this is CPU-only coverage)."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((12, 12))
+    M = jnp.asarray((A + A.T) / 2, jnp.float64)
+    Ux, Dx = eigh_descending(M, EPS, method="xla")
+    Uh, Dh = eigh_descending(M, EPS, method="host64")
+    np.testing.assert_allclose(np.asarray(Dh), np.asarray(Dx),
+                               rtol=1e-12, atol=1e-12)
+    # Eigenvectors match up to per-column sign.
+    s = np.sign(np.sum(np.asarray(Ux) * np.asarray(Uh), axis=0))
+    np.testing.assert_allclose(np.asarray(Uh) * s, np.asarray(Ux),
+                               atol=1e-10)
+
+    # float32 input: the callback computes in f64 and casts back to the
+    # input dtype (the _host_eigh64 contract).
+    M32 = M.astype(jnp.float32)
+    U32, D32 = eigh_descending(M32, EPS, method="host64")
+    assert U32.dtype == jnp.float32 and D32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(D32), np.asarray(Dx),
+                               rtol=1e-5, atol=1e-5)

@@ -125,3 +125,15 @@ def test_multihost_config_mismatch_fails_loudly():
             distributed.train_filters_multihost(
                 batch, 3, 4, 50.0, 30.0, 5, 5,
                 distributed.make_global_mesh())
+
+
+def test_parallel_package_lazy_exports():
+    """nle_tpu.parallel exposes the multi-process half lazily (importing
+    the package must not pull jax.distributed wiring; __getattr__ resolves
+    on first touch) and rejects unknown names."""
+    import nle_tpu.parallel as par
+
+    assert callable(par.make_global_mesh)
+    assert callable(par.train_filters_multihost)
+    with pytest.raises(AttributeError):
+        par.no_such_symbol

@@ -42,3 +42,16 @@ def test_perm_is_permutation():
     assert np.array_equal(np.sort(g.perm), np.arange(23 * 17))
     inv = g.unpack_indices()
     assert np.array_equal(g.perm[inv], np.arange(23 * 17))
+
+
+def test_pack_reorders_by_perm():
+    g = sample_grid(23, 17, 4, 6)
+    x = np.arange(23 * 17, dtype=np.float32)
+    packed = g.pack(x)
+    assert np.array_equal(packed, x[g.perm])
+    # Selected pixels lead the packed order (the [selected; rest] layout).
+    sel_flat = g.sel_rows * 17 + g.sel_cols
+    assert np.array_equal(packed[: g.n_samples], sel_flat.astype(np.float32))
+    # Works on (N, ...) arrays too.
+    x2 = np.stack([x, -x], axis=1)
+    assert np.array_equal(g.pack(x2), x2[g.perm])
