@@ -3,7 +3,8 @@
 
 The default run checks the 3 cheapest enhance configs (flower, bird,
 paper — ~35 s, spanning small/medium grids and k=10..30) PLUS the
-end-to-end denoise gate, so a fidelity regression fails an ordinary
+end-to-end denoise gate PLUS one links.md stored-anchor recipe
+(brickwall-links, ~8 s), so a fidelity regression fails an ordinary
 `pytest tests/ -q` run, not just the opt-in full sweep;
 NLE_RUN_FULL_GOLDEN=1 enforces the FULL invariant — all 10 README
 enhance configs >= 45 dB (several minutes on CPU). Config table is shared
@@ -73,11 +74,21 @@ def test_golden_denoise_gate():
     assert psnr >= 45.0, f"{inp} denoise: {psnr:.2f} dB < 45 dB gate"
 
 
-@pytest.mark.skipif(not EXTENDED, reason="NLE_RUN_EXTENDED_GOLDEN=1 only")
+# Default mode runs the cheapest + most PSNR-sensitive recipe (brickwall
+# at hx=3000 — a bandwidth regime the README table misses, and the lowest
+# margin of the five: 52.7 dB on TPU, GOLDEN_TPU_EXTENDED.jsonl), so the
+# stored-anchor machinery itself is gated in plain CI (~8 s);
+# NLE_RUN_EXTENDED_GOLDEN=1 runs all five links.md recipes.
+_EXT_DEFAULT_IDS = ("brickwall-links",)
+_EXT_SELECTED = (EXTENDED_RECIPES if EXTENDED
+                 else [c for c in EXTENDED_RECIPES
+                       if c[0] in _EXT_DEFAULT_IDS])
+
+
 @pytest.mark.parametrize(
     "name,inp,params,weights",
-    [(c[0], c[1], c[2], c[3]) for c in EXTENDED_RECIPES],
-    ids=[c[0] for c in EXTENDED_RECIPES],
+    [(c[0], c[1], c[2], c[3]) for c in _EXT_SELECTED],
+    ids=[c[0] for c in _EXT_SELECTED],
 )
 def test_extended_recipe_golden_gate(name, inp, params, weights):
     """links.md historical recipes: f32 pipeline vs the CACHED f64 oracle

@@ -3,6 +3,12 @@ reference's shipped outputs (BASELINE.md table). Usage:
 
     python tools/golden_sweep.py [--platform=cpu|axon] [--precision=float64]
                                  [--configs=a,b] [--out=FILE.jsonl]
+                                 [--extended]
+
+--extended appends the links.md historical recipes (EXTENDED_RECIPES),
+gated against their cached f64 oracle anchors in tools/golden_cache/ —
+the same anchors the opt-in pytest gate uses, so the TPU snapshot
+(GOLDEN_TPU_EXTENDED.jsonl) and the CPU gate measure the same thing.
 
 Configs live in nle_tpu.golden_configs (shared with the enforced pytest
 gate, tests/test_golden.py, so the snapshot and the gate cannot drift).
@@ -94,12 +100,25 @@ def main():
             out_file.write(line + "\n")
             out_file.flush()
 
+    jobs = [(name, inp, os.path.join(DATA, goldf), params, weights)
+            for name, inp, goldf, params, weights in CONFIGS]
+    if "--extended" in sys.argv:
+        from nle_tpu.golden_configs import (
+            EXTENDED_RECIPES,
+            extended_golden_path,
+            generate_extended_goldens,
+        )
+
+        generate_extended_goldens()
+        jobs += [(name, inp, extended_golden_path(name), params, weights)
+                 for name, inp, params, weights in EXTENDED_RECIPES]
+
     results = []
-    for name, inp, goldf, params, weights in CONFIGS:
+    for name, inp, goldp, params, weights in jobs:
         if only and name not in only:
             continue
         img = cv2.imread(os.path.join(DATA, inp))
-        gold = cv2.imread(os.path.join(DATA, goldf))
+        gold = cv2.imread(goldp)
         nr, nc, hx, hy, iters, k = params
         t0 = time.time()
         f = NLEFilter(dtype=dtype)
