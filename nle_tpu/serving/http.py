@@ -811,6 +811,28 @@ class _Service:
         return _encode_png(out)
 
 
+def _device_memory() -> dict:
+    """Actual accelerator memory (bytes_in_use / peak_bytes_in_use) per
+    device. The store's resident_bytes accounts MODEL bytes only; the
+    operator-facing number for a 16 GB chip must also show transient
+    training buffers and anything the allocator is holding. PJRT backends
+    without memory_stats (CPU, some plugins) report {} — absence of data,
+    not zero."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            stats = {}
+        row = {k: stats[k] for k in ("bytes_in_use", "peak_bytes_in_use",
+                                     "bytes_limit") if k in stats}
+        if row:
+            out[str(d.id)] = row
+    return out
+
+
 def make_server(port: int = 0, token: str | None = None,
                 max_bytes: int = DEFAULT_MAX_BYTES,
                 max_filters: int = DEFAULT_MAX_FILTERS,
@@ -886,7 +908,9 @@ def make_server(port: int = 0, token: str | None = None,
                 return self._reply(200, body, "application/json")
             if path == "/metrics":
                 body = json.dumps({**svc.metrics.snapshot(),
-                                   "filters": svc.store.stats()}).encode()
+                                   "filters": svc.store.stats(),
+                                   "device_memory": _device_memory()},
+                                  ).encode()
                 return self._reply(200, body, "application/json")
             return self._json_err(404, "not found")
 

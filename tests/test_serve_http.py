@@ -151,6 +151,11 @@ def test_metrics_endpoint(server, small_png):
     assert 0 < e["p50_sec"] <= e["p99_sec"]
     assert "_lat" not in e   # the raw reservoir never leaks into the JSON
     assert "resident" in m["filters"]
+    # Actual accelerator memory: always a dict; per-device rows only where
+    # the PJRT backend exposes memory_stats (CPU typically reports {}).
+    assert isinstance(m["device_memory"], dict)
+    for row in m["device_memory"].values():
+        assert row.get("bytes_in_use", 0) >= 0
 
 
 def test_metrics_quantiles_window():
