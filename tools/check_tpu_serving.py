@@ -190,6 +190,17 @@ def main() -> int:
             "errors": m["errors"],
             "evict_reload_exact": bool(evict_ok),
             "evictions": m2["evictions"],
+            # Actual HBM from the /metrics device_memory report (PJRT
+            # memory_stats): peak bytes the load phase really touched on
+            # the 16 GB chip — the operator-facing complement to the
+            # accounted resident_bytes the byte-LRU enforces. null where
+            # the PJRT plugin reports no stats (this machine's axon tunnel
+            # returns None; standard TPU/GPU PJRT backends report real
+            # numbers).
+            "peak_hbm_bytes": max(
+                (row.get("peak_bytes_in_use", 0)
+                 for row in m.get("device_memory", {}).values()),
+                default=None),
         }))
         return 0 if ok else 1
     finally:
