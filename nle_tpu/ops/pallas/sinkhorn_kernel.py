@@ -158,6 +158,15 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
 
         phi_dma(slot, i).wait()
         phi = buf[slot]
+        if phi.dtype == jnp.int16:
+            # int16 per-column-scaled phi copy (see sinkhorn_vectors_fused):
+            # the DMA stream — the pipeline's throughput ceiling — moves
+            # half the f32 bytes; the tile is converted once in VMEM and
+            # both contractions run on exact f32 integer values (<= 32767,
+            # exactly representable), so unlike bf16 there is NO operand
+            # rounding in the dots — the only approximation is the
+            # quantization of the copy itself.
+            phi = phi.astype(jnp.float32)
         # w as a ROW: contract t (1, M) with phi (chunk, M) over M -> (1, chunk)
         w = jax.lax.dot_general(
             t_ref[:], phi,
@@ -235,7 +244,12 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(eps2, t[None, :].astype(phi_pad.dtype), phi_pad)
+    )(eps2,
+      # bf16 phi contracts natively against a bf16 t; the int16 copy is
+      # converted to f32 in-kernel, so t (and x) stay f32 end to end.
+      t[None, :].astype(phi_pad.dtype)
+      if phi_pad.dtype == jnp.bfloat16 else t[None, :],
+      phi_pad)
     return x[:, 0, :].reshape(npad), jnp.sum(s8, axis=0)
 
 
@@ -288,6 +302,45 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
         return arg
     lead = max_iter - 2
     return lead if lead >= 2 else 0
+
+
+def _resolve_int16(n_bf16: int) -> bool:
+    """Whether the f32 iterations stream an int16 PER-COLUMN-SCALED copy
+    of phi instead of the f32 buffer. DEFAULT ON (auto): unlike the bf16
+    mode this is golden-safe, because the scale factors out of both
+    contractions EXACTLY —
+
+        phi ~ Q diag(s),  s_j = colmax_j / 32767
+        w   = phi (lam * (phi^T x)) = Q ((lam s^2) * (Q^T x))
+
+    so the kernel streams int16 (half the f32 bytes on the pipeline's
+    dominant HBM-bound stage), converts each tile to f32 once in VMEM
+    (integer values <= 32767 are exact in f32 — no operand rounding in
+    the MXU dots), and the column scale merges into lam as lam*s^2 with
+    the running s-vector kept in Q-scale. The ONLY approximation is the
+    per-element rounding of the copy: absolute error <= colmax * 2^-16.
+
+    The scale axis is load-bearing: phi's columns carry the Nystrom
+    1/lam_j factor (~10 orders of magnitude across columns), so a
+    per-ROW scale is dominated by the tiny-lam columns and destroys the
+    large-lam columns that dominate W (measured: 4.8 dB on bird —
+    catastrophic); per-COLUMN scaling removes exactly that axis.
+    Measured golden deltas vs the all-f32 trajectory (CPU, all 10 README
+    configs, tools/exp_int16_sinkhorn.py): within ~1 dB of f32
+    everywhere — the quantization sits below the f32-vs-f64 noise floor
+    (canyon measured 1.4 dB ABOVE f32).
+
+    Orthogonal to the bf16 preview mode: int16 engages only when no bf16
+    lead is scheduled (the bf16 schedule's trailing iterations are a
+    POLISH and stay f32). NLE_SINKHORN_INT16=off disables; read at trace
+    time like the other Sinkhorn knobs."""
+    raw = os.environ.get("NLE_SINKHORN_INT16", "auto").lower()
+    if raw in ("off", "0", "false"):
+        return False
+    if raw not in ("auto", "on", "1", "true"):
+        raise ValueError(
+            f"NLE_SINKHORN_INT16={raw!r}: expected auto/on/off")
+    return n_bf16 == 0
 
 
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
@@ -377,6 +430,42 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
             return r, c, s
 
         state = jax.lax.fori_loop(0, n_bf16, body_bf, state)
+
+    if _resolve_int16(n_bf16) and kernel_kind == "manual":
+        # int16 per-column-scaled copy for ALL remaining iterations (see
+        # _resolve_int16 for the algebra and fidelity evidence). Prep cost
+        # is ~2.5 phi sweeps (abs-max reduce + quantized write) against
+        # 2*max_iter sweeps saved at half width.
+        colmax = jnp.max(jnp.abs(phi_pad), axis=0)              # (mpad,)
+        scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+        q_pad = jnp.clip(jnp.round(phi_pad / scale[None, :]),
+                         -32767, 32767).astype(jnp.int16)
+        lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
+        # 2-byte elements: double the chunk when row padding allows (the
+        # same DMA sweet spot the bf16 path uses).
+        chunk_q = 2 * tile
+        while chunk_q > tile and (npad % chunk_q != 0
+                                  or 2 * chunk_q * mpad * 2 > 12 * 2**20):
+            chunk_q //= 2
+
+        def halfstep_q(p, t):
+            return sinkhorn_halfstep_manual(p, t, eps, chunk=chunk_q,
+                                            interpret=interpret)
+
+        # The running s-vector lives in Q-scale (s_q = s / scale): the
+        # kernel returns Q^T x directly, and lam_q = lam * scale^2 maps it
+        # back inside the next half-step's t — no per-iteration rescaling.
+        r, c, s = state
+        sq = jnp.where(colmax > 0, s / scale, 0.0)
+
+        def body_q(_, st):
+            r, c, sq = st
+            c, sq = halfstep_q(q_pad, lam_q * sq)
+            r, sq = halfstep_q(q_pad, lam_q * sq)
+            return r, c, sq
+
+        r, c, _ = jax.lax.fori_loop(n_bf16, max_iter, body_q, (r, c, sq))
+        return r[:n], c[:n]
 
     def body(_, st):
         r, c, s = st

@@ -101,6 +101,55 @@ def test_sinkhorn_fused_bf16_polish_matches_f32():
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=5e-5)
 
 
+def test_sinkhorn_fused_int16_tracks_f32():
+    """The default int16 per-column-scaled Sinkhorn stream stays at
+    ~quantization-level error of the all-f32 XLA trajectory on an
+    affinity-like factor WITH the Nystrom column structure (columns
+    spanning decades — the axis that makes a per-ROW scale fail
+    catastrophically; see _resolve_int16). Measured ~3e-5 here; bf16 on
+    the same shape sits at ~1e-3. The hard gate is golden PSNR
+    (tools/exp_int16_sinkhorn.py: all 10 README configs within ~2 dB of
+    f32, several above it)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+    from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+    rng = np.random.default_rng(7)
+    n, m = 1500, 24
+    base = np.abs(rng.standard_normal((n, m))).astype(np.float32) * 0.3 + 0.05
+    colscale = np.geomspace(1.0, 1e4, m).astype(np.float32)
+    phi = base * colscale[None, :]
+    lam = (np.linspace(1.0, 0.2, m) / colscale.astype(np.float64) ** 2
+           ).astype(np.float32)
+    r_ref, c_ref = sinkhorn_vectors(jnp.asarray(phi), jnp.asarray(lam),
+                                    8, 1e-10)
+    assert os.environ.get("NLE_SINKHORN_INT16", "auto") == "auto"  # default
+    r, c = sinkhorn_vectors_fused(jnp.asarray(phi), jnp.asarray(lam),
+                                  8, 1e-10, interpret=True, n=n)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=5e-4)
+
+
+def test_resolve_int16_policy(monkeypatch):
+    import pytest
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_int16
+
+    monkeypatch.delenv("NLE_SINKHORN_INT16", raising=False)
+    assert _resolve_int16(0) is True      # ON by default (golden-safe)
+    assert _resolve_int16(3) is False     # bf16 lead keeps its f32 polish
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
+    assert _resolve_int16(0) is False
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    assert _resolve_int16(0) is True
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "quick")
+    with pytest.raises(ValueError, match="NLE_SINKHORN_INT16"):
+        _resolve_int16(0)
+
+
 def test_resolve_bf16_iters_policy(monkeypatch):
     from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_bf16_iters
 
@@ -223,6 +272,10 @@ def test_sinkhorn_auto_kernel_matches_manual(monkeypatch, rng):
                                  jnp.ones((128,), jnp.float32), 1e-10,
                                  interpret=True, tile=256)
     # Full fused driver under the auto kernel agrees with the manual one.
+    # Pin the manual driver to f32 — the auto kernel is f32-only, and the
+    # default int16 stream would compare quantized vs unquantized
+    # trajectories instead of the two kernels.
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
     monkeypatch.setenv("NLE_SINKHORN_KERNEL", "auto")
     r_a, c_a = sinkhorn_vectors_fused(jnp.asarray(phi[:n, :m]),
                                       jnp.asarray(t[:m]), 4, 1e-10,

@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> int:
     import numpy as np
 
+    # Apples-to-apples: the check validates the SHARDING machinery (psum
+    # Sinkhorn, shard_map+Pallas lowering) against the single-chip
+    # pipeline. The single-chip fused path streams the int16 phi copy by
+    # default (ops/pallas/sinkhorn_kernel.py _resolve_int16) while the
+    # sharded psum Sinkhorn is plain f32 XLA — comparing those would
+    # measure the quantization mode, which the golden sweep already gates.
+    # Pin both sides to f32 so the dense comparison stays bit-exact.
+    os.environ.setdefault("NLE_SINKHORN_INT16", "off")
+
     from nle_tpu.config import enable_persistent_cache
 
     enable_persistent_cache()
