@@ -108,14 +108,30 @@ def psnr(a, b):
 
 def run(configs):
     import nle_tpu.ops.pipeline as P
+    from nle_tpu.golden_configs import (
+        DENOISE_CONFIG,
+        DENOISE_GOLDEN,
+        EXTENDED_RECIPES,
+        extended_golden_path,
+    )
     from nle_tpu.models.filter import NLEFilter
 
+    jobs = [(name, os.path.join(DATA_DIR, inp),
+             os.path.join(DATA_DIR, goldf), params, weights, None)
+            for name, inp, goldf, params, weights in ENHANCE_CONFIGS]
+    jobs += [(name, os.path.join(DATA_DIR, inp), extended_golden_path(name),
+              params, weights, None)
+             for name, inp, params, weights in EXTENDED_RECIPES]
+    dname, dinp, dparams, dsigmas = DENOISE_CONFIG
+    jobs += [(dname, os.path.join(DATA_DIR, dinp), DENOISE_GOLDEN,
+              dparams, None, dsigmas)]
+
     rows = []
-    for name, inp, goldf, params, weights in ENHANCE_CONFIGS:
+    for name, inp, goldp, params, weights, sigmas in jobs:
         if configs and name not in configs:
             continue
-        img = cv2.imread(os.path.join(DATA_DIR, inp))
-        gold = cv2.imread(os.path.join(DATA_DIR, goldf))
+        img = cv2.imread(inp)
+        gold = cv2.imread(goldp)
         nr, nc, hx, hy, iters, k = params
         out = {}
         for mode, fn in (("f32", None),
@@ -128,8 +144,15 @@ def run(configs):
             try:
                 t0 = time.time()
                 f = NLEFilter()
-                f.train_for_enhancement(img, nr, nc, hx, hy, iters, k)
-                res = f.enhance(img, weights)
+                if sigmas is not None:
+                    sc, ss, shrink = sigmas
+                    f.train_for_denoise(img, nr, nc, hx, hy, iters, k,
+                                        sigma_color=sc, sigma_space=ss)
+                    res = f.denoise(img, shrink, sigma_color=sc,
+                                    sigma_space=ss)
+                else:
+                    f.train_for_enhancement(img, nr, nc, hx, hy, iters, k)
+                    res = f.enhance(img, weights)
                 out[mode] = (psnr(res, gold), time.time() - t0)
             finally:
                 P.sinkhorn_vectors = orig
