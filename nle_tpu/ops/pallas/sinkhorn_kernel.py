@@ -343,6 +343,32 @@ def _resolve_int16(n_bf16: int) -> bool:
     return n_bf16 == 0
 
 
+def _int16_chunk(tile: int, npad: int, mpad: int) -> int:
+    """Row-chunk size for the int16 Sinkhorn stream's manual kernel.
+
+    Start from 2x the f32 tile (2-byte elements: the DMA sweet spot the
+    bf16 path uses) — but UNLIKE bf16, the int16 tile is converted to a
+    full f32 copy in VMEM before the dots (the MXU has no int16 pass
+    here), so the kernel frame holds the 2 int16 DMA slots (2 B/elt)
+    PLUS the f32 conversion temps (4 B/elt, budget 2 live: Mosaic
+    overlaps loop iterations). The bf16-style bound (2*chunk*mpad*2)
+    misses the conversion temps and compiles a frame past the 16 MB
+    scoped-VMEM limit on the real chip (measured: 25.2 MB requested at
+    chunk=2048, mpad=640 — interpret-mode CPU tests cannot catch VMEM
+    limits, only a real TPU compile can). Shrinks below `tile` if even
+    that frame is too big (wide factors); every candidate divides npad
+    because tile is a power of two and npad is a tile multiple."""
+    def frame_bytes(c):
+        return 2 * c * mpad * 2 + 2 * c * mpad * 4
+    chunk = 2 * tile
+    while chunk > tile and (npad % chunk != 0
+                            or frame_bytes(chunk) > 12 * 2**20):
+        chunk //= 2
+    while chunk > 256 and frame_bytes(chunk) > 12 * 2**20:
+        chunk //= 2
+    return chunk
+
+
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
                            eps: float, interpret: bool = False,
                            tile: int = TILE_N, n: int | None = None,
@@ -441,12 +467,7 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         q_pad = jnp.clip(jnp.round(phi_pad / scale[None, :]),
                          -32767, 32767).astype(jnp.int16)
         lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
-        # 2-byte elements: double the chunk when row padding allows (the
-        # same DMA sweet spot the bf16 path uses).
-        chunk_q = 2 * tile
-        while chunk_q > tile and (npad % chunk_q != 0
-                                  or 2 * chunk_q * mpad * 2 > 12 * 2**20):
-            chunk_q //= 2
+        chunk_q = _int16_chunk(tile, npad, mpad)
 
         def halfstep_q(p, t):
             return sinkhorn_halfstep_manual(p, t, eps, chunk=chunk_q,

@@ -184,6 +184,30 @@ def test_scaled_fits_vmem_bounds():
     assert not scaled_fits_vmem(2048)
 
 
+def test_int16_chunk_respects_vmem_frame():
+    """The int16 Sinkhorn stream's chunk sizing must account the in-VMEM
+    f32 conversion temps on top of the int16 DMA slots: the bf16-style
+    bound (DMA slots only) compiled a 25.2 MB kernel frame on the real
+    chip at (tile=1024, mpad=640) — past the 16 MB scoped-VMEM limit —
+    which interpret-mode tests cannot catch. Pin the formula instead."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import _int16_chunk
+
+    def frame(c, mpad):  # 2 int16 DMA slots + 2 live f32 conversion temps
+        return 2 * c * mpad * 2 + 2 * c * mpad * 4
+
+    for tile, mpad in [(1024, 128), (1024, 640), (1024, 1280),
+                       (512, 2432), (256, 4096)]:
+        npad = 8 * tile
+        c = _int16_chunk(tile, npad, mpad)
+        assert frame(c, mpad) <= 12 * 2**20, (tile, mpad, c)
+        assert npad % c == 0
+        assert c >= 256
+    # The 1 MP serving shape that OOM'd: doubling must NOT survive.
+    assert _int16_chunk(1024, 999424, 640) == 1024
+    # Narrow factors still earn the doubled DMA chunk.
+    assert _int16_chunk(1024, 8192, 128) == 2048
+
+
 def test_stage2_dense_small_wide_bucket_falls_back():
     """Sizes in the fused-dense byte window whose rank bucket is too wide
     for the fused kernels take the cphi branch (and train_filter prefers
