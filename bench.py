@@ -79,8 +79,15 @@ def main():
 
             from nle_tpu.models.batch import train_filters_iter
 
-            channels = [bgr_to_lab_u8_np(b)[..., 0].astype(np.float32)
-                        for b in frames_bgr]
+            # LAZY channels: converting all 8 frames to Lab up front is
+            # ~50 ms/frame of serial host work with the device idle;
+            # train_filters_iter pulls frame i+1's channel between
+            # submissions, so a generator slides each conversion under
+            # frame i's device Sinkhorn (same total host work, no serial
+            # prefix).
+            def channels():
+                for b in frames_bgr:
+                    yield bgr_to_lab_u8_np(b)[..., 0].astype(np.float32)
             # Each frame's edit is handed to a consumer thread as soon as
             # train_filters_iter yields its filter: the device executes the
             # apply inside the training stream it is already queueing
@@ -98,7 +105,7 @@ def main():
                             i, NLEFilter(trained=flt).enhance(
                                 frames_bgr[i], weights)))
                     for i, flt in enumerate(
-                        train_filters_iter(channels, *params))
+                        train_filters_iter(channels(), *params))
                 ]
                 for f in futs:
                     f.result()

@@ -306,9 +306,11 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
 
 def _resolve_int16(n_bf16: int) -> bool:
     """Whether the f32 iterations stream an int16 PER-COLUMN-SCALED copy
-    of phi instead of the f32 buffer. DEFAULT ON (auto): unlike the bf16
-    mode this is golden-safe, because the scale factors out of both
-    contractions EXACTLY —
+    of phi instead of the f32 buffer. DEFAULT OFF (auto): golden-safe
+    but measured NOT faster on the real chip, so f32 stays the default.
+
+    The algebra (kept for the opt-in path): the scale factors out of
+    both contractions EXACTLY —
 
         phi ~ Q diag(s),  s_j = colmax_j / 32767
         w   = phi (lam * (phi^T x)) = Q ((lam s^2) * (Q^T x))
@@ -319,25 +321,34 @@ def _resolve_int16(n_bf16: int) -> bool:
     the MXU dots), and the column scale merges into lam as lam*s^2 with
     the running s-vector kept in Q-scale. The ONLY approximation is the
     per-element rounding of the copy: absolute error <= colmax * 2^-16.
+    Fidelity measured within ~2 dB of f32 on all 16 gated configs
+    (tools/exp_int16_sinkhorn.py; per-ROW scaling fails at 4.8 dB on
+    bird — phi's columns carry the Nystrom 1/lam factor, ~10 decades).
 
-    The scale axis is load-bearing: phi's columns carry the Nystrom
-    1/lam_j factor (~10 orders of magnitude across columns), so a
-    per-ROW scale is dominated by the tiny-lam columns and destroys the
-    large-lam columns that dominate W (measured: 4.8 dB on bird —
-    catastrophic); per-COLUMN scaling removes exactly that axis.
-    Measured golden deltas vs the all-f32 trajectory (CPU, all 10 README
-    configs, tools/exp_int16_sinkhorn.py): within ~1 dB of f32
-    everywhere — the quantization sits below the f32-vs-f64 noise floor
-    (canyon measured 1.4 dB ABOVE f32).
+    Why it is not the default: the kernel in ISOLATION is 1.64x faster
+    than f32 (2.68 vs 4.39 ms/halfstep at the 1 MP p=600 shape,
+    tools/bench_sk_width.py — narrow DMA sustains 478 GB/s effective),
+    but IN SITU inside train_filter_stage2a it runs at exactly f32 wall
+    (slope test: 4.09 vs 4.07 ms/halfstep; end-to-end stream A/B
+    1.76-1.78 vs 1.79 MP/s). The optimized HLO explains the gap: the
+    jit-internal quantized buffer is carried through the Sinkhorn while
+    loop as s16{1,0:T(8,128)(2,1)} (tiled, two values packed per 32-bit
+    word) and feeds the custom call directly, whereas the isolated
+    benchmark's entry parameter honors the kernel's untiled {1,0}
+    constraint — Mosaic's chunk DMA over the packed-tiled layout loses
+    the entire narrow-width advantage. Until the in-situ buffer can be
+    forced untiled (e.g. carrying the pair-packed stream as s32, which
+    tiles like f32), the quantization buys nothing, so f32's zero
+    quantization risk makes it the right default.
 
-    Orthogonal to the bf16 preview mode: int16 engages only when no bf16
-    lead is scheduled (the bf16 schedule's trailing iterations are a
-    POLISH and stay f32). NLE_SINKHORN_INT16=off disables; read at trace
-    time like the other Sinkhorn knobs."""
+    Orthogonal to the bf16 preview mode: int16 (when forced on) engages
+    only when no bf16 lead is scheduled (the bf16 schedule's trailing
+    iterations are a POLISH and stay f32). NLE_SINKHORN_INT16=on forces
+    it; read at trace time like the other Sinkhorn knobs."""
     raw = os.environ.get("NLE_SINKHORN_INT16", "auto").lower()
-    if raw in ("off", "0", "false"):
+    if raw in ("auto", "off", "0", "false"):
         return False
-    if raw not in ("auto", "on", "1", "true"):
+    if raw not in ("on", "1", "true"):
         raise ValueError(
             f"NLE_SINKHORN_INT16={raw!r}: expected auto/on/off")
     return n_bf16 == 0

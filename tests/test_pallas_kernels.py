@@ -101,8 +101,8 @@ def test_sinkhorn_fused_bf16_polish_matches_f32():
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=5e-5)
 
 
-def test_sinkhorn_fused_int16_tracks_f32():
-    """The default int16 per-column-scaled Sinkhorn stream stays at
+def test_sinkhorn_fused_int16_tracks_f32(monkeypatch):
+    """The opt-in int16 per-column-scaled Sinkhorn stream stays at
     ~quantization-level error of the all-f32 XLA trajectory on an
     affinity-like factor WITH the Nystrom column structure (columns
     spanning decades — the axis that makes a per-ROW scale fail
@@ -110,8 +110,6 @@ def test_sinkhorn_fused_int16_tracks_f32():
     the same shape sits at ~1e-3. The hard gate is golden PSNR
     (tools/exp_int16_sinkhorn.py: all 10 README configs within ~2 dB of
     f32, several above it)."""
-    import os
-
     import jax.numpy as jnp
 
     from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
@@ -126,7 +124,7 @@ def test_sinkhorn_fused_int16_tracks_f32():
            ).astype(np.float32)
     r_ref, c_ref = sinkhorn_vectors(jnp.asarray(phi), jnp.asarray(lam),
                                     8, 1e-10)
-    assert os.environ.get("NLE_SINKHORN_INT16", "auto") == "auto"  # default
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
     r, c = sinkhorn_vectors_fused(jnp.asarray(phi), jnp.asarray(lam),
                                   8, 1e-10, interpret=True, n=n)
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=5e-4)
@@ -139,12 +137,12 @@ def test_resolve_int16_policy(monkeypatch):
     from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_int16
 
     monkeypatch.delenv("NLE_SINKHORN_INT16", raising=False)
-    assert _resolve_int16(0) is True      # ON by default (golden-safe)
+    assert _resolve_int16(0) is False     # OFF by default (no measured win)
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    assert _resolve_int16(0) is True
     assert _resolve_int16(3) is False     # bf16 lead keeps its f32 polish
     monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
     assert _resolve_int16(0) is False
-    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
-    assert _resolve_int16(0) is True
     monkeypatch.setenv("NLE_SINKHORN_INT16", "quick")
     with pytest.raises(ValueError, match="NLE_SINKHORN_INT16"):
         _resolve_int16(0)

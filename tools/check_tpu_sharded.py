@@ -29,11 +29,9 @@ def main() -> int:
 
     # Apples-to-apples: the check validates the SHARDING machinery (psum
     # Sinkhorn, shard_map+Pallas lowering) against the single-chip
-    # pipeline. The single-chip fused path streams the int16 phi copy by
-    # default (ops/pallas/sinkhorn_kernel.py _resolve_int16) while the
-    # sharded psum Sinkhorn is plain f32 XLA — comparing those would
-    # measure the quantization mode, which the golden sweep already gates.
-    # Pin both sides to f32 so the dense comparison stays bit-exact.
+    # pipeline. int16 defaults off everywhere now, but pin it anyway so
+    # the dense comparison stays bit-exact even if the caller's env
+    # forces the quantized stream on (the golden sweep gates that mode).
     os.environ.setdefault("NLE_SINKHORN_INT16", "off")
 
     from nle_tpu.config import enable_persistent_cache
