@@ -158,15 +158,43 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
 
         phi_dma(slot, i).wait()
         phi = buf[slot]
-        if phi.dtype == jnp.int16:
-            # int16 per-column-scaled phi copy (see sinkhorn_vectors_fused):
-            # the DMA stream — the pipeline's throughput ceiling — moves
-            # half the f32 bytes; the tile is converted once in VMEM and
-            # both contractions run on exact f32 integer values (<= 32767,
-            # exactly representable), so unlike bf16 there is NO operand
-            # rounding in the dots — the only approximation is the
-            # quantization of the copy itself.
-            phi = phi.astype(jnp.float32)
+        if phi.dtype == jnp.int32:
+            # int16 PAIR-PACKED stream (see sinkhorn_vectors_fused): each
+            # 32-bit word carries two per-column-scaled int16 values —
+            # logical row r in the low half, row r + N/2 in the high half.
+            # The container is int32 so XLA stores it plain-T(8,128)-tiled
+            # like f32 (a bare s16 buffer gets the (2,1) pair-packed tiling;
+            # in isolation this kernel beats f32 by 1.6x on the narrow
+            # stream — in situ neither carrier does, see _resolve_int16).
+            # The halves unpack with
+            # two shifts on the VPU; integer values <= 32767 are exact in
+            # f32, so both contractions see exact operands — the only
+            # approximation is the quantization of the copy itself.
+            lo = ((phi << 16) >> 16).astype(jnp.float32)   # sign-extended
+            hi = (phi >> 16).astype(jnp.float32)           # arithmetic
+            w_lo = jax.lax.dot_general(
+                t_ref[:], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (1, chunk)
+            w_hi = jax.lax.dot_general(
+                t_ref[:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x_lo = safe_reciprocal(w_lo, eps_ref[0, 0])
+            x_hi = safe_reciprocal(w_hi, eps_ref[0, 0])
+
+            @pl.when(i >= 2)
+            def _():
+                x_dma(slot, i - 2).wait()
+
+            # One (8, 2*chunk) write-back slot: low-half rows then
+            # high-half rows; the caller splits and reorders (cheap).
+            xbuf[slot, 0:1, 0:w_lo.shape[1]] = x_lo
+            xbuf[slot, 0:1, w_lo.shape[1]:] = x_hi
+            x_dma(slot, i).start()
+            part = (jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
+                    + jnp.dot(x_hi, hi, preferred_element_type=jnp.float32))
+            row = i % 8
+            s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
+            return 0
         # w as a ROW: contract t (1, M) with phi (chunk, M) over M -> (1, chunk)
         w = jax.lax.dot_general(
             t_ref[:], phi,
@@ -207,11 +235,16 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
     """Manual-DMA variant of sinkhorn_halfstep_pallas (same contract:
     returns (x (npad,), s (mpad,))).
 
-    phi_pad may be float32 or bfloat16; with a bf16 phi the DMA stream —
-    the throughput ceiling of the whole pipeline — moves half the bytes,
-    and both MXU contractions run as native bf16 passes with f32
-    accumulation. x and s stay float32 either way."""
+    phi_pad may be float32, bfloat16, or int32 (the PAIR-PACKED int16
+    stream: word (r, c) holds logical row r in its low 16 bits and row
+    r + N/2 in its high 16 bits — see sinkhorn_vectors_fused; the int32
+    container keeps the buffer plain-T(8,128)-tiled so the DMA realizes
+    the narrow width). With bf16 or packed-int16 the DMA stream — the
+    throughput ceiling of the whole pipeline — moves half the bytes.
+    x and s stay float32 in every mode; for packed input `chunk` counts
+    PACKED rows (the logical x returned has 2*npad entries)."""
     npad, mpad = phi_pad.shape
+    packed = phi_pad.dtype == jnp.int32
     if npad % chunk != 0:
         # nchunks = npad // chunk would silently DROP the tail rows (absent
         # x entries, missing s contributions) — fail loudly instead. The
@@ -220,6 +253,7 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
         raise ValueError(
             f"phi rows ({npad}) must be a multiple of chunk ({chunk})")
     nchunks = npad // chunk
+    xw = 2 * chunk if packed else chunk
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
     x, s8 = pl.pallas_call(
         functools.partial(_kernel_manual, chunk=chunk, nchunks=nchunks),
@@ -233,23 +267,31 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nchunks, 8, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((nchunks, 8, xw), jnp.float32),
             jax.ShapeDtypeStruct((8, mpad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, mpad), phi_pad.dtype),
-            pltpu.VMEM((2, 8, chunk), jnp.float32),
+            pltpu.VMEM((2, 8, xw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(eps2,
-      # bf16 phi contracts natively against a bf16 t; the int16 copy is
-      # converted to f32 in-kernel, so t (and x) stay f32 end to end.
+      # bf16 phi contracts natively against a bf16 t; the packed-int16
+      # stream is unpacked to f32 in-kernel, so t (and x) stay f32.
       t[None, :].astype(phi_pad.dtype)
       if phi_pad.dtype == jnp.bfloat16 else t[None, :],
       phi_pad)
+    if packed:
+        # Chunk i's slot row 0 is [x_lo(chunk), x_hi(chunk)]: logical rows
+        # [i*chunk, (i+1)*chunk) and [npad + i*chunk, ...). Reassemble the
+        # (2*npad,) vector — an 8*npad-byte shuffle per halfstep, ~0.6% of
+        # the phi sweep it rides on.
+        return (jnp.concatenate([x[:, 0, :chunk].reshape(npad),
+                                 x[:, 0, chunk:].reshape(npad)]),
+                jnp.sum(s8, axis=0))
     return x[:, 0, :].reshape(npad), jnp.sum(s8, axis=0)
 
 
@@ -328,18 +370,25 @@ def _resolve_int16(n_bf16: int) -> bool:
     Why it is not the default: the kernel in ISOLATION is 1.64x faster
     than f32 (2.68 vs 4.39 ms/halfstep at the 1 MP p=600 shape,
     tools/bench_sk_width.py — narrow DMA sustains 478 GB/s effective),
-    but IN SITU inside train_filter_stage2a it runs at exactly f32 wall
-    (slope test: 4.09 vs 4.07 ms/halfstep; end-to-end stream A/B
-    1.76-1.78 vs 1.79 MP/s). The optimized HLO explains the gap: the
-    jit-internal quantized buffer is carried through the Sinkhorn while
-    loop as s16{1,0:T(8,128)(2,1)} (tiled, two values packed per 32-bit
-    word) and feeds the custom call directly, whereas the isolated
-    benchmark's entry parameter honors the kernel's untiled {1,0}
-    constraint — Mosaic's chunk DMA over the packed-tiled layout loses
-    the entire narrow-width advantage. Until the in-situ buffer can be
-    forced untiled (e.g. carrying the pair-packed stream as s32, which
-    tiles like f32), the quantization buys nothing, so f32's zero
-    quantization risk makes it the right default.
+    but IN SITU inside train_filter_stage2a it runs at exactly f32 wall.
+    Two carriers were built and measured in situ:
+
+      * bare s16 buffer: 4.09 vs 4.07 ms/halfstep (the optimized HLO
+        carries it through the Sinkhorn while loop as
+        s16{1,0:T(8,128)(2,1)} — pair-packed 16-bit tiling — which was
+        the suspected DMA spoiler);
+      * pair-packed s32 carrier (the CURRENT implementation: two logical
+        rows per 32-bit word, plain T(8,128) tiling like f32, unpacked
+        with shifts in-kernel): STILL 4.03-4.06 vs 4.05 ms/halfstep.
+
+    The second measurement falsifies the layout hypothesis: in situ the
+    halfstep is not limited by the phi DMA byte width at this shape
+    (isolated f32 runs 4.39 ms/halfstep but in-situ f32 runs 4.05 —
+    inside the full stage XLA already overlaps the halfstep with
+    neighbouring work, and the residual wall is set by something the
+    narrower stream does not relieve). The quantization therefore buys
+    nothing end to end, so f32's zero quantization risk makes it the
+    right default.
 
     Orthogonal to the bf16 preview mode: int16 (when forced on) engages
     only when no bf16 lead is scheduled (the bf16 schedule's trailing
@@ -354,28 +403,27 @@ def _resolve_int16(n_bf16: int) -> bool:
     return n_bf16 == 0
 
 
-def _int16_chunk(tile: int, npad: int, mpad: int) -> int:
-    """Row-chunk size for the int16 Sinkhorn stream's manual kernel.
+def _packed_chunk(tile: int, npad_packed: int, mpad: int) -> int:
+    """PACKED-row chunk size for the int16 pair-packed Sinkhorn stream.
 
-    Start from 2x the f32 tile (2-byte elements: the DMA sweet spot the
-    bf16 path uses) — but UNLIKE bf16, the int16 tile is converted to a
-    full f32 copy in VMEM before the dots (the MXU has no int16 pass
-    here), so the kernel frame holds the 2 int16 DMA slots (2 B/elt)
-    PLUS the f32 conversion temps (4 B/elt, budget 2 live: Mosaic
-    overlaps loop iterations). The bf16-style bound (2*chunk*mpad*2)
-    misses the conversion temps and compiles a frame past the 16 MB
-    scoped-VMEM limit on the real chip (measured: 25.2 MB requested at
-    chunk=2048, mpad=640 — interpret-mode CPU tests cannot catch VMEM
-    limits, only a real TPU compile can). Shrinks below `tile` if even
-    that frame is too big (wide factors); every candidate divides npad
-    because tile is a power of two and npad is a tile multiple."""
+    One packed row is an int32 word-row carrying TWO logical rows, so
+    chunk = tile//2 streams the same logical row count per DMA as the
+    f32 path at half the bytes. The kernel frame holds the 2 int32 DMA
+    slots (4 B/word) PLUS the lo/hi f32 unpack temps (2 arrays x
+    4 B/word, budget 2 live iterations: Mosaic overlaps the loop), i.e.
+    24 bytes/word total. An earlier unpacked-s16 variant sized its frame
+    by the DMA slots alone and compiled past the 16 MB scoped-VMEM
+    limit on the real chip (25.2 MB at the 1 MP serving shape) —
+    interpret-mode CPU tests cannot catch VMEM limits, only a real TPU
+    compile can, so the formula is pinned by a unit test instead.
+    Shrinks for wide factors; every candidate divides npad_packed
+    because tile is a power of two and npad_packed is a tile//2
+    multiple."""
     def frame_bytes(c):
-        return 2 * c * mpad * 2 + 2 * c * mpad * 4
-    chunk = 2 * tile
-    while chunk > tile and (npad % chunk != 0
-                            or frame_bytes(chunk) > 12 * 2**20):
-        chunk //= 2
-    while chunk > 256 and frame_bytes(chunk) > 12 * 2**20:
+        return 24 * c * mpad
+    chunk = tile // 2
+    while chunk > 128 and (npad_packed % chunk != 0
+                           or frame_bytes(chunk) > 12 * 2**20):
         chunk //= 2
     return chunk
 
@@ -470,15 +518,23 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
 
     if _resolve_int16(n_bf16) and kernel_kind == "manual":
         # int16 per-column-scaled copy for ALL remaining iterations (see
-        # _resolve_int16 for the algebra and fidelity evidence). Prep cost
-        # is ~2.5 phi sweeps (abs-max reduce + quantized write) against
-        # 2*max_iter sweeps saved at half width.
+        # _resolve_int16 for the algebra and fidelity evidence), PAIR-
+        # PACKED into an int32 container: word (r, c) carries logical row
+        # r in its low 16 bits and row r + npad/2 in its high 16 bits. The
+        # int32 container keeps plain T(8,128) tiling (a bare s16 buffer
+        # gets XLA's (2,1) pair-packed 16-bit tiling). Measured in situ
+        # BOTH carriers run at the f32 wall (see _resolve_int16), which is
+        # why this path is opt-in; the packed form is kept as the better
+        # carrier (fast in isolation, exact-operand dots). Prep cost is
+        # ~2.5 phi sweeps (abs-max reduce + quantized packed write).
         colmax = jnp.max(jnp.abs(phi_pad), axis=0)              # (mpad,)
         scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
-        q_pad = jnp.clip(jnp.round(phi_pad / scale[None, :]),
-                         -32767, 32767).astype(jnp.int16)
+        qf = jnp.clip(jnp.round(phi_pad / scale[None, :]), -32767, 32767)
+        nh = npad // 2
+        q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
+               | (qf[nh:].astype(jnp.int32) << 16))
         lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
-        chunk_q = _int16_chunk(tile, npad, mpad)
+        chunk_q = _packed_chunk(tile, nh, mpad)
 
         def halfstep_q(p, t):
             return sinkhorn_halfstep_manual(p, t, eps, chunk=chunk_q,
@@ -492,8 +548,8 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
 
         def body_q(_, st):
             r, c, sq = st
-            c, sq = halfstep_q(q_pad, lam_q * sq)
-            r, sq = halfstep_q(q_pad, lam_q * sq)
+            c, sq = halfstep_q(q32, lam_q * sq)
+            r, sq = halfstep_q(q32, lam_q * sq)
             return r, c, sq
 
         r, c, _ = jax.lax.fori_loop(n_bf16, max_iter, body_q, (r, c, sq))

@@ -182,28 +182,30 @@ def test_scaled_fits_vmem_bounds():
     assert not scaled_fits_vmem(2048)
 
 
-def test_int16_chunk_respects_vmem_frame():
-    """The int16 Sinkhorn stream's chunk sizing must account the in-VMEM
-    f32 conversion temps on top of the int16 DMA slots: the bf16-style
-    bound (DMA slots only) compiled a 25.2 MB kernel frame on the real
-    chip at (tile=1024, mpad=640) — past the 16 MB scoped-VMEM limit —
-    which interpret-mode tests cannot catch. Pin the formula instead."""
-    from nle_tpu.ops.pallas.sinkhorn_kernel import _int16_chunk
+def test_packed_chunk_respects_vmem_frame():
+    """The pair-packed int16 Sinkhorn stream's chunk sizing must account
+    the in-VMEM lo/hi f32 unpack temps on top of the int32 DMA slots: an
+    earlier variant sized by the DMA slots alone compiled a 25.2 MB
+    kernel frame on the real chip at the 1 MP serving shape — past the
+    16 MB scoped-VMEM limit — which interpret-mode tests cannot catch.
+    Pin the formula instead."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import _packed_chunk
 
-    def frame(c, mpad):  # 2 int16 DMA slots + 2 live f32 conversion temps
-        return 2 * c * mpad * 2 + 2 * c * mpad * 4
+    def frame(c, mpad):  # 2 int32 DMA slots + 2x2 live f32 unpack temps
+        return 24 * c * mpad
 
     for tile, mpad in [(1024, 128), (1024, 640), (1024, 1280),
                        (512, 2432), (256, 4096)]:
-        npad = 8 * tile
-        c = _int16_chunk(tile, npad, mpad)
+        nh = 4 * tile  # npad // 2 for an 8-tile-row phi
+        c = _packed_chunk(tile, nh, mpad)
         assert frame(c, mpad) <= 12 * 2**20, (tile, mpad, c)
-        assert npad % c == 0
-        assert c >= 256
-    # The 1 MP serving shape that OOM'd: doubling must NOT survive.
-    assert _int16_chunk(1024, 999424, 640) == 1024
-    # Narrow factors still earn the doubled DMA chunk.
-    assert _int16_chunk(1024, 8192, 128) == 2048
+        assert nh % c == 0
+        assert c >= 128
+    # The 1 MP p=600 serving shape: tile//2 words (= tile logical rows,
+    # half the f32 bytes per DMA) fits the frame budget.
+    assert _packed_chunk(1024, 499712, 640) == 512
+    # Very wide factors shrink the packed chunk further.
+    assert _packed_chunk(1024, 499712, 4096) == 128
 
 
 def test_stage2_dense_small_wide_bucket_falls_back():
