@@ -1,0 +1,128 @@
+"""IN-SITU Sinkhorn halfstep slope test: reproduce the stage-2a context
+(phi produced INSIDE the jit, halfsteps chained by a fori_loop closure)
+and measure the marginal cost per halfstep by the K1-vs-K2 slope.
+
+Why this exists: the isolated kernel bench (bench_sk_width.py, entry-param
+phi) shows the packed-int16 stream 1.64x faster than f32, yet the full
+stage 2a runs at exactly f32 wall with every carrier. This harness strips
+stage 2a down to "build the carrier in-jit, loop halfsteps" — if the f32
+wall reproduces here, the spoiler is in this structure (layout copies on
+the custom-call operand, loop-carried relayouts, scheduling), not in the
+rest of the stage. Each variant also dumps its optimized HLO around the
+custom call so the copies are visible, not inferred.
+
+Usage: cd /root/repo && python tools/bench_sk_insitu.py [--k1=12 --k2=36]
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k1", type=int, default=12)
+    ap.add_argument("--k2", type=int, default=36)
+    ap.add_argument("--npad", type=int, default=999424)
+    ap.add_argument("--mpad", type=int, default=640)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--hlo", action="store_true",
+                    help="print optimized-HLO lines near the custom calls")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nle_tpu.config import enable_persistent_cache
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        _packed_chunk, sinkhorn_halfstep_manual)
+
+    enable_persistent_cache()
+    npad, mpad = args.npad, args.mpad
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.05, 1.0, size=(npad, mpad)).astype(np.float32)
+    decades = 10.0 ** rng.uniform(-6, 3, size=(mpad,)).astype(np.float32)
+    phi_host = (base * decades[None, :]).astype(np.float32)
+    t0_host = rng.uniform(0.5, 2.0, size=(mpad,)).astype(np.float32)
+
+    def chain_f32(phi, t0, K):
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(phi, t, 1e-10, chunk=1024)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
+    def chain_packed(phi, t0, K):
+        colmax = jnp.max(jnp.abs(phi), axis=0)
+        scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+        qf = jnp.clip(jnp.round(phi / scale[None, :]), -32767, 32767)
+        nh = npad // 2
+        q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
+               | (qf[nh:].astype(jnp.int32) << 16))
+        chunk_q = _packed_chunk(1024, nh, mpad)
+
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(q32, t, 1e-10, chunk=chunk_q)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
+    def chain_bf16(phi, t0, K):
+        phi_bf = phi.astype(jnp.bfloat16)
+
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(phi_bf, t, 1e-10, chunk=2048)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
+    variants = [("f32", chain_f32), ("packed_s32", chain_packed),
+                ("bf16", chain_bf16)]
+    phi_dev = jnp.asarray(phi_host)
+    t0_dev = jnp.asarray(t0_host)
+    results = {}
+    for name, fn in variants:
+        walls = {}
+        for K in (args.k1, args.k2):
+            jitted = jax.jit(fn, static_argnames=("K",))
+            lowered = jitted.lower(phi_dev, t0_dev, K=K)
+            compiled = lowered.compile()
+            if args.hlo and K == args.k1:
+                txt = compiled.as_text()
+                keep = [ln for ln in txt.splitlines()
+                        if re.search(r"custom-call|copy|transpose|fusion",
+                                     ln)]
+                print(f"--- {name} optimized HLO (filtered, K={K}) ---")
+                for ln in keep[:60]:
+                    print(ln[:240])
+                sys.stdout.flush()
+            float(jitted(phi_dev, t0_dev, K=K))  # warm
+            best = np.inf
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                float(jitted(phi_dev, t0_dev, K=K))  # scalar fetch forces
+                best = min(best, time.perf_counter() - t0)
+            walls[K] = best
+        slope_ms = (walls[args.k2] - walls[args.k1]) / (
+            args.k2 - args.k1) * 1e3
+        results[name] = {
+            "wall_k1_s": round(walls[args.k1], 4),
+            "wall_k2_s": round(walls[args.k2], 4),
+            "ms_per_halfstep": round(slope_ms, 3),
+        }
+        print(json.dumps({"variant": name, **results[name]}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
