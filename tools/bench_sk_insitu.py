@@ -60,6 +60,43 @@ def main():
         t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
         return t[0] + acc
 
+    def chain_f32_injit(phi, t0, K):
+        # Carrier PRODUCED inside the jit (like the real stage 2a, where
+        # phi comes out of the affinity builder): separates "jit-internal
+        # buffer layout" from "entry-param layout" for the f32 baseline.
+        phi2 = phi * jnp.float32(1.000001)
+
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(phi2, t, 1e-10, chunk=1024)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
+    def _pack_host(phi):
+        colmax = np.abs(phi).max(axis=0)
+        scale = np.where(colmax > 0, colmax / 32767.0, 1.0)
+        qf = np.clip(np.round(phi / scale[None, :]), -32767, 32767)
+        nh = phi.shape[0] // 2
+        return (qf[:nh].astype(np.int32) & 0xFFFF) | (
+            qf[nh:].astype(np.int32) << 16)
+
+    def chain_packed_entry(q32, t0, K):
+        # The packed s32 carrier as an ENTRY PARAM (packed on the host):
+        # XLA honors the kernel's untiled layout request exactly like the
+        # isolated width bench did for bare s16. Fast here + slow in
+        # chain_packed => the spoiler is the jit-internal buffer; slow
+        # here too => the packed kernel itself (unpack VPU work / 4 dots)
+        # is the wall.
+        chunk_q = _packed_chunk(1024, npad // 2, mpad)
+
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(q32, t, 1e-10, chunk=chunk_q)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
     def chain_packed(phi, t0, K):
         colmax = jnp.max(jnp.abs(phi), axis=0)
         scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
@@ -67,6 +104,26 @@ def main():
         nh = npad // 2
         q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
                | (qf[nh:].astype(jnp.int32) << 16))
+        chunk_q = _packed_chunk(1024, nh, mpad)
+
+        def body(_, st):
+            t, acc = st
+            x, s = sinkhorn_halfstep_manual(q32, t, 1e-10, chunk=chunk_q)
+            return s * 1e-3 + t0, acc + x[0]
+        t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
+        return t[0] + acc
+
+    def chain_packed_barrier(phi, t0, K):
+        # jit-internal carrier, but forced through an optimization_barrier
+        # before the loop: tests whether fencing the producer changes the
+        # layout XLA carries into the custom call.
+        colmax = jnp.max(jnp.abs(phi), axis=0)
+        scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+        qf = jnp.clip(jnp.round(phi / scale[None, :]), -32767, 32767)
+        nh = npad // 2
+        q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
+               | (qf[nh:].astype(jnp.int32) << 16))
+        q32 = jax.lax.optimization_barrier(q32)
         chunk_q = _packed_chunk(1024, nh, mpad)
 
         def body(_, st):
@@ -86,16 +143,24 @@ def main():
         t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
         return t[0] + acc
 
-    variants = [("f32", chain_f32), ("packed_s32", chain_packed),
+    variants = [("f32", chain_f32), ("f32_injit", chain_f32_injit),
+                ("packed_s32", chain_packed),
+                ("packed_s32_entry", chain_packed_entry),
+                ("packed_s32_barrier", chain_packed_barrier),
                 ("bf16", chain_bf16)]
     phi_dev = jnp.asarray(phi_host)
+    q32_dev = jnp.asarray(_pack_host(phi_host))
     t0_dev = jnp.asarray(t0_host)
     results = {}
     for name, fn in variants:
+        if name == "packed_s32_entry":
+            phi_arg = q32_dev
+        else:
+            phi_arg = phi_dev
         walls = {}
         for K in (args.k1, args.k2):
             jitted = jax.jit(fn, static_argnames=("K",))
-            lowered = jitted.lower(phi_dev, t0_dev, K=K)
+            lowered = jitted.lower(phi_arg, t0_dev, K=K)
             compiled = lowered.compile()
             if args.hlo and K == args.k1:
                 txt = compiled.as_text()
@@ -106,11 +171,11 @@ def main():
                 for ln in keep[:60]:
                     print(ln[:240])
                 sys.stdout.flush()
-            float(jitted(phi_dev, t0_dev, K=K))  # warm
+            float(jitted(phi_arg, t0_dev, K=K))  # warm
             best = np.inf
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                float(jitted(phi_dev, t0_dev, K=K))  # scalar fetch forces
+                float(jitted(phi_arg, t0_dev, K=K))  # scalar fetch forces
                 best = min(best, time.perf_counter() - t0)
             walls[K] = best
         slope_ms = (walls[args.k2] - walls[args.k1]) / (
