@@ -143,11 +143,64 @@ def main():
         t, acc = jax.lax.fori_loop(0, K, body, (t0, jnp.float32(0)))
         return t[0] + acc
 
+    # --- bisection variants: the real stage2a slope (bench_insitu_stage)
+    # shows packed at 4.28 vs f32 3.62 ms/halfstep while the stripped
+    # variants above show 1.73 vs 3.39. The candidates for the spoiler are
+    # the pieces of sinkhorn_vectors_fused's real loop the stripped chain
+    # drops: the loop-carried full x vector (forces the in-loop slice +
+    # concatenate extraction live, T(1,128)-layout fusions over the 32 MB
+    # x buffer), and the two-halfstep body. Each variant adds one.
+
+    def chain_packed_carry(phi, t0, K):
+        # Carry the reassembled (2*nh,) x in the loop state — the
+        # extraction fusions can no longer be DCE'd.
+        colmax = jnp.max(jnp.abs(phi), axis=0)
+        scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+        qf = jnp.clip(jnp.round(phi / scale[None, :]), -32767, 32767)
+        nh = npad // 2
+        q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
+               | (qf[nh:].astype(jnp.int32) << 16))
+        chunk_q = _packed_chunk(1024, nh, mpad)
+
+        def body(_, st):
+            t, xc = st
+            x, s = sinkhorn_halfstep_manual(q32, t, 1e-10, chunk=chunk_q)
+            return s * 1e-3 + t0, x
+        t, xc = jax.lax.fori_loop(
+            0, K, body, (t0, jnp.zeros((npad,), jnp.float32)))
+        return t[0] + xc[0]
+
+    def chain_f32_carry(phi, t0, K):
+        def body(_, st):
+            t, xc = st
+            x, s = sinkhorn_halfstep_manual(phi, t, 1e-10, chunk=1024)
+            return s * 1e-3 + t0, x
+        t, xc = jax.lax.fori_loop(
+            0, K, body, (t0, jnp.zeros((npad,), jnp.float32)))
+        return t[0] + xc[0]
+
+    def chain_svf_int16(phi, t0, K):
+        # The REAL sinkhorn_vectors_fused int16 section verbatim (env must
+        # be NLE_SINKHORN_INT16=on for this variant to mean anything —
+        # checked below). Isolates "everything inside sinkhorn_vectors_
+        # fused" from "the rest of stage 2a".
+        from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
+        lam = jnp.abs(t0) + 0.5
+        r, c = sinkhorn_vectors_fused(phi, lam, K, 1e-10)
+        return r[0] + c[0]
+
     variants = [("f32", chain_f32), ("f32_injit", chain_f32_injit),
                 ("packed_s32", chain_packed),
                 ("packed_s32_entry", chain_packed_entry),
                 ("packed_s32_barrier", chain_packed_barrier),
-                ("bf16", chain_bf16)]
+                ("bf16", chain_bf16),
+                ("packed_s32_carry", chain_packed_carry),
+                ("f32_carry", chain_f32_carry),
+                ("svf_env", chain_svf_int16)]
+    only = os.environ.get("NLE_INSITU_ONLY")
+    if only:
+        names = set(only.split(","))
+        variants = [v for v in variants if v[0] in names]
     phi_dev = jnp.asarray(phi_host)
     q32_dev = jnp.asarray(_pack_host(phi_host))
     t0_dev = jnp.asarray(t0_host)
