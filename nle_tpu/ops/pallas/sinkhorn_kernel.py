@@ -163,21 +163,54 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
             # 32-bit word carries two per-column-scaled int16 values —
             # logical row r in the low half, row r + N/2 in the high half.
             # The container is int32 so XLA stores it plain-T(8,128)-tiled
-            # like f32 (a bare s16 buffer gets the (2,1) pair-packed tiling;
-            # in isolation this kernel beats f32 by 1.6x on the narrow
-            # stream — in situ neither carrier does, see _resolve_int16).
-            # The halves unpack with
-            # two shifts on the VPU; integer values <= 32767 are exact in
-            # f32, so both contractions see exact operands — the only
-            # approximation is the quantization of the copy itself.
-            lo = ((phi << 16) >> 16).astype(jnp.float32)   # sign-extended
-            hi = (phi >> 16).astype(jnp.float32)           # arithmetic
-            w_lo = jax.lax.dot_general(
-                t_ref[:], lo, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (1, chunk)
-            w_hi = jax.lax.dot_general(
-                t_ref[:], hi, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # like f32 (a bare s16 buffer gets the (2,1) pair-packed
+            # tiling, which forfeits the narrow-width DMA win).
+            #
+            # MXU precision is the load-bearing subtlety here. Callers
+            # trace under default_matmul_precision("highest"), and on f32
+            # operands "highest" is SIX bf16 MXU passes — in situ that
+            # pass-wall (~4.0 ms/halfstep at the 1 MP shape) sits ABOVE
+            # both carriers' DMA times (f32 3.4, packed 1.7), which is
+            # what masked the byte win in every earlier in-situ test (the
+            # isolated benches traced outside the ambient precision and
+            # unknowingly measured 1-pass dots). Mosaic lowers only
+            # DEFAULT and HIGHEST, so the 3-pass fix is built by hand:
+            # each unpacked value v (a <= 15-bit integer, exact in f32)
+            # splits EXACTLY as v = (v >> 7) * 128 + (v & 127) with both
+            # pieces exactly representable in bf16, and the f32 t/x side
+            # splits into bf16 hi + lo (|lo| <= |t| * 2^-9). Keeping the
+            # h*h, h*l, l*h terms and dropping only l*l leaves a relative
+            # error ~2^-17 — below the 2^-16 quantization the carrier
+            # already accepts — while every dot is a native single-pass
+            # bf16 MXU op (f32 accumulation): ~8 half-size bf16 streams
+            # per halfstep vs "highest"'s 24, putting the MXU back under
+            # the DMA roofline.
+            dprec = jax.lax.Precision.DEFAULT
+            lo16 = (phi << 16) >> 16                       # sign-extended
+            hi16 = phi >> 16                               # arithmetic
+            lo_h = (lo16 >> 7).astype(jnp.bfloat16)        # [-256, 255]
+            lo_l = (lo16 & 127).astype(jnp.bfloat16)       # [0, 127]
+            hi_h = (hi16 >> 7).astype(jnp.bfloat16)
+            hi_l = (hi16 & 127).astype(jnp.bfloat16)
+            t32 = t_ref[:]
+            t_h = t32.astype(jnp.bfloat16)
+            t_l = (t32 - t_h.astype(jnp.float32)).astype(jnp.bfloat16)
+            t2 = jnp.concatenate([t_h, t_l], axis=0)       # (2, M)
+
+            def w_of(v_h, v_l):
+                # t . v = ((t_h + t_l) . v_h) * 128 + t_h . v_l  (l*l dropped)
+                wh = jax.lax.dot_general(
+                    t2, v_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dprec)                       # (2, chunk)
+                wl = jax.lax.dot_general(
+                    t_h, v_l, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dprec)                       # (1, chunk)
+                return (wh[0:1, :] + wh[1:2, :]) * 128.0 + wl
+
+            w_lo = w_of(lo_h, lo_l)
+            w_hi = w_of(hi_h, hi_l)
             x_lo = safe_reciprocal(w_lo, eps_ref[0, 0])
             x_hi = safe_reciprocal(w_hi, eps_ref[0, 0])
 
@@ -190,8 +223,19 @@ def _kernel_manual(eps_ref, t_ref, phi_hbm, x_hbm, s_ref, buf, xbuf, sems,
             xbuf[slot, 0:1, 0:w_lo.shape[1]] = x_lo
             xbuf[slot, 0:1, w_lo.shape[1]:] = x_hi
             x_dma(slot, i).start()
-            part = (jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
-                    + jnp.dot(x_hi, hi, preferred_element_type=jnp.float32))
+
+            def s_of(x, v_h, v_l):
+                # x . v = ((x_h + x_l) . v_h) * 128 + x_h . v_l
+                x_h = x.astype(jnp.bfloat16)
+                x_l = (x - x_h.astype(jnp.float32)).astype(jnp.bfloat16)
+                x2 = jnp.concatenate([x_h, x_l], axis=0)   # (2, chunk)
+                ph = jnp.dot(x2, v_h, preferred_element_type=jnp.float32,
+                             precision=dprec)              # (2, M)
+                pll = jnp.dot(x_h, v_l, preferred_element_type=jnp.float32,
+                              precision=dprec)             # (1, M)
+                return (ph[0:1, :] + ph[1:2, :]) * 128.0 + pll
+
+            part = s_of(x_lo, lo_h, lo_l) + s_of(x_hi, hi_h, hi_l)
             row = i % 8
             s_ref[pl.ds(row, 1), :] = s_ref[pl.ds(row, 1), :] + part
             return 0
@@ -348,56 +392,52 @@ def _resolve_bf16_iters(max_iter: int, bf16_iters: int | None) -> int:
 
 def _resolve_int16(n_bf16: int) -> bool:
     """Whether the f32 iterations stream an int16 PER-COLUMN-SCALED copy
-    of phi instead of the f32 buffer. DEFAULT OFF (auto): golden-safe
-    but measured NOT faster on the real chip, so f32 stays the default.
+    of phi instead of the f32 buffer. DEFAULT ON (auto): 2.1x faster on
+    the pipeline's dominant stage and golden-gated on the real chip.
 
-    The algebra (kept for the opt-in path): the scale factors out of
-    both contractions EXACTLY —
+    The algebra: the scale factors out of both contractions EXACTLY —
 
         phi ~ Q diag(s),  s_j = colmax_j / 32767
         w   = phi (lam * (phi^T x)) = Q ((lam s^2) * (Q^T x))
 
     so the kernel streams int16 (half the f32 bytes on the pipeline's
-    dominant HBM-bound stage), converts each tile to f32 once in VMEM
-    (integer values <= 32767 are exact in f32 — no operand rounding in
-    the MXU dots), and the column scale merges into lam as lam*s^2 with
-    the running s-vector kept in Q-scale. The ONLY approximation is the
-    per-element rounding of the copy: absolute error <= colmax * 2^-16.
-    Fidelity measured within ~2 dB of f32 on all 16 gated configs
-    (tools/exp_int16_sinkhorn.py; per-ROW scaling fails at 4.8 dB on
-    bird — phi's columns carry the Nystrom 1/lam factor, ~10 decades).
+    dominant HBM-bound stage), pair-packed into an int32 container (two
+    logical rows per word — keeps plain T(8,128) tiling; a bare s16
+    buffer gets XLA's (2,1) packed tiling which forfeits the narrow-DMA
+    win), and the column scale merges into lam as lam*s^2 with the
+    running s-vector kept in Q-scale. Error sources: the copy's
+    quantization (<= colmax * 2^-16 per element) plus the in-kernel
+    bf16-split dots' dropped lo*lo cross-term (~2^-17 — see
+    _kernel_manual; Mosaic lowers only DEFAULT/HIGHEST, so the 3-pass
+    equivalent of Precision.HIGH is built by hand from exact bf16
+    pieces).
 
-    Why it is not the default: the kernel in ISOLATION is 1.64x faster
-    than f32 (2.68 vs 4.39 ms/halfstep at the 1 MP p=600 shape,
-    tools/bench_sk_width.py — narrow DMA sustains 478 GB/s effective),
-    but IN SITU inside train_filter_stage2a it runs at exactly f32 wall.
-    Two carriers were built and measured in situ:
+    Why it IS the default (the round-3 measurement saga, in full in
+    DESIGN.md): the first two in-situ attempts ran at exactly f32 wall
+    (~4.0 ms/halfstep at the 1 MP p=600 shape) and the mode was
+    initially resolved OFF. The bisection (tools/bench_stage2a_bisect.py
+    + HLO diffs) showed the while bodies of the fast isolated harness
+    and the slow real stage are IDENTICAL — the spoiler was the ambient
+    jax.default_matmul_precision("highest") the real stage traces
+    under: on f32 operands "highest" is SIX bf16 MXU passes, an
+    MXU-pass wall (~4.0 ms) ABOVE both carriers' DMA times (f32 3.4,
+    packed 1.7), so byte width could not matter. With the in-kernel
+    bf16-split dots (single-pass, analytically below the quantization
+    error) the real stage runs 1.92 ms/halfstep vs f32's 4.0
+    (tools/bench_stage2a_slope.py, real chip) — near the packed-DMA
+    floor. Golden-gated at the new trajectory on the REAL chip: all 16
+    configs pass, worst 51.6 dB (paper) vs the 45 dB gate, mean 60.1
+    (GOLDEN_TPU.jsonl). NLE_SINKHORN_INT16=off restores the zero-
+    quantization f32 stream.
 
-      * bare s16 buffer: 4.09 vs 4.07 ms/halfstep (the optimized HLO
-        carries it through the Sinkhorn while loop as
-        s16{1,0:T(8,128)(2,1)} — pair-packed 16-bit tiling — which was
-        the suspected DMA spoiler);
-      * pair-packed s32 carrier (the CURRENT implementation: two logical
-        rows per 32-bit word, plain T(8,128) tiling like f32, unpacked
-        with shifts in-kernel): STILL 4.03-4.06 vs 4.05 ms/halfstep.
-
-    The second measurement falsifies the layout hypothesis: in situ the
-    halfstep is not limited by the phi DMA byte width at this shape
-    (isolated f32 runs 4.39 ms/halfstep but in-situ f32 runs 4.05 —
-    inside the full stage XLA already overlaps the halfstep with
-    neighbouring work, and the residual wall is set by something the
-    narrower stream does not relieve). The quantization therefore buys
-    nothing end to end, so f32's zero quantization risk makes it the
-    right default.
-
-    Orthogonal to the bf16 preview mode: int16 (when forced on) engages
-    only when no bf16 lead is scheduled (the bf16 schedule's trailing
-    iterations are a POLISH and stay f32). NLE_SINKHORN_INT16=on forces
-    it; read at trace time like the other Sinkhorn knobs."""
+    Orthogonal to the bf16 preview mode: int16 engages only when no
+    bf16 lead is scheduled (the bf16 schedule's trailing iterations are
+    a POLISH and stay f32). Read at trace time like the other Sinkhorn
+    knobs."""
     raw = os.environ.get("NLE_SINKHORN_INT16", "auto").lower()
-    if raw in ("auto", "off", "0", "false"):
+    if raw in ("off", "0", "false"):
         return False
-    if raw not in ("on", "1", "true"):
+    if raw not in ("auto", "on", "1", "true"):
         raise ValueError(
             f"NLE_SINKHORN_INT16={raw!r}: expected auto/on/off")
     return n_bf16 == 0
@@ -518,15 +558,15 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
 
     if _resolve_int16(n_bf16) and kernel_kind == "manual":
         # int16 per-column-scaled copy for ALL remaining iterations (see
-        # _resolve_int16 for the algebra and fidelity evidence), PAIR-
-        # PACKED into an int32 container: word (r, c) carries logical row
-        # r in its low 16 bits and row r + npad/2 in its high 16 bits. The
-        # int32 container keeps plain T(8,128) tiling (a bare s16 buffer
-        # gets XLA's (2,1) pair-packed 16-bit tiling). Measured in situ
-        # BOTH carriers run at the f32 wall (see _resolve_int16), which is
-        # why this path is opt-in; the packed form is kept as the better
-        # carrier (fast in isolation, exact-operand dots). Prep cost is
-        # ~2.5 phi sweeps (abs-max reduce + quantized packed write).
+        # _resolve_int16 for the algebra, fidelity evidence, and why this
+        # is the DEFAULT), PAIR-PACKED into an int32 container: word
+        # (r, c) carries logical row r in its low 16 bits and row
+        # r + npad/2 in its high 16 bits. The int32 container keeps plain
+        # T(8,128) tiling (a bare s16 buffer gets XLA's (2,1) pair-packed
+        # 16-bit tiling, forfeiting the narrow-DMA win). In situ: 1.92
+        # ms/halfstep vs f32's 4.0 at the 1 MP p=600 shape. Prep cost is
+        # ~2.5 phi sweeps (abs-max reduce + quantized packed write),
+        # amortized over 2*max_iter halfstep sweeps.
         colmax = jnp.max(jnp.abs(phi_pad), axis=0)              # (mpad,)
         scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
         qf = jnp.clip(jnp.round(phi_pad / scale[None, :]), -32767, 32767)

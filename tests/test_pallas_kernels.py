@@ -73,12 +73,16 @@ def test_affinity_ptiled_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_sinkhorn_fused_bf16_polish_matches_f32():
+def test_sinkhorn_fused_bf16_polish_matches_f32(monkeypatch):
     """The mixed-precision Sinkhorn schedule (leading bf16 iterations +
     trailing f32 polish) stays within its documented error bound of the
     all-f32 trajectory (contraction polishes the bf16 rounding)."""
     from nle_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_vectors_fused
     from nle_tpu.ops.sinkhorn import sinkhorn_vectors
+
+    # This test characterizes the bf16 schedule against the TRUE f32
+    # stream; pin the now-default int16 mode off (it has its own test).
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
 
     # Local generator: the session rng's draw order feeds other tests.
     rng = np.random.default_rng(7)
@@ -137,10 +141,11 @@ def test_resolve_int16_policy(monkeypatch):
     from nle_tpu.ops.pallas.sinkhorn_kernel import _resolve_int16
 
     monkeypatch.delenv("NLE_SINKHORN_INT16", raising=False)
-    assert _resolve_int16(0) is False     # OFF by default (no measured win)
-    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    assert _resolve_int16(0) is True      # ON by default (2.1x in situ,
+    assert _resolve_int16(3) is False     # golden-gated); bf16 lead keeps
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")  # its f32 polish
     assert _resolve_int16(0) is True
-    assert _resolve_int16(3) is False     # bf16 lead keeps its f32 polish
+    assert _resolve_int16(3) is False
     monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
     assert _resolve_int16(0) is False
     monkeypatch.setenv("NLE_SINKHORN_INT16", "quick")

@@ -29,9 +29,9 @@ def main() -> int:
 
     # Apples-to-apples: the check validates the SHARDING machinery (psum
     # Sinkhorn, shard_map+Pallas lowering) against the single-chip
-    # pipeline. int16 defaults off everywhere now, but pin it anyway so
-    # the dense comparison stays bit-exact even if the caller's env
-    # forces the quantized stream on (the golden sweep gates that mode).
+    # pipeline. int16 now defaults ON, so pin BOTH sides to the f32
+    # stream (same process env): the dense comparison stays bit-exact
+    # and mode-independent (the golden sweep gates the quantized mode).
     os.environ.setdefault("NLE_SINKHORN_INT16", "off")
 
     from nle_tpu.config import enable_persistent_cache
