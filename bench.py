@@ -85,9 +85,16 @@ def main():
             # submissions, so a generator slides each conversion under
             # frame i's device Sinkhorn (same total host work, no serial
             # prefix).
+            labs = [None] * repeats
+
             def channels():
-                for b in frames_bgr:
-                    yield bgr_to_lab_u8_np(b)[..., 0].astype(np.float32)
+                for i, b in enumerate(frames_bgr):
+                    lab = bgr_to_lab_u8_np(b)
+                    # Keep the full Lab plane: the edit consumer reuses it
+                    # (enhance(lab_u8=...)), saving a second ~18 ms/frame
+                    # forward conversion on the single host core.
+                    labs[i] = lab
+                    yield lab[..., 0].astype(np.float32)
             # Each frame's edit is handed to a consumer thread as soon as
             # train_filters_iter yields its filter: the device executes the
             # apply inside the training stream it is already queueing
@@ -98,12 +105,20 @@ def main():
             # 6% slower). Same-session A/B (tools/bench_stream_interleave):
             # deferred 1.61-1.63 -> interleaved 1.75-1.76 MP/s.
             out = [None] * repeats
+
+            def _edit(i, flt):
+                f = NLEFilter(trained=flt)
+                # Reuse the producer's Lab conversion (seed_lab_cache, the
+                # serving flow's mechanism): ~18 ms/frame of single-core
+                # host LUT work the edit would otherwise repeat.
+                f.seed_lab_cache(frames_bgr[i], labs[i])
+                return f.enhance(frames_bgr[i], weights)
+
             with ThreadPoolExecutor(4) as ex:
                 futs = [
                     ex.submit(
                         lambda i=i, flt=flt: out.__setitem__(
-                            i, NLEFilter(trained=flt).enhance(
-                                frames_bgr[i], weights)))
+                            i, _edit(i, flt)))
                     for i, flt in enumerate(
                         train_filters_iter(channels(), *params))
                 ]

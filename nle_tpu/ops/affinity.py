@@ -27,6 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nle_tpu.ops.precision import stage2_matmul
+
 
 def features(rows: jax.Array, cols: jax.Array, y: jax.Array, dtype=None) -> jax.Array:
     """Stack raw pixel features (row, col, intensity) as (N, 3).
@@ -72,7 +74,9 @@ def affinity_matmul_xla(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw,
 
     def body(fb_tile):
         k = affinity_block(fb_tile, fa, sw, pw)  # (tile, p)
-        return jnp.dot(k, B, preferred_element_type=k.dtype)
+        # NLE_STAGE2_DOTS-gated like the Pallas twin (f64 oracle runs
+        # keep the exact dot — the split is f32-only).
+        return stage2_matmul(k, B, "phi")
 
     out = jax.lax.map(body, fbp.reshape(n_tiles, tile, 3))
     return out.reshape(qpad, m)[:q]

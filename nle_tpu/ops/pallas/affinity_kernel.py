@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nle_tpu.ops.precision import dot_general_3pass, stage2_dots
+
 TILE_Q = 512
 # B lives whole in VMEM: limit p (and m <= p) so (Ppad, Mpad) + tiles fit.
 MAX_PALLAS_P = 1024
@@ -84,6 +86,19 @@ def _unify_vma(*operands):
     return tuple(out)
 
 
+def _dot_kb(k, b):
+    """The kernels' (tile, p) @ (p, m) contraction, NLE_STAGE2_DOTS-gated
+    ("phi" site). DEFAULTS TO THE EXACT 6-pass dot: this product
+    (K_AB @ Uinv) is cancellation-heavy — eigenvector columns oscillate —
+    and the 3-pass split's 2^-16 term-relative error is O(1) relative to
+    the small cancelled entries, collapsing bird to 8.3 dB (CPU golden
+    bisection, ops/precision.py module docstring). The gate exists for
+    experimentation only; the safe split sites are the gram and V tail."""
+    if stage2_dots("phi") == "high":
+        return dot_general_3pass(k, b, (((1,), (0,)), ((), ())))
+    return jnp.dot(k, b, preferred_element_type=jnp.float32)
+
+
 def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]
@@ -92,7 +107,7 @@ def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
     # Raw integer differences are exact in f32; scale only after squaring.
     k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
-    out_ref[:] = jnp.dot(k, b_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = _dot_kb(k, b_ref[:])
 
 
 def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
@@ -111,7 +126,7 @@ def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
     dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
     k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
-    out_ref[:] += jnp.dot(k, b_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] += _dot_kb(k, b_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

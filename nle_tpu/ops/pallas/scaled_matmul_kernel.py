@@ -25,6 +25,7 @@ TILE = 1024
 
 
 from nle_tpu.ops.pallas._common import round_up as _round_up
+from nle_tpu.ops.precision import dot_general_3pass, stage2_dots
 
 
 def gram_tile(mpad: int) -> int:
@@ -60,11 +61,17 @@ def _gram_kernel(c_ref, phi_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     cphi = phi_ref[:] * c_ref[:]
-    out_ref[:] += jax.lax.dot_general(
-        cphi, cphi,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # NLE_STAGE2_DOTS-gated (trace time): 3-pass split halves the MXU
+    # passes of the large-image Sb gram (see affinity_kernel._dot_kb).
+    if stage2_dots("gram") == "high":
+        out_ref[:] += dot_general_3pass(
+            cphi, cphi, (((0,), (0,)), ((), ())))
+    else:
+        out_ref[:] += jax.lax.dot_general(
+            cphi, cphi,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -103,7 +110,12 @@ def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array,
 
 def _matmul_kernel(c_ref, phi_ref, b_ref, out_ref):
     cphi = phi_ref[:] * c_ref[:]
-    out_ref[:] = jnp.dot(cphi, b_ref[:], preferred_element_type=jnp.float32)
+    if stage2_dots("v") == "high":
+        out_ref[:] = dot_general_3pass(
+            cphi, b_ref[:], (((1,), (0,)), ((), ())))
+    else:
+        out_ref[:] = jnp.dot(cphi, b_ref[:],
+                             preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

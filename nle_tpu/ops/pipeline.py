@@ -68,6 +68,7 @@ from nle_tpu.ops.affinity import (
 from nle_tpu.ops.linalg import eigh_descending, safe_reciprocal
 from nle_tpu.ops.linalg import eigh64 as _eigh64
 from nle_tpu.ops.orthogonalize import host_chain64, orthogonalize_factored
+from nle_tpu.ops.precision import stage2_gram, stage2_matmul
 from nle_tpu.ops.sampling import SampleGrid, sample_grid
 from nle_tpu.ops.sinkhorn import sinkhorn_vectors
 from nle_tpu.utils.logging import (
@@ -532,8 +533,11 @@ def train_filter_stage2a(
                 # matmuls on a materialized diag(c) phi are a few percent
                 # faster than the fused kernels. Rows < m and columns > m are
                 # exact zeros, so the full-extent gram equals the sliced one.
+                # The gram is MXU-pass-bound at ambient "highest" precision;
+                # stage2_gram drops to the 3-pass split under
+                # NLE_STAGE2_DOTS=high (ops/precision.py).
                 cphi = c_rest * phi
-                Sb = cphi.T @ cphi
+                Sb = stage2_gram(cphi)
                 rc = jnp.stack([r[:mb], c[:mb]])
                 return rc, Sb[:mb, :mb], cphi, c_rest
             # Large images: fuse the scaling into the Sb/Vb kernels so phi is
@@ -544,7 +548,10 @@ def train_filter_stage2a(
             r, c = sinkhorn_vectors(phi, lam_m, n_sinkhorn_iter, eps)
             c_rest = jnp.where(jnp.arange(n) >= m_dyn, c, 0.0)[:, None]
             cphi = c_rest * phi
-            Sb = cphi.T @ cphi
+            # Same NLE_STAGE2_DOTS gate as the fused branch: this XLA
+            # fallback is the CPU-visible twin, so the CPU golden sweep
+            # certifies the identical 3-pass arithmetic.
+            Sb = stage2_gram(cphi)
             rc = jnp.stack([r[:mb], c[:mb]])
             return rc, Sb[:mb, :mb], cphi, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
@@ -576,7 +583,13 @@ def _stage2b_dense_body(factor, c_rest, va_grt, *, n: int, mb: int,
             grt = GrT
             if mpad > mb:
                 grt = jnp.zeros((mpad, k), GrT.dtype).at[:mb].set(GrT)
-            V = (factor @ grt)[:n]
+            # N-scale tail GEMM: NLE_STAGE2_DOTS-gated like the Sb gram
+            # (f64-dtype runs keep the plain dot — the split is f32-only).
+            if factor.dtype == jnp.float32:
+                V = stage2_matmul(factor, grt.astype(jnp.float32), "v")[:n]
+                V = V.astype(va_grt.dtype)
+            else:
+                V = (factor @ grt)[:n]
         else:
             from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_matmul_pallas
 

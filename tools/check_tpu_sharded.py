@@ -33,6 +33,12 @@ def main() -> int:
     # stream (same process env): the dense comparison stays bit-exact
     # and mode-independent (the golden sweep gates the quantized mode).
     os.environ.setdefault("NLE_SINKHORN_INT16", "off")
+    # Same reasoning for the 3-pass stage-2 GEMM split: the two sides
+    # tile their dots differently (XLA vs Pallas), and the split widens
+    # that association noise ~2^9 before the chaotic chain amplifies it
+    # — pin the exact 6-pass dots so the machinery comparison keeps its
+    # tight bounds (the golden sweep gates the high mode's fidelity).
+    os.environ.setdefault("NLE_STAGE2_DOTS", "highest")
 
     from nle_tpu.config import enable_persistent_cache
 
