@@ -61,7 +61,7 @@ import jax.numpy as jnp
 _SITES = ("phi", "gram", "v")
 
 
-def stage2_dots(site: str) -> str:
+def stage2_dots(site: str, on_tpu: bool | None = None) -> str:
     """Resolve NLE_STAGE2_DOTS for one of the three gated GEMM sites —
     "phi" (the K_AB @ Uinv build), "gram" (Sb), "v" (the stage-2b tail).
 
@@ -77,13 +77,22 @@ def stage2_dots(site: str) -> str:
     comma list of sites to force on any backend (e.g. "gram,v" — how
     the CPU certification sweep executes the split arithmetic
     off-chip). Per-site granularity exists because the sites differ in
-    cancellation sensitivity (module docstring)."""
+    cancellation sensitivity (module docstring).
+
+    `on_tpu` overrides the auto rule's backend probe: callers that know
+    which devices will EXECUTE the trace (the sharded trainers run on a
+    mesh whose platform can differ from jax.default_backend(), e.g. a
+    virtual CPU mesh inside a TPU-default process) resolve it from the
+    mesh once at jit-key time and pass it here, so the mode can neither
+    probe the wrong backend nor silently change between trace and run
+    (the trace-time-env hazard flagged in ADVICE r3)."""
     if site not in _SITES:
         raise ValueError(f"unknown stage-2 dot site {site!r}")
     raw = os.environ.get("NLE_STAGE2_DOTS", "auto").lower()
     if raw == "auto":
-        return ("high" if site != "phi"
-                and jax.default_backend() == "tpu" else "highest")
+        tpu = (jax.default_backend() == "tpu" if on_tpu is None
+               else on_tpu)
+        return "high" if site != "phi" and tpu else "highest"
     if raw == "highest":
         return "highest"
     if raw == "high":
@@ -127,6 +136,11 @@ def stage2_matmul(a: jax.Array, b: jax.Array, site: str) -> jax.Array:
     jits) otherwise. The split applies to f32 ONLY — f64 runs (the
     golden-oracle pipeline) always take the exact dot."""
     if a.dtype == jnp.float32 and stage2_dots(site) == "high":
+        if b.dtype != jnp.float32:
+            raise TypeError(
+                f"stage2_matmul split path needs f32 operands, got "
+                f"b.dtype={b.dtype}; cast explicitly — split_bf16 would "
+                "silently narrow it through bf16")
         return dot_general_3pass(a, b, (((1,), (0,)), ((), ())))
     return jnp.dot(a, b, preferred_element_type=a.dtype)
 

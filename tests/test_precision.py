@@ -86,19 +86,21 @@ def test_3pass_error_class():
 
 def test_f64_passthrough_is_exact(monkeypatch):
     # Forcing high must NOT touch f64 operands (the golden-oracle runs).
+    # x64 is enabled globally by conftest (jax.experimental.enable_x64 was
+    # removed in JAX 0.9).
     monkeypatch.setenv("NLE_STAGE2_DOTS", "high")
-    import jax
-
-    with jax.experimental.enable_x64():
-        rng = np.random.default_rng(2)
-        a = jnp.asarray(rng.standard_normal((32, 48)), jnp.float64)
-        b = jnp.asarray(rng.standard_normal((48, 16)), jnp.float64)
-        got = np.asarray(stage2_matmul(a, b, "gram"))
-        want = np.asarray(a) @ np.asarray(b)
-        np.testing.assert_allclose(got, want, rtol=1e-13)
-        g = np.asarray(stage2_gram(a))
-        np.testing.assert_allclose(g, np.asarray(a).T @ np.asarray(a),
-                                   rtol=1e-13)
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((32, 48)), jnp.float64)
+    b = jnp.asarray(rng.standard_normal((48, 16)), jnp.float64)
+    assert a.dtype == jnp.float64
+    # rtol 1e-12: XLA's f64 dot and NumPy's differ in summation order
+    # (~1e-13 observed); an accidental f32 narrowing would be ~1e-7.
+    got = np.asarray(stage2_matmul(a, b, "gram"))
+    want = np.asarray(a) @ np.asarray(b)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    g = np.asarray(stage2_gram(a))
+    np.testing.assert_allclose(g, np.asarray(a).T @ np.asarray(a),
+                               rtol=1e-12)
 
 
 def test_forced_gram_matches_3pass(monkeypatch):
