@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nle_tpu.ops.linalg import safe_reciprocal
+from nle_tpu.ops.pallas.affinity_kernel import _out_struct, _unify_vma
 
 TILE_N = 1024
 
@@ -299,6 +300,15 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
     nchunks = npad // chunk
     xw = 2 * chunk if packed else chunk
     eps2 = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+    # bf16 phi contracts natively against a bf16 t; the packed-int16
+    # stream is unpacked to f32 in-kernel, so t (and x) stay f32.
+    t_row = (t[None, :].astype(phi_pad.dtype)
+             if phi_pad.dtype == jnp.bfloat16 else t[None, :])
+    # vma uniformity under shard_map(check_vma=True): the sharded dense
+    # trainer calls this per pixel shard with a 'pixel'-varying phi block
+    # against replicated scalars/t (parallel/sharded.py _train_2a_q);
+    # pcast + annotated out structs are no-ops single-chip.
+    eps2, t_row, phi_pad = _unify_vma(eps2, t_row, phi_pad)
     x, s8 = pl.pallas_call(
         functools.partial(_kernel_manual, chunk=chunk, nchunks=nchunks),
         in_specs=[
@@ -311,8 +321,8 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nchunks, 8, xw), jnp.float32),
-            jax.ShapeDtypeStruct((8, mpad), jnp.float32),
+            _out_struct((nchunks, 8, xw), eps2, t_row, phi_pad),
+            _out_struct((8, mpad), eps2, t_row, phi_pad),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, mpad), phi_pad.dtype),
@@ -322,12 +332,7 @@ def sinkhorn_halfstep_manual(phi_pad: jax.Array, t: jax.Array, eps,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(eps2,
-      # bf16 phi contracts natively against a bf16 t; the packed-int16
-      # stream is unpacked to f32 in-kernel, so t (and x) stay f32.
-      t[None, :].astype(phi_pad.dtype)
-      if phi_pad.dtype == jnp.bfloat16 else t[None, :],
-      phi_pad)
+    )(eps2, t_row, phi_pad)
     if packed:
         # Chunk i's slot row 0 is [x_lo(chunk), x_hi(chunk)]: logical rows
         # [i*chunk, (i+1)*chunk) and [npad + i*chunk, ...). Reassemble the
@@ -441,6 +446,69 @@ def _resolve_int16(n_bf16: int) -> bool:
         raise ValueError(
             f"NLE_SINKHORN_INT16={raw!r}: expected auto/on/off")
     return n_bf16 == 0
+
+
+def quantize_int16(phi_pad: jax.Array):
+    """Per-COLUMN int16 quantization of an f32 phi block (the carrier's
+    load-bearing axis choice: phi columns carry the Nystrom 1/lam factor
+    spanning ~10 decades, so a per-ROW scale is catastrophic — 4.8 dB on
+    bird — while per-column is essentially free; see _resolve_int16).
+    Returns (qf, scale, colmax): qf is the rounded value in [-32767, 32767]
+    kept in FLOAT32 (exact — integers <= 32767), scale (cols,) with 1.0 on
+    all-zero columns, colmax (cols,). phi ~ unquantize: qf * scale."""
+    colmax = jnp.max(jnp.abs(phi_pad), axis=0)
+    scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+    qf = jnp.clip(jnp.round(phi_pad / scale[None, :]), -32767, 32767)
+    return qf, scale, colmax
+
+
+def pack_pairs_int32(qf: jax.Array) -> jax.Array:
+    """PAIR-PACK quantized rows into an int32 container: word (r, c)
+    carries logical row r in its low 16 bits and row r + npad/2 in its
+    high 16 bits. The int32 container keeps plain T(8,128) tiling — a bare
+    s16 buffer gets XLA's (2,1) packed 16-bit tiling, which forfeits the
+    narrow-DMA win (round-3 measurement, DESIGN.md). Rows must be even."""
+    nh = qf.shape[0] // 2
+    return (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
+            | (qf[nh:].astype(jnp.int32) << 16))
+
+
+def sinkhorn_halfstep_split_xla(qi: jax.Array, tq: jax.Array, eps):
+    """Plain-XLA twin of _kernel_manual's packed-int16 branch for non-TPU
+    meshes (interpret-mode pallas inside shard_map trips check_vma on the
+    replicated SMEM scalars — same reason the streaming sharded path has
+    an XLA body, parallel/sharded.py _train_2a_streaming). Reproduces the
+    kernel's EXACT split arithmetic — v = (v >> 7) * 128 + (v & 127) with
+    both pieces exact in bf16, t/x split into bf16 hi + lo, the l*l term
+    dropped — so CPU-mesh tests certify the quantized trajectory's error
+    class off-chip (accumulation order differs from the MXU; not bitwise).
+
+    qi: (n, m) int32 quantized values in [-32767, 32767] (UNPACKED).
+    tq: (m,) f32 in Q-scale (caller applies the column scale).
+    Returns (x (n,), s_q (m,)) with s_q = Q^T x in Q-scale."""
+    dprec = jax.lax.Precision.DEFAULT
+    v_h = (qi >> 7).astype(jnp.bfloat16)           # [-256, 255]
+    v_l = (qi & 127).astype(jnp.bfloat16)          # [0, 127]
+    t_h = tq.astype(jnp.bfloat16)
+    t_l = (tq - t_h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot_vm(vec, mat):     # (m,) bf16 . (n, m) bf16 -> (n,) f32
+        return jax.lax.dot_general(
+            mat, vec, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+
+    w = (dot_vm(t_h, v_h) + dot_vm(t_l, v_h)) * 128.0 + dot_vm(t_h, v_l)
+    x = safe_reciprocal(w, eps)
+    x_h = x.astype(jnp.bfloat16)
+    x_l = (x - x_h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot_nv(vec, mat):     # (n,) bf16 . (n, m) bf16 -> (m,) f32
+        return jax.lax.dot_general(
+            vec, mat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+
+    s_q = (dot_nv(x_h, v_h) + dot_nv(x_l, v_h)) * 128.0 + dot_nv(x_h, v_l)
+    return x, s_q
 
 
 def _packed_chunk(tile: int, npad_packed: int, mpad: int) -> int:
@@ -567,14 +635,10 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         # ms/halfstep vs f32's 4.0 at the 1 MP p=600 shape. Prep cost is
         # ~2.5 phi sweeps (abs-max reduce + quantized packed write),
         # amortized over 2*max_iter halfstep sweeps.
-        colmax = jnp.max(jnp.abs(phi_pad), axis=0)              # (mpad,)
-        scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
-        qf = jnp.clip(jnp.round(phi_pad / scale[None, :]), -32767, 32767)
-        nh = npad // 2
-        q32 = (jnp.bitwise_and(qf[:nh].astype(jnp.int32), 0xFFFF)
-               | (qf[nh:].astype(jnp.int32) << 16))
+        qf, scale, colmax = quantize_int16(phi_pad)
+        q32 = pack_pairs_int32(qf)
         lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
-        chunk_q = _packed_chunk(tile, nh, mpad)
+        chunk_q = _packed_chunk(tile, npad // 2, mpad)
 
         def halfstep_q(p, t):
             return sinkhorn_halfstep_manual(p, t, eps, chunk=chunk_q,

@@ -32,6 +32,7 @@ every pad contribution vanish (reciprocals of 0 are 0 by the eps rule).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,22 +51,99 @@ from nle_tpu.ops.sampling import sample_grid
 from nle_tpu.utils.transfer import fetch
 
 
-@functools.lru_cache(maxsize=32)
 def _sharded_2a_step(mesh: Mesh, p: int, mb: int, n_iter: int, eps: float,
                      use_pallas: bool):
     """Jitted shard_map training step, cached per (mesh, shape config) —
     rebuilding the closure per call would retrace and recompile every time
     (minutes on a remote-compile TPU). Shapes are static in the rank bucket
     mb (ops/pipeline.py bucket_m); each batch element carries its true kept
-    rank m as a traced scalar."""
+    rank m as a traced scalar.
+
+    The Sb gram's NLE_STAGE2_DOTS mode is resolved HERE (uncached, from the
+    mesh platform) and threaded into the cached builder as part of its key,
+    so a mid-process env change selects a different compiled program
+    instead of silently reusing a trace built under the old mode (ADVICE
+    r3)."""
+    from nle_tpu.ops.precision import stage2_dots
+
+    return _sharded_2a_step_cached(
+        mesh, p, mb, n_iter, eps, use_pallas,
+        stage2_dots("gram", on_tpu=use_pallas))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_2a_step_cached(mesh: Mesh, p: int, mb: int, n_iter: int,
+                            eps: float, use_pallas: bool, gram_mode: str):
     def fn(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, sw, pw):
         return _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local,
                          p=p, n_iter=n_iter, eps=eps, sw=sw, pw=pw,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, gram_mode=gram_mode)
 
     vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
     sharded = jax.shard_map(
         vfn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                  P("data", "pixel"), P("data", "pixel"), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"),
+                   P("data", "pixel")),
+    )
+    return jax.jit(sharded)
+
+
+def _sharded_int16(on_tpu: bool) -> bool:
+    """Whether the DENSE sharded trainer streams the int16 per-column-
+    scaled Sinkhorn carrier (the single-chip fused path's default —
+    ops/pallas/sinkhorn_kernel.py _resolve_int16 — ported to the pixel
+    mesh, VERDICT r3 item 2). Same knob, same scoping: NLE_SINKHORN_INT16
+    auto (default) engages on TPU meshes only — on a CPU mesh there is no
+    MXU-pass wall, and the f32 path is the bit-exact machinery-comparison
+    baseline (tools/check_tpu_sharded.py pins =off). "on" forces it on any
+    mesh: CPU-mesh tests certify the quantized trajectory off-chip through
+    the plain-XLA twin of the kernel's split arithmetic
+    (sinkhorn_halfstep_split_xla). Resolved per CALL (the cached step
+    builders are keyed by the outcome), so a mid-process change selects a
+    different compiled program instead of silently no-opping."""
+    raw = os.environ.get("NLE_SINKHORN_INT16", "auto").lower()
+    if raw in ("off", "0", "false"):
+        return False
+    if raw not in ("auto", "on", "1", "true"):
+        raise ValueError(
+            f"NLE_SINKHORN_INT16={raw!r}: expected auto/on/off")
+    return on_tpu or raw != "auto"
+
+
+def _sharded_2a_step_q(mesh: Mesh, p: int, mb: int, n_iter: int, eps: float,
+                       on_tpu: bool):
+    """int16-carrier variant of _sharded_2a_step (same contract and out
+    shardings; trajectory differs by the carrier's quantization class).
+    Batch elements run under lax.map rather than vmap: the manual-DMA
+    Sinkhorn kernel (scratch buffers, internal fori_loop, ANY-space refs)
+    has no batching rule, and sequential per-element execution loses
+    nothing — each element's Sinkhorn alone saturates a chip's HBM."""
+    from nle_tpu.ops.precision import stage2_dots
+
+    return _sharded_2a_step_q_cached(
+        mesh, p, mb, n_iter, eps, on_tpu,
+        stage2_dots("gram", on_tpu=on_tpu))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_2a_step_q_cached(mesh: Mesh, p: int, mb: int, n_iter: int,
+                              eps: float, on_tpu: bool, gram_mode: str):
+    def mapped(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, sw, pw):
+        def one(xs):
+            Um1, lam1, Ui1, m1, fa1, fb1, mk1 = xs
+            return _train_2a_q(Um1, lam1, Ui1, m1, fa1, fb1, mk1,
+                               p=p, mb=mb, n_iter=n_iter, eps=eps,
+                               sw=sw, pw=pw, on_tpu=on_tpu,
+                               gram_mode=gram_mode)
+
+        return jax.lax.map(one, (Um, lam_m, Uinv, m_dyn, fa, fb_local,
+                                 mask_local))
+
+    sharded = jax.shard_map(
+        mapped,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                   P("data", "pixel"), P("data", "pixel"), P(), P()),
@@ -205,7 +283,7 @@ def make_mesh(n_data: int = 1, n_pixel: int | None = None, devices=None) -> Mesh
 
 
 def _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, n_iter,
-              eps, sw, pw, use_pallas=None):
+              eps, sw, pw, use_pallas=None, gram_mode="highest"):
     """Per-(batch element, pixel-shard) Nystrom + Sinkhorn body under
     shard_map with `psum` over 'pixel'. Um (p, mb), lam_m (mb,), Uinv
     (p, mb) — columns beyond the element's true kept rank m (the traced
@@ -259,7 +337,134 @@ def _train_2a(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, n_iter,
 
     cphiu = jnp.where(jnp.arange(p) >= m_dyn, cp, 0.0)[:, None] * Um
     cphib_l = cbl[:, None] * phi_bl
-    Sb = cphiu.T @ cphiu + jax.lax.psum(cphib_l.T @ cphib_l, "pixel")
+    Sb = cphiu.T @ cphiu + jax.lax.psum(_local_gram(cphib_l, gram_mode),
+                                        "pixel")
+    return rp, cp, Sb, cphib_l
+
+
+def _local_gram(a, gram_mode: str):
+    """Per-shard a^T @ a at the resolved 'gram'-site NLE_STAGE2_DOTS mode
+    (ops/precision.py): the N-scale Sb reduction is the one sharded GEMM
+    the single-chip auto policy splits on TPU (the split's balanced scaled
+    columns make it safe; the phi build is NOT — see the precision-policy
+    module docstring). The mode arrives resolved from the step builder's
+    cache key, never re-read from the env at trace time."""
+    if gram_mode == "high":
+        from nle_tpu.ops.precision import dot_general_3pass
+
+        return dot_general_3pass(a, a, (((0,), (0,)), ((), ())))
+    return jax.lax.dot_general(
+        a, a, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=a.dtype)
+
+
+def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
+                n_iter, eps, sw, pw, on_tpu, gram_mode):
+    """int16-carrier twin of _train_2a: the per-(batch element, pixel
+    shard) dense Nystrom + Sinkhorn body with the balancing sweeps run on
+    a per-COLUMN-scaled int16 copy of the local phi block (the single-chip
+    fused default — ops/pallas/sinkhorn_kernel.py _resolve_int16 — ported
+    to the mesh; matches the dominant reference hot loop, reference
+    src/filter.cpp:238-245). Differences vs _train_2a:
+
+    - s-CARRIED loop: only the m-sized reduction s = phi^T x crosses
+      half-steps, and the fused kernel folds the reciprocal and the next
+      reduction into the same sweep — ONE phi sweep per half-step instead
+      of _train_2a's two, on half-width words: ~4x less HBM traffic on the
+      dominant stage, with the kernel's hand-built 3-pass bf16-split dots
+      (single-pass MXU streams) in place of the ambient 6-pass "highest"
+      wall.
+    - the column scale is SHARD-LOCAL (each shard quantizes its own rows:
+      phi_bl ~ Q_l diag(scale_l)), applied at the m-sized boundaries —
+      t_q = scale_l * t into the sweep, scale_l * s_q out — so the psum'd
+      running s stays in TRUE scale across shards; the single-chip path
+      folds its one global scale into lam instead (same algebra, error
+      <= colmax * 2^-16 per element either way).
+    - the replicated p-row Um block stays f32: it is O(p*m) against the
+      shard's O(nb_local*m), and its matvecs are m-sized work.
+    On non-TPU meshes (forced via NLE_SINKHORN_INT16=on) the sweeps run
+    sinkhorn_halfstep_split_xla — the plain-XLA twin of the kernel's split
+    arithmetic — so CPU-mesh tests certify the quantized trajectory's
+    error class off-chip."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        TILE_N,
+        _packed_chunk,
+        pack_pairs_int32,
+        quantize_int16,
+        sinkhorn_halfstep_manual,
+        sinkhorn_halfstep_split_xla,
+    )
+
+    phi_bl = (affinity_matmul(fa, fb_local, Uinv, sw, pw,
+                              use_pallas=on_tpu)
+              * mask_local[:, None])
+    nb_local = phi_bl.shape[0]
+    dt = fa.dtype
+
+    if on_tpu:
+        # Kernel layout: rows to a 2*tile multiple (pair-packing halves
+        # them), cols to the 128-lane alignment — same sizing rules as
+        # sinkhorn_vectors_fused.
+        mpad = -(-mb // 128) * 128
+        tile = TILE_N
+        while tile > 256 and 2 * tile * mpad * 4 > 12 * 2**20:
+            tile //= 2
+        npad = -(-nb_local // (2 * tile)) * (2 * tile)
+        phi_q = jnp.pad(phi_bl, ((0, npad - nb_local), (0, mpad - mb)))
+        qf, scale, _ = quantize_int16(phi_q)
+        q32 = pack_pairs_int32(qf)
+        chunk_q = _packed_chunk(tile, npad // 2, mpad)
+
+        def local_halfstep(tq):
+            x, s_q = sinkhorn_halfstep_manual(q32, tq, eps, chunk=chunk_q)
+            return x[:nb_local], s_q
+    else:
+        mpad = mb
+        qf, scale, _ = quantize_int16(phi_bl)
+        qi = qf.astype(jnp.int32)
+
+        def local_halfstep(tq):
+            return sinkhorn_halfstep_split_xla(qi, tq, eps)
+
+    def pad_m(v):
+        return jnp.pad(v, (0, mpad - mb)) if mpad != mb else v
+
+    def halfstep(s):
+        t = lam_m * s
+        xp = safe_reciprocal(Um @ t, eps)
+        x_bl, s_q = local_halfstep(scale * pad_m(t))
+        s_new = Um.T @ xp + jax.lax.psum((scale * s_q)[:mb], "pixel")
+        return xp, x_bl, s_new
+
+    data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
+    ones_p = data_varying(jnp.ones((p,), dt))
+    # s0 = phi^T @ ones EXACTLY (f32, pre-quantization) — the single-chip
+    # fused path computes s0 from the f32 phi too.
+    s0 = Um.T @ ones_p + jax.lax.psum(phi_bl.T @ mask_local, "pixel")
+
+    init = (data_varying(jnp.zeros((p,), dt)),
+            jnp.zeros_like(mask_local), s0)
+    if n_iter == 0:
+        rp = ones_p
+        cp, cbl = init[:2]
+    else:
+        # Only s carries between iterations: run n_iter-1 fused
+        # iterations, then unroll the final one to capture (c, r) from
+        # its two half-steps (same structure as _train_2a_streaming).
+        def full_body(_, st):
+            cp, cbl, s = st
+            cp, cbl, s = halfstep(s)
+            _, _, s = halfstep(s)
+            return cp, cbl, s
+
+        cp, cbl, s = jax.lax.fori_loop(0, n_iter - 1, full_body, init)
+        cp, cbl, s = halfstep(s)
+        rp, _rbl, _ = halfstep(s)
+
+    cphiu = jnp.where(jnp.arange(p) >= m_dyn, cp, 0.0)[:, None] * Um
+    cphib_l = cbl[:, None] * phi_bl
+    Sb = cphiu.T @ cphiu + jax.lax.psum(_local_gram(cphib_l, gram_mode),
+                                        "pixel")
     return rp, cp, Sb, cphib_l
 
 
@@ -587,6 +792,9 @@ def train_filter_sharded(
         if streaming:
             step = _sharded_2a_step_streaming(
                 mesh, p, mb, n_sinkhorn_iter, eps, interpret)
+        elif _sharded_int16(on_tpu):
+            step = _sharded_2a_step_q(mesh, p, mb, n_sinkhorn_iter, eps,
+                                      on_tpu)
         else:
             step = _sharded_2a_step(mesh, p, mb, n_sinkhorn_iter, eps, on_tpu)
         with jax.default_matmul_precision("highest"):
@@ -638,7 +846,20 @@ def train_filter_sharded(
                 step2b = _sharded_2b_streaming(mesh, interpret)
                 Vb = step2b(fa_g, fb_g, cphib, B, sw, pw)
             else:
-                Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
+                from nle_tpu.ops.precision import (
+                    dot_general_3pass,
+                    stage2_dots,
+                )
+
+                # The stage-2b eigenvector tail is the 'v' split site
+                # (ops/precision.py: split-safe, on TPU only) — batched
+                # dims (b), contract m.
+                if stage2_dots("v", on_tpu=on_tpu) == "high":
+                    Vb = dot_general_3pass(
+                        cphib, grt_dev,
+                        (((2,), (1,)), ((0,), (0,))))
+                else:
+                    Vb = jnp.einsum("bnm,bmk->bnk", cphib, grt_dev)
         Vb_np = fetch(Vb)[:, :nb, :]
         for j, i in enumerate(idx):
             V_out[i, grid.perm[p:], :] = Vb_np[j]

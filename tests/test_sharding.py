@@ -1,6 +1,8 @@
 """Shard-consistency: the sharded pipeline on the virtual 8-device CPU mesh
 must agree with the single-device pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -198,6 +200,128 @@ def test_sharded_factored_stores_u8_pack_and_caches_apply_state(batch):
     assert np.abs(out1 - ref).max() < 0.05
 
 
+# ---- int16 Sinkhorn carrier on the mesh (VERDICT r3 item 2) ----
+
+
+def test_split_xla_twin_matches_packed_kernel_interpret():
+    """sinkhorn_halfstep_split_xla is the plain-XLA twin the CPU-mesh
+    int16 trainer runs; it must reproduce the packed kernel's split
+    arithmetic (same quantized operands, same dropped l*l term — only the
+    accumulation order differs)."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        pack_pairs_int32,
+        quantize_int16,
+        sinkhorn_halfstep_manual,
+        sinkhorn_halfstep_split_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m = 512, 128
+    # Columns spanning decades, like phi's Nystrom 1/lam columns.
+    phi = (rng.standard_normal((n, m)).astype(np.float32)
+           * np.logspace(-4, 3, m, dtype=np.float32)[None, :])
+    phi[-37:] = 0.0   # pad-like zero rows must stay exactly zero
+    t = rng.standard_normal((m,)).astype(np.float32)
+    qf, scale, _ = quantize_int16(jnp.asarray(phi))
+    tq = scale * jnp.asarray(t)
+
+    x_k, s_k = sinkhorn_halfstep_manual(
+        pack_pairs_int32(qf), tq, 1e-10, chunk=128, interpret=True)
+    x_x, s_x = sinkhorn_halfstep_split_xla(
+        qf.astype(jnp.int32), tq, 1e-10)
+
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_x),
+                               rtol=1e-5, atol=0)
+    assert np.all(np.asarray(x_x)[-37:] == 0.0)
+    # s entries cancel (signed x against signed columns): bound the
+    # difference against the accumulated TERM magnitude — in Q units,
+    # since both s vectors are Q^T x (the same entry-vs-term distinction
+    # ops/precision.py's error analysis leans on).
+    term = (np.linalg.norm(np.asarray(x_x))
+            * np.linalg.norm(np.asarray(qf), axis=0) + 1e-30)
+    assert float(np.max(np.abs(np.asarray(s_k) - np.asarray(s_x)) / term)) \
+        < 1e-5
+
+
+def test_sharded_int16_matches_single_device(monkeypatch):
+    """NLE_SINKHORN_INT16=on forces the carrier through the XLA twin on
+    the CPU mesh. REAL image crops, not uniform noise: the carrier's
+    validity domain is spatially-coherent images (on random noise at
+    hx=50 phi entries span ~12 decades WITHIN a column and int16's 4.5
+    decades destroy the trajectory — measured r4; the same is true of the
+    golden-gated single-chip carrier). On images, the quantization
+    trajectory (<= colmax * 2^-16) amplified through the chaotic chain
+    stays sub-gray-level (measured 0.01-0.49 on these crops); a
+    structural port bug measures in the hundreds."""
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    img = cv2.imread("/root/reference/data/bird.bmp")
+    L = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)[..., 0].astype(np.float32)
+    # Two crops whose kept ranks differ (m = 44 and 47 at p = 48):
+    # exercises the traced-m masks under the quantized body too.
+    crops = np.stack([L[:120, :160], L[40:160, 100:260]])
+    args = (6, 8, 300.0, 30.0, 10, 8)
+    mesh = make_mesh(2, 4)
+    V_s, S_s = train_filter_sharded(crops, *args, mesh)
+    w = [2.0, 3.0, 4.0, 1.0]
+    for i in range(2):
+        V1, S1 = train_filter(crops[i], *args, use_pallas=False)
+        fS = transform_eigenvalues(S1, w)
+        out_1 = np.asarray(apply_filter(V1, fS, jnp.asarray(crops[i])))
+        out_s = np.asarray(
+            apply_filter(jnp.asarray(V_s[i]), fS, jnp.asarray(crops[i])))
+        assert np.abs(out_s - out_1).max() < 2.0
+
+
+def test_sharded_int16_off_is_bitwise_f32(batch, monkeypatch):
+    """=off restores the exact f32 sharded trajectory (the machinery
+    baseline tools/check_tpu_sharded.py pins)."""
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
+    mesh = make_mesh(1, 8)
+    V_a, S_a = train_filter_sharded(batch[:1], *ARGS, mesh)
+    monkeypatch.delenv("NLE_SINKHORN_INT16")
+    # auto on a CPU mesh also resolves to the f32 path.
+    V_b, S_b = train_filter_sharded(batch[:1], *ARGS, mesh)
+    np.testing.assert_array_equal(np.asarray(V_a), np.asarray(V_b))
+    np.testing.assert_array_equal(np.asarray(S_a), np.asarray(S_b))
+
+
+# ---- Golden gate through the sharded trainer (VERDICT r3 item 5) ----
+
+
+@pytest.mark.parametrize("int16", ["off", "on"], ids=["f32", "int16"])
+def test_sharded_golden_flower(int16, monkeypatch):
+    """The cheapest README config (flower, 10 20 100 30 50 30) trained
+    through train_filter_sharded on the 8-device mesh must clear the SAME
+    45 dB reference-golden gate the single-chip path is held to
+    (tests/test_golden.py) — agreement with the single-device result
+    (above) cannot catch a correlated sharded/single bug; the reference
+    image can. Runs both carriers: the default f32 mesh path and the
+    forced int16 twin."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracle_numpy as O
+
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.setenv("NLE_SINKHORN_INT16", int16)
+    from nle_tpu.models.filter import NLEFilter, TrainedFilter
+
+    img = cv2.imread("/root/reference/data/flower-50.bmp")
+    gold = cv2.imread("/root/reference/data/flower-filtered.png")
+    f = NLEFilter()
+    lab = f._to_lab(img)
+    L = lab[..., 0].astype(np.float32)
+    V, S = train_filter_sharded(L[None], 10, 20, 100.0, 30.0, 50, 30,
+                                make_mesh(1, 8))
+    trained = NLEFilter(TrainedFilter(
+        jnp.asarray(V[0]), jnp.asarray(S[0]), L.shape[0], L.shape[1],
+        perm=None))
+    out = trained.enhance(img, [2.0, 3.0, 4.0, 1.0])
+    psnr = O.psnr(out, gold)
+    assert psnr >= 45.0, f"sharded flower ({int16}): {psnr:.2f} dB"
+
+
 # ---- ICI scaling invariants (compiled-program analysis, VERDICT r2 #5) ----
 #
 # The capacity/scaling story claims per-shard memory is O(nb_local) and all
@@ -231,8 +355,11 @@ def _compiled_2a(n_pixel: int, streaming: bool, mb: int, nb_pad: int):
 # Probe sizes: large enough that the O(nb_local) term dominates each
 # path's fixed overhead (dense materializes phi (nb_local, mb) so it
 # needs the bigger nb; the streaming path's interpret-mode temps dwarf
-# its constants already at 8k pixels and 16 ranks).
-_PROBES = {False: (64, 1 << 16), True: (16, 1 << 13)}
+# its constants already at 8k pixels and 16 ranks). The dense probe grew
+# 1<<16 -> 1<<18 when the Sb gram moved to a transpose-free dot_general
+# (_local_gram): one fewer nb-sized temp made the ~4 MB fixed overhead
+# visible at the old probe.
+_PROBES = {False: (64, 1 << 18), True: (16, 1 << 13)}
 
 
 @pytest.mark.parametrize("streaming", [False, True], ids=["dense", "stream"])
