@@ -1035,6 +1035,69 @@ def make_server(port: int = 0, token: str | None = None,
     return srv
 
 
+def parse_warmup_spec(spec: str) -> tuple:
+    """Parse one --warmup=H,W,nr,nc[,iters[,k]] spec (iters defaults to
+    10, k to 5 — the /enhance query defaults). These six integers are
+    exactly the request attributes that enter the stage-1/2a/2b + edit
+    compile keys: H*W fixes N, (nr, nc) fix p and the sampled grid, iters
+    and k are static jit arguments; hx/hy/weights are traced operands and
+    need no warming."""
+    parts = spec.split(",")
+    if not 4 <= len(parts) <= 6:
+        raise ValueError(
+            f"--warmup={spec!r}: expected H,W,nr,nc[,iters[,k]]")
+    try:
+        vals = [int(x) for x in parts]
+    except ValueError:
+        raise ValueError(
+            f"--warmup={spec!r}: expected comma-separated integers"
+        ) from None
+    if any(v <= 0 for v in vals):
+        raise ValueError(f"--warmup={spec!r}: values must be positive")
+    h, w, nr, nc = vals[:4]
+    iters = vals[4] if len(vals) > 4 else 10
+    k = vals[5] if len(vals) > 5 else 5
+    return (h, w, nr, nc, iters, k)
+
+
+def run_warmup(specs) -> list:
+    """Pre-trace the serving /enhance flow's device programs for each
+    (H, W, nr, nc, iters, k) spec BEFORE the server takes traffic: first
+    compile of a new (shape, grid, bucket) costs MINUTES through the
+    remote-compile service (VERDICT r3 item 3 of the serving gap list),
+    so a warmed boot turns the first real request into a warm-cache hit.
+
+    Drives the REAL request path — the coalescing trainer
+    (models/batch.py stage-2a/2b jits) plus the u8 edit apply — on a
+    full-rank noise frame, so the process jit caches AND the persistent
+    compile cache (NLE_JAX_CACHE_DIR) are both populated. Rank-bucket
+    caveat: compile keys include mb = bucket_m(m, p); noise frames are
+    full-rank (m = p), landing in the mb = p bucket that real photos at
+    serving grids occupy (rock2 1 MP: m = 598 -> mb = 600 = p). A heavily
+    truncating workload (smooth synthetic frames, tiny hx) would land in
+    a lower bucket and still pay its first compile. Returns per-spec
+    seconds (logged by main)."""
+    from nle_tpu.models.filter import NLEFilter
+
+    times = []
+    for (h, w, nr, nc, iters, k) in specs:
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        t0 = time.perf_counter()
+        lock = threading.Lock()
+        # A throwaway trainer is safe: its drain worker exits when the
+        # queue empties, and the jit caches it populates are process-wide.
+        trainer = _CoalescingTrainer(lock, None)
+        flt, lab = trainer.train_enhancement(
+            img, (nr, nc, 500.0, 10.0, iters, k))
+        f = NLEFilter(trained=flt)
+        f.seed_lab_cache(img, lab)
+        out = f.enhance(img, [2.0, 3.0, 4.0, 1.0])
+        assert out.shape == img.shape
+        times.append(time.perf_counter() - t0)
+    return times
+
+
 def selftest(platform: str | None = None) -> float:
     """Start the server on an ephemeral port, run the flower golden config
     through real HTTP round trips (train-once + edit-many included), return
@@ -1096,9 +1159,12 @@ def main():
                                           DEFAULT_MAX_FILTER_BYTES))
     spill_dir = None
     access_log_path = None
+    warmup_specs = []
     for a in sys.argv[1:]:
         if a.startswith("--port="):
             port = int(a.split("=", 1)[1])
+        elif a.startswith("--warmup="):
+            warmup_specs.append(parse_warmup_spec(a.split("=", 1)[1]))
         elif a == "--selftest":
             run_selftest = True
         elif a.startswith("--platform="):
@@ -1121,7 +1187,7 @@ def main():
             print(f"nle-serve: unknown argument {a!r}\n"
                   "usage: nle-serve [--port=N] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
-                  "[--spill-dir=DIR] "
+                  "[--spill-dir=DIR] [--warmup=H,W,nr,nc[,iters[,k]] ...] "
                   "[--access-log=PATH|-] [--platform=NAME] [--selftest]",
                   file=sys.stderr)
             sys.exit(2)
@@ -1136,6 +1202,10 @@ def main():
     from nle_tpu.config import enable_persistent_cache
 
     enable_persistent_cache()
+    # Warm BEFORE binding the port: health checks / requests only see an
+    # open socket once every expected shape's programs are traced.
+    for spec, secs in zip(warmup_specs, run_warmup(warmup_specs)):
+        print(f"nle-serve: warmed {spec} in {secs:.1f}s", flush=True)
     access_log = (sys.stdout if access_log_path == "-"
                   else open(access_log_path, "a")
                   if access_log_path else None)

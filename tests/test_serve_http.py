@@ -1140,3 +1140,52 @@ def test_main_rejects_unknown_arguments(monkeypatch, capsys):
     assert e.value.code == 2
     err = capsys.readouterr().err
     assert "unknown argument" in err and "--tokn=secret" in err
+
+
+def test_parse_warmup_spec():
+    """--warmup grammar: H,W,nr,nc[,iters[,k]] with defaults matching the
+    /enhance query defaults (iters=10, k=5); malformed specs fail loudly
+    (a silently-dropped warmup would reintroduce the minutes-long first
+    compile it exists to prevent)."""
+    import serve_http
+
+    assert serve_http.parse_warmup_spec("64,48,3,4") == (64, 48, 3, 4, 10, 5)
+    assert serve_http.parse_warmup_spec("1024,1024,20,30,50") == \
+        (1024, 1024, 20, 30, 50, 5)
+    assert serve_http.parse_warmup_spec("100,200,8,10,12,7") == \
+        (100, 200, 8, 10, 12, 7)
+    for bad in ("64,48,3", "a,b,c,d", "64,48,3,4,5,6,7", "64,0,3,4", ""):
+        with pytest.raises(ValueError):
+            serve_http.parse_warmup_spec(bad)
+
+
+def test_run_warmup_traces_request_path():
+    """run_warmup drives the real coalescing + edit flow: after warming a
+    spec, a server request with the SAME (shape, grid, iters, k) hits only
+    already-traced programs. On CPU we can't time compiles meaningfully;
+    assert instead that the warmup executes end-to-end and the subsequent
+    request round-trips correctly (the chip-side latency evidence lives in
+    tools/check_tpu_serving.py)."""
+    import serve_http
+
+    times = serve_http.run_warmup([(48, 64, 3, 4, 5, 4)])
+    assert len(times) == 1 and times[0] > 0
+
+    srv = serve_http.make_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/enhance?nr=3&nc=4&iters=5&k=4"
+            "&hx=500&hy=10&w=2,3,4,1", data=png.tobytes())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = cv2.imdecode(
+                np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR)
+        assert out.shape == img.shape
+    finally:
+        srv.shutdown()
