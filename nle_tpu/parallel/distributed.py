@@ -378,21 +378,35 @@ def _selfcheck(coordinator: str, nproc: int, pid: int,
                        np.array([lam2.shape[0]])).ravel()}
         assert len(buckets) > 1, (
             f"bucket-divergence phase is vacuous: all buckets {buckets}")
-    (V2, S2), = train_filters_multihost(chan2[None], *args2, mesh)
     V1b, S1b = train_filter(chan2, *args2, use_pallas=False)
     V1b, S1b = np.asarray(V1b), np.asarray(S1b)
-    k2 = S2.shape[0]
     # Looser than the full-rank phase above: a truncating chain (m=64 of
     # 150 kept) amplifies the cross-implementation f32 noise — the
     # single-process MESH trainer at its OWN bucket already differs from
     # train_filter by ~5e-4 relative here (measured), so this is the
     # noise class, not an mb-padding defect (the forced-larger-bucket run
     # measured CLOSER to train_filter than the own-bucket one).
-    assert np.allclose(S2, S1b[:k2], rtol=2e-3, atol=1e-4), (S2, S1b)
-    assert_v_matches(V2, V1b[:, :k2], 2e-2, "divergent-bucket")
+    # BOTH stage-2 variants run the mixed-bucket phase (VERDICT r3 #7:
+    # the streaming body's max-bucket padding contract has its own mpad
+    # plumbing — _train_2a_streaming — that the dense run cannot cover).
+    for streaming in (False, True):
+        (V2, S2), = train_filters_multihost(chan2[None], *args2, mesh,
+                                            streaming=streaming)
+        k2 = S2.shape[0]
+        tag = f"divergent-bucket-{'stream' if streaming else 'dense'}"
+        # The streaming body recomputes affinity tiles per sweep (its own
+        # association order), stacking a second noise source on the
+        # truncating chain: measured ~1% on the flat image's smallest
+        # kept eigenvalues (vs ~5e-4 dense). Structural mask/padding bugs
+        # measure order-unity; gate each variant at its own class.
+        rtol, atol, vtol = ((2e-2, 1e-3, 5e-2) if streaming
+                            else (2e-3, 1e-4, 2e-2))
+        assert np.allclose(S2, S1b[:k2], rtol=rtol, atol=atol), (
+            tag, S2, S1b)
+        assert_v_matches(V2, V1b[:, :k2], vtol, tag)
     print(f"multihost selfcheck pid={pid}/{nproc}: ok "
-          f"(dense + streaming + factored + divergent-bucket match "
-          f"single-process)", flush=True)
+          f"(dense + streaming + factored + divergent-bucket x "
+          f"{{dense,stream}} match single-process)", flush=True)
 
 
 def run_localhost_workers(n_proc: int, local_devices: int = 2,

@@ -137,3 +137,16 @@ def test_parallel_package_lazy_exports():
     assert callable(par.train_filters_multihost)
     with pytest.raises(AttributeError):
         par.no_such_symbol
+
+
+def test_multihost_four_process_localhost():
+    """4 processes x 2 local devices — the (4, 2) global mesh (VERDICT r3
+    #7): shakes out process-count assumptions the 2-process run cannot
+    (make_global_mesh uniformity over >2 rows, 4-way bucket agreement
+    with TWO processes per divergence side, result assembly when a
+    process's row is in the middle of the device list). Each worker runs
+    the full selfcheck: dense + streaming + factored + the mixed-bucket
+    phase in BOTH stage-2 variants."""
+    from nle_tpu.parallel.distributed import run_localhost_workers
+
+    run_localhost_workers(4, local_devices=2, timeout=900.0)
