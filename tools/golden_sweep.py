@@ -120,14 +120,27 @@ def main():
         img = cv2.imread(os.path.join(DATA, inp))
         gold = cv2.imread(goldp)
         nr, nc, hx, hy, iters, k = params
+
+        def run():
+            f = NLEFilter(dtype=dtype)
+            f.train_for_enhancement(img, nr, nc, hx, hy, iters, k)
+            return f.enhance(img, weights)
+
+        # Two passes: the first eats any compile (minutes on a fresh
+        # shape through the remote-compile service) and is recorded
+        # separately; `sec`/`mp_per_s` report the WARM second pass only —
+        # the old single-pass timing mixed compile into the throughput
+        # column and made flower look like 0.001 MP/s (VERDICT r3 #6).
         t0 = time.time()
-        f = NLEFilter(dtype=dtype)
-        f.train_for_enhancement(img, nr, nc, hx, hy, iters, k)
-        out = f.enhance(img, weights)
+        run()
+        first = time.time() - t0
+        t0 = time.time()
+        out = run()
         dt = time.time() - t0
         ps = O.psnr(out, gold)
         mp = img.shape[0] * img.shape[1] / 1e6
         row = dict(name=name, psnr=round(float(ps), 2), sec=round(dt, 2),
+                   sec_first=round(first, 2),
                    mpix=round(mp, 3), mp_per_s=round(mp / dt, 3))
         results.append(row)
         emit(row)
@@ -148,21 +161,30 @@ def main():
                  "--platform=cpu", "--precision=float64",
                  "--denoise-golden-only"],
                 check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        def run_denoise():
+            f = NLEFilter(dtype=dtype)
+            f.train_for_denoise(img, nr, nc, hx, hy, iters, k,
+                                sigma_color, sigma_space)
+            return f.denoise(img, shrink, sigma_color, sigma_space)
+
         t0 = time.time()
-        f = NLEFilter(dtype=dtype)
-        f.train_for_denoise(img, nr, nc, hx, hy, iters, k,
-                            sigma_color, sigma_space)
-        out = f.denoise(img, shrink, sigma_color, sigma_space)
-        dt = time.time() - t0
+        out = run_denoise()
+        first = time.time() - t0
         if golden_only:
             os.makedirs(os.path.dirname(DENOISE_GOLDEN), exist_ok=True)
             cv2.imwrite(DENOISE_GOLDEN, out)
             emit(dict(note=f"wrote {DENOISE_GOLDEN}"))
             return
+        # Warm second pass for honest timing (same rule as the enhance
+        # configs above); PSNR from it too.
+        t0 = time.time()
+        out = run_denoise()
+        dt = time.time() - t0
         gold = cv2.imread(DENOISE_GOLDEN)
         ps = O.psnr(out, gold)
         mp = img.shape[0] * img.shape[1] / 1e6
         row = dict(name=name, psnr=round(float(ps), 2), sec=round(dt, 2),
+                   sec_first=round(first, 2),
                    mpix=round(mp, 3), mp_per_s=round(mp / dt, 3))
         results.append(row)
         emit(row)
