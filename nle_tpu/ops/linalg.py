@@ -138,6 +138,17 @@ def topk_eigendecomposition(M: np.ndarray, n_largest: int, eps: float = 1e-10,
         )
         lam, U = e.eigenvalues, e.eigenvectors
         converged = False
+    except spla.ArpackError as e:
+        # Hard ARPACK failures (e.g. "starting vector is zero" on a
+        # degenerate all-zero M — a 0-iteration Sinkhorn leaves c = 0 and
+        # Q = 0) fall back to the exact dense solver: the warn-and-continue
+        # policy above must cover solver-refuses too, not only
+        # non-convergence (a crash here takes down the whole host chain).
+        logger.warning(
+            "Top-k eigensolver failed (%s); falling back to dense eigh.", e)
+        lam, U = eigh64(M)
+        sel = np.argsort(np.abs(lam))[::-1][:k]   # LM selection, as eigsh
+        lam, U = lam[sel], U[:, sel]
     order = np.argsort(lam)[::-1]
     lam = lam[order]
     U = U[:, order]

@@ -276,3 +276,21 @@ def test_ka_topk_nonconvergence_falls_back_to_exact(rng, monkeypatch):
     got = ka_eigh_topk_host64(*args, k0=8)
     for a, b in zip(got, exact):
         np.testing.assert_array_equal(a, b)
+
+
+def test_topk_hard_arpack_failure_falls_back_dense():
+    """A degenerate matrix ARPACK refuses outright (all-zero M: "starting
+    vector is zero", hit by 0-iteration Sinkhorn baselines) must fall
+    back to the dense solver under the warn-and-continue policy — not
+    crash the host chain."""
+    from nle_tpu.ops.linalg import topk_eigendecomposition
+
+    U, lam = topk_eigendecomposition(np.zeros((16, 16)), 4, eps=0.0)
+    assert lam.shape[0] <= 4 and np.all(lam == 0.0)
+    # And a normal matrix still takes the ARPACK path unchanged.
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((32, 32))
+    M = A @ A.T
+    U2, lam2 = topk_eigendecomposition(M, 3)
+    ref = np.linalg.eigvalsh(M)[::-1][:3]
+    np.testing.assert_allclose(lam2, ref, rtol=1e-10)

@@ -136,15 +136,16 @@ def main() -> int:
     # SLOPE timing: the full sharded train's wall is dominated by the
     # ~200 MB V fetch over the tunnel (~40 MB/s => ~5 s) plus the host
     # chain — a direct wall A/B cannot resolve the Sinkhorn stage. The
-    # 50-iter-minus-0-iter difference isolates exactly the balancing
-    # loop the carrier accelerates (everything else in the program is
-    # iteration-count-independent).
-    wall_f32_0, _ = timed_train("off", 0)
+    # 50-iter-minus-1-iter difference isolates the balancing loop the
+    # carrier accelerates (everything else is iteration-count-
+    # independent; 1 rather than 0 as the base because a 0-iteration
+    # train leaves c = 0 and a degenerate host chain).
+    wall_f32_1, _ = timed_train("off", 1)
     wall_f32, (Vf, Sf) = timed_train("off", qargs[4])
-    wall_q_0, _ = timed_train("auto", 0)
+    wall_q_1, _ = timed_train("auto", 1)
     wall_q, (Vq, Sq) = timed_train("auto", qargs[4])
-    slope_f32 = max(wall_f32 - wall_f32_0, 1e-9)
-    slope_q = max(wall_q - wall_q_0, 1e-9)
+    slope_f32 = max(wall_f32 - wall_f32_1, 1e-9)
+    slope_q = max(wall_q - wall_q_1, 1e-9)
     os.environ["NLE_SINKHORN_INT16"] = "off"   # leave the pin as phase 1 had it
     fS_q = transform_eigenvalues(jnp.asarray(np.asarray(Sf[0])), weights)
     ef = fetch(apply_filter(jnp.asarray(fetch(Vf)[0]), fS_q,
