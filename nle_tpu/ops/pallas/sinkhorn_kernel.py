@@ -576,9 +576,6 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     lam_pad = jnp.pad(lam.astype(jnp.float32), (0, mpad - m))
 
     r0 = jnp.ones((npad,), jnp.float32)
-    # Zero pad rows: phi_pad^T @ r counts only true rows anyway (pad rows of
-    # phi are zero), so s0 is exact.
-    s0 = phi_pad.T @ r0
 
     kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual").lower()
     if kernel_kind not in ("manual", "auto"):
@@ -598,6 +595,21 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     n_bf16 = _resolve_bf16_iters(max_iter, bf16_iters)
     if kernel_kind == "auto":
         n_bf16 = 0  # the auto-pipelined kernel is f32-only
+
+    use_int16 = _resolve_int16(n_bf16) and kernel_kind == "manual"
+    # s0 = phi^T @ ones. On the int16 default path it is computed as the
+    # COLUMN SUM so XLA sibling-fuses it with the quantizer's abs-max
+    # reduce — one phi read covers both (the old separate 6-pass GEMV was
+    # a full extra sweep of the pipeline's dominant buffer, ~4.7 ms at
+    # the 1 MP shape). The f32/bf16 modes keep the original dot so their
+    # pinned trajectories (check_tpu_sharded's =off machinery baseline)
+    # stay bit-identical.
+    if use_int16:
+        s0 = jnp.sum(phi_pad, axis=0)
+    else:
+        # Zero pad rows: phi_pad^T @ r counts only true rows anyway (pad
+        # rows of phi are zero), so s0 is exact.
+        s0 = phi_pad.T @ r0
 
     state = (r0, jnp.zeros((npad,), jnp.float32), s0)
     if n_bf16 > 0:
@@ -624,7 +636,7 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
 
         state = jax.lax.fori_loop(0, n_bf16, body_bf, state)
 
-    if _resolve_int16(n_bf16) and kernel_kind == "manual":
+    if use_int16:
         # int16 per-column-scaled copy for ALL remaining iterations (see
         # _resolve_int16 for the algebra, fidelity evidence, and why this
         # is the DEFAULT), PAIR-PACKED into an int32 container: word

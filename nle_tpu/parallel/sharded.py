@@ -439,8 +439,10 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
     data_varying = lambda x: jax.lax.pcast(x, ("data",), to="varying")
     ones_p = data_varying(jnp.ones((p,), dt))
     # s0 = phi^T @ ones EXACTLY (f32, pre-quantization) — the single-chip
-    # fused path computes s0 from the f32 phi too.
-    s0 = Um.T @ ones_p + jax.lax.psum(phi_bl.T @ mask_local, "pixel")
+    # fused path computes s0 from the f32 phi too. As there, the local
+    # term is the COLUMN SUM (masked rows are exact zeros) so XLA fuses
+    # it with the quantizer's abs-max reduce into one phi read.
+    s0 = Um.T @ ones_p + jax.lax.psum(jnp.sum(phi_bl, axis=0), "pixel")
 
     init = (data_varying(jnp.zeros((p,), dt)),
             jnp.zeros_like(mask_local), s0)
