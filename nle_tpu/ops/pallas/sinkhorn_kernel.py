@@ -473,6 +473,29 @@ def pack_pairs_int32(qf: jax.Array) -> jax.Array:
             | (qf[nh:].astype(jnp.int32) << 16))
 
 
+def quantize_pack_int16(phi_pad: jax.Array):
+    """quantize_int16 + pack_pairs_int32 in one fused elementwise chain —
+    the ONE-pass prep form: each phi half is read once and the
+    quantize/round/clip/cast/shift feeds the packed write directly, so
+    the f32 qf intermediate never hits HBM. The two-function form
+    materialized qf (2.56 GB written AND re-read at the 1 MP shape —
+    measured ~12 ms of the 19 ms prep, tools/profile_stage2a_parts.py)
+    because the pack's two half-slices make XLA keep the producer.
+    Arithmetic is IDENTICAL (same round/clip/cast ops), so the
+    trajectory is bit-equal to the unfused form. Returns (q32, scale,
+    colmax); rows must be even."""
+    colmax = jnp.max(jnp.abs(phi_pad), axis=0)
+    scale = jnp.where(colmax > 0, colmax / 32767.0, 1.0)
+    nh = phi_pad.shape[0] // 2
+
+    def q(x):
+        return jnp.clip(jnp.round(x / scale[None, :]),
+                        -32767, 32767).astype(jnp.int32)
+
+    q32 = jnp.bitwise_and(q(phi_pad[:nh]), 0xFFFF) | (q(phi_pad[nh:]) << 16)
+    return q32, scale, colmax
+
+
 def sinkhorn_halfstep_split_xla(qi: jax.Array, tq: jax.Array, eps):
     """Plain-XLA twin of _kernel_manual's packed-int16 branch for non-TPU
     meshes (interpret-mode pallas inside shard_map trips check_vma on the
@@ -647,8 +670,7 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         # ms/halfstep vs f32's 4.0 at the 1 MP p=600 shape. Prep cost is
         # ~2.5 phi sweeps (abs-max reduce + quantized packed write),
         # amortized over 2*max_iter halfstep sweeps.
-        qf, scale, colmax = quantize_int16(phi_pad)
-        q32 = pack_pairs_int32(qf)
+        q32, scale, colmax = quantize_pack_int16(phi_pad)
         lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
 

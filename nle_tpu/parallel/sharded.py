@@ -389,8 +389,8 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
     from nle_tpu.ops.pallas.sinkhorn_kernel import (
         TILE_N,
         _packed_chunk,
-        pack_pairs_int32,
         quantize_int16,
+        quantize_pack_int16,
         sinkhorn_halfstep_manual,
         sinkhorn_halfstep_split_xla,
     )
@@ -411,8 +411,7 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
             tile //= 2
         npad = -(-nb_local // (2 * tile)) * (2 * tile)
         phi_q = jnp.pad(phi_bl, ((0, npad - nb_local), (0, mpad - mb)))
-        qf, scale, _ = quantize_int16(phi_q)
-        q32 = pack_pairs_int32(qf)
+        q32, scale, _ = quantize_pack_int16(phi_q)
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
 
         def local_halfstep(tq):

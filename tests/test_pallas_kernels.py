@@ -317,3 +317,29 @@ def test_sinkhorn_auto_kernel_matches_manual(monkeypatch, rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_m),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_quantize_pack_fused_bitwise_matches_two_step():
+    """The one-pass quantize_pack_int16 must be BIT-EQUAL to
+    quantize_int16 + pack_pairs_int32 (it exists purely to keep the f32
+    qf intermediate out of HBM; any arithmetic drift would silently move
+    the int16 trajectory)."""
+    import numpy as np
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        pack_pairs_int32,
+        quantize_int16,
+        quantize_pack_int16,
+    )
+
+    rng = np.random.default_rng(11)
+    phi = (rng.standard_normal((256, 128)).astype(np.float32)
+           * np.logspace(-5, 4, 128, dtype=np.float32)[None, :])
+    phi[-13:] = 0.0
+    qf, scale_a, colmax_a = quantize_int16(jnp.asarray(phi))
+    want = pack_pairs_int32(qf)
+    got, scale_b, colmax_b = quantize_pack_int16(jnp.asarray(phi))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(scale_a), np.asarray(scale_b))
+    np.testing.assert_array_equal(np.asarray(colmax_a),
+                                  np.asarray(colmax_b))

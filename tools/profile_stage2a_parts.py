@@ -53,9 +53,8 @@ def main():
     from nle_tpu.ops.affinity import affinity_matmul, bandwidth_weights, features
     from nle_tpu.ops.pallas.sinkhorn_kernel import (
         _packed_chunk,
-        pack_pairs_int32,
         padded_shape,
-        quantize_int16,
+        quantize_pack_int16,
         sinkhorn_halfstep_manual,
     )
     from nle_tpu.ops.pipeline import (
@@ -138,8 +137,8 @@ def main():
         @jax.jit
         def prep_fused(phi):
             s0 = jnp.sum(phi, axis=0)
-            qf, scale, colmax = quantize_int16(phi)
-            return pack_pairs_int32(qf), scale, colmax, s0
+            q32, scale, colmax = quantize_pack_int16(phi)
+            return q32, scale, colmax, s0
 
         q32, scale, colmax, s0 = timeit("prep_fused", prep_fused, phi)
 
