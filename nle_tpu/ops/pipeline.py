@@ -84,9 +84,15 @@ _GRID_CACHE: dict = {}
 
 # Above this phi size the pipeline stops materializing the scaled
 # diag(c) phi product and fuses the scaling into the Pallas Sb/Vb kernels
-# instead — phi stays the only N-scale buffer, doubling the largest image a
-# chip can hold (at a few percent of throughput).
-_CPHI_BYTES_LIMIT = int(os.environ.get("NLE_CPHI_BYTES", str(3 << 30)))
+# instead — phi stays the only N-scale buffer (doubling the largest image
+# a chip can hold) AND, since the 3-pass split moved inside the scaled
+# kernels (r3), the fused path is also FASTER: same-session stream A/B at
+# 1 MP measured 2.82 MP/s fused vs 2.61 materialized (r4, 2026-08-20;
+# isolated parts: gram 12 vs cphi+gram 27 ms). The old 3 GiB default
+# predates the in-kernel split — 64 MiB keeps only genuinely tiny images
+# (< ~0.1 MP at m=128) on the materialized branch, where Pallas fixed
+# overheads outweigh the copy.
+_CPHI_BYTES_LIMIT = int(os.environ.get("NLE_CPHI_BYTES", str(64 << 20)))
 
 # Above this phi size even the un-scaled phi no longer fits comfortably in
 # HBM (16 GB on v5e): switch to the phi-FREE streaming stage 2, which
