@@ -41,6 +41,7 @@ from nle_tpu.ops.pipeline import (
     ka_eigh_host64,
     pack_channel,
     pack_stage1,
+    pack_stage2b_upload,
     stage2_dense_small,
     stage2b_factor_scaled,
     submit_sb_fetch,
@@ -211,7 +212,12 @@ def train_filters_iter(
         k = min(n_eig_vectors, m)
         va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                        m, mb, k, eps)
-        va_grt = jnp.asarray(va_np, jnp.float32)
+        # Split-buffer factor (the int16 default's tuple layout): the host
+        # packs [top; GrT] instead of [Va | GrT] — same protocol as
+        # train_filter (ops/pipeline.py pack_stage2b_upload).
+        va_grt = jnp.asarray(
+            pack_stage2b_upload(isinstance(phi_store, tuple), va_np,
+                                rc_np, Um64, m, p, k), jnp.float32)
         V_packed = train_filter_stage2b(
             phi_store, c_rest, va_grt, n=grid.n_pixels, mb=mb,
             scaled=stage2b_factor_scaled(grid.n_pixels, mb))

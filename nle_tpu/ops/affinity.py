@@ -83,7 +83,8 @@ def affinity_matmul_xla(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw,
 
 
 def affinity_matmul(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw, *,
-                    use_pallas: bool | None = None) -> jax.Array:
+                    use_pallas: bool | None = None,
+                    out_rows: int | None = None) -> jax.Array:
     """Fused exp-affinity x matrix product: rows = fb pixels, cols = B cols.
 
     Dispatches to the Pallas TPU kernel when running on TPU (or when forced),
@@ -109,5 +110,13 @@ def affinity_matmul(fa: jax.Array, fb: jax.Array, B: jax.Array, sw, pw, *,
         # streams sample slices): any grid size works while B is narrow
         # enough.
         if ptiled_fits(B.shape[1]):
-            return affinity_matmul_pallas(fa, fb, B, sw, pw)
-    return affinity_matmul_xla(fa, fb, B, sw, pw)
+            return affinity_matmul_pallas(fa, fb, B, sw, pw,
+                                          out_rows=out_rows)
+    out = affinity_matmul_xla(fa, fb, B, sw, pw)
+    if out_rows is not None:
+        # Direct-write padded contract (zero tail rows/cols) on the XLA
+        # fallback: an explicit pad — only CPU/interpret paths land here.
+        mpad = -(-B.shape[1] // 128) * 128
+        out = jnp.pad(out, ((0, out_rows - out.shape[0]),
+                            (0, mpad - out.shape[1])))
+    return out

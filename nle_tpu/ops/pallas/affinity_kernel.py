@@ -99,7 +99,19 @@ def _dot_kb(k, b):
     return jnp.dot(k, b, preferred_element_type=jnp.float32)
 
 
-def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
+def _row_mask(q_true: int, tile_rows: int):
+    """(tile_rows, 1) bool mask of rows whose GLOBAL index is < q_true —
+    the zero_tail contract: direct-write padded outputs must carry exact
+    zeros past the true row count (pad features are zeros, which produce
+    NONZERO affinities against real samples)."""
+    i = pl.program_id(0)
+    rows = (i * tile_rows
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0))
+    return rows < q_true
+
+
+def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref, *,
+            q_true: int | None = None):
     sw = sw_ref[0, 0]
     pw = pw_ref[0, 0]
     dr = fb_ref[:, 0:1] - fa_ref[0:1, :]
@@ -107,10 +119,14 @@ def _kernel(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
     # Raw integer differences are exact in f32; scale only after squaring.
     k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
-    out_ref[:] = _dot_kb(k, b_ref[:])
+    out = _dot_kb(k, b_ref[:])
+    if q_true is not None:
+        out = jnp.where(_row_mask(q_true, out.shape[0]), out, 0.0)
+    out_ref[:] = out
 
 
-def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
+def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref, *,
+                   q_true: int | None = None):
     """As _kernel, but the sample (p) dimension is a second grid axis with
     the output block revisited and accumulated — supports p beyond what a
     whole (p, m) B block in VMEM allows."""
@@ -126,22 +142,38 @@ def _kernel_ptiled(sw_ref, pw_ref, fb_ref, fa_ref, b_ref, out_ref):
     dc = fb_ref[:, 1:2] - fa_ref[1:2, :]
     dy = fb_ref[:, 2:3] - fa_ref[2:3, :]
     k = jnp.exp(-(sw * (dr * dr + dc * dc) + pw * (dy * dy)))
-    out_ref[:] += _dot_kb(k, b_ref[:])
+    out = _dot_kb(k, b_ref[:])
+    if q_true is not None:
+        out = jnp.where(_row_mask(q_true, out.shape[0]), out, 0.0)
+    out_ref[:] += out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
 def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
-                           sw, pw, interpret: bool = False) -> jax.Array:
+                           sw, pw, interpret: bool = False,
+                           out_rows: int | None = None) -> jax.Array:
     """out (q, m) = exp-affinity(fb, fa) @ B.
 
     fa: (p, 3) raw sample-pixel features (row, col, intensity); fb: (q, 3)
     pixel features; B: (p, m) right factor; sw/pw bandwidth weights.
     Zero-padded to hardware tiles; pad columns of the affinity block are
     annihilated by B's zero pad rows.
-    """
+
+    out_rows: DIRECT-WRITE padded layout — return the full (out_rows,
+    mpad128) buffer with rows >= q and columns >= m EXACT ZERO, instead of
+    slicing to (q, m). The split-buffer stage 2a consumes the result as
+    its Sinkhorn/gram rest block without any assembly copy (the zeros+DUS
+    assembly it replaces measured ~35 ms at 1 MP,
+    tools/profile_stage2a_parts.py). Must be a TILE_Q multiple >= q; the
+    tail rows are masked IN-KERNEL (pad features are zeros, which would
+    otherwise produce nonzero affinities against real samples)."""
     p = fa.shape[0]
     q = fb.shape[0]
     m = B.shape[1]
+    if out_rows is not None and (out_rows % TILE_Q or out_rows < q):
+        raise ValueError(
+            f"out_rows ({out_rows}) must be a TILE_Q ({TILE_Q}) multiple "
+            f">= the true row count ({q})")
     if not ptiled_fits(m):
         # Loud, early: past this width even the p-tiled branch's VMEM
         # working set cannot fit and Mosaic would die with an opaque
@@ -154,7 +186,11 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
             "to the XLA builder.")
     ppad = _round_up(p, 128)
     mpad = _round_up(m, 128)
-    qpad = _round_up(max(q, 1), TILE_Q)
+    qpad = (out_rows if out_rows is not None
+            else _round_up(max(q, 1), TILE_Q))
+    # Mask tail rows whenever the padded buffer is returned; the sliced
+    # form never exposes them.
+    q_true = q if out_rows is not None else None
 
     fa_rows = jnp.pad(fa.T, ((0, 0), (0, ppad - p)))          # (3, Ppad)
     # fb stays (Qpad, 3) DELIBERATELY despite the repo's row-major-in-N
@@ -188,7 +224,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     dense_vmem = 4 * (ppad * mpad + 3 * TILE_Q * mpad + TILE_Q * ppad)
     if ppad <= MAX_PALLAS_P and dense_vmem <= 10 * 2**20:
         out = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, q_true=q_true),
             grid=(qpad // TILE_Q,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -203,7 +239,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
             cost_estimate=cost_for(ppad),
             interpret=interpret,
         )(sw2, pw2, fb_cols, fa_rows, bp)
-        return out[:q, :m]
+        return out if out_rows is not None else out[:q, :m]
 
     # Dense sampling grids (p > MAX_PALLAS_P): tile the sample dimension as
     # a second (inner, sequential) grid axis and accumulate into revisited
@@ -214,7 +250,7 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
     sw2, pw2, fb_cols, fa_rows, bp = _unify_vma(
         sw2, pw2, fb_cols, fa_rows, bp)
     out = pl.pallas_call(
-        _kernel_ptiled,
+        functools.partial(_kernel_ptiled, q_true=q_true),
         grid=(qpad // TILE_Q, ppad // PTILE),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -229,4 +265,4 @@ def affinity_matmul_pallas(fa: jax.Array, fb: jax.Array, B: jax.Array,
         cost_estimate=cost_for(ppad),
         interpret=interpret,
     )(sw2, pw2, fb_cols, fa_rows, bp)
-    return out[:q, :m]
+    return out if out_rows is not None else out[:q, :m]

@@ -534,6 +534,94 @@ def sinkhorn_halfstep_split_xla(qi: jax.Array, tq: jax.Array, eps):
     return x, s_q
 
 
+def split_row_pad(nb: int, mb: int, tile: int = TILE_N) -> int:
+    """Row padding of the REST block in the split-buffer stage 2a: the
+    same VMEM-shrunk tile rule as sinkhorn_vectors_fused, doubled for the
+    pair-packed stream. Static (callers size the affinity builder's
+    direct-write output with it before anything traces)."""
+    mpad = _round_up(max(mb, 1), 128)
+    t = tile
+    while t > 256 and 2 * t * mpad * 4 > 12 * 2**20:
+        t //= 2
+    return _round_up(max(nb, 1), 2 * t), t
+
+
+def resolve_split_stage2(max_iter: int) -> bool:
+    """Whether stage 2a takes the SPLIT-BUFFER layout: Um and the rest
+    block phi_b are never concatenated — the affinity builder writes the
+    zero-tailed padded rest block directly and the Sinkhorn loop carries
+    the top block as p-sized XLA matvecs beside the packed-int16 rest
+    stream (sinkhorn_vectors_split). Engages exactly when the int16
+    carrier would (manual kernel, no bf16 lead, NLE_SINKHORN_INT16 not
+    off): the assembled-buffer f32/bf16 modes keep their bit-pinned
+    trajectories (tools/check_tpu_sharded.py's =off machinery baseline).
+    Motivation: the zeros+DUS assembly of [Um; phi_b] measured ~35 ms of
+    pure copy at the 1 MP serving shape (tools/profile_stage2a_parts.py,
+    r4). Trace-time env read, like every Sinkhorn knob."""
+    kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual").lower()
+    return (kernel_kind == "manual"
+            and _resolve_int16(_resolve_bf16_iters(max_iter, None)))
+
+
+def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,
+                           phib_pad: jax.Array, max_iter: int, eps: float,
+                           interpret: bool = False, tile: int = TILE_N):
+    """Split-buffer twin of sinkhorn_vectors_fused's int16 path: the top
+    (sampled-pixel) block Um stays a separate f32 (p, mpad) operand — its
+    matvecs are m-sized XLA work — while ONLY the rest block streams as
+    the per-column-scaled pair-packed int16 copy. The column scale is
+    therefore taken over the REST rows alone and applied at the m-sized
+    boundaries (t_q = scale*t in, scale*s_q out — the sharded trainer's
+    convention, parallel/sharded.py _train_2a_q) instead of being folded
+    into lam; the top block runs exact f32 (a strict fidelity improvement
+    over quantizing it along with the rest, and what removes the need to
+    ever materialize the concatenated buffer).
+
+    Um_pad (p, mpad) f32, columns beyond the true m zero; lam_pad (mpad,)
+    masked; phib_pad (npad_b, mpad) f32, rows beyond the true rest count
+    and columns beyond m EXACT ZERO (the affinity builder's zero_tail
+    contract). Returns (r_top (p,), c_top (p,), r_b (npad_b,),
+    c_b (npad_b,)) — pad entries of the rest vectors are zero."""
+    p, mpad = Um_pad.shape
+    npad_b = phib_pad.shape[0]
+    _, t_eff = split_row_pad(1, mpad, tile)
+    if npad_b % (2 * t_eff):
+        raise ValueError(
+            f"phib rows ({npad_b}) must follow split_row_pad "
+            f"(2*{t_eff} multiple)")
+    q32, scale, colmax = quantize_pack_int16(phib_pad)
+    chunk_q = _packed_chunk(t_eff, npad_b // 2, mpad)
+
+    ones_p = jnp.ones((p,), jnp.float32)
+    # s0 = phi^T @ ones: exact f32; the rest term is the column sum so it
+    # fuses with the quantizer's abs-max reduce (one phib read).
+    s0 = Um_pad.T @ ones_p + jnp.sum(phib_pad, axis=0)
+
+    def halfstep(s):
+        t = lam_pad * s
+        xp = safe_reciprocal(Um_pad @ t, eps)
+        xb, s_q = sinkhorn_halfstep_manual(q32, scale * t, eps,
+                                           chunk=chunk_q,
+                                           interpret=interpret)
+        return xp, xb, Um_pad.T @ xp + scale * s_q
+
+    zb = jnp.zeros((npad_b,), jnp.float32)
+    if max_iter == 0:
+        return ones_p, jnp.zeros((p,), jnp.float32), zb, zb
+
+    def body(_, st):
+        cp, cb, s = st
+        cp, cb, s = halfstep(s)
+        _, _, s = halfstep(s)
+        return cp, cb, s
+
+    cp, cb, s = jax.lax.fori_loop(
+        0, max_iter - 1, body, (jnp.zeros((p,), jnp.float32), zb, s0))
+    cp, cb, s = halfstep(s)
+    rp, rb, _ = halfstep(s)
+    return rp, cp, rb, cb
+
+
 def _packed_chunk(tile: int, npad_packed: int, mpad: int) -> int:
     """PACKED-row chunk size for the int16 pair-packed Sinkhorn stream.
 

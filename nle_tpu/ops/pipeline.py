@@ -372,6 +372,29 @@ def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
     return va_np, Sq
 
 
+def pack_stage2b_upload(split: bool, va_np, rc_np, Um64, m: int, p: int,
+                        k: int):
+    """The host->device stage-2b upload for either factor layout.
+
+    Assembled layouts (split=False): va_np itself — the (mb, 2k)
+    [Va | GrT] block host_orthogonalize packed.
+
+    SPLIT layout: the (p + mb, k) [top; GrT] block, where top is the
+    ENTIRE top-block V computed in f64 on the host — Va rows < m plus the
+    (c[m:p] * Um[m:p]) @ GrT tail (exactly the sharded protocol,
+    parallel/sharded.py element_host_chain; ~20 MFLOP at p=600, host
+    microseconds) — so the device's stage 2b is one fused scaled matmul
+    over the rest block plus a row concat. Needs the FULL (2, p) rc the
+    split stage 2a returns (the assembled path fetches only (2, mb))."""
+    if not split:
+        return va_np
+    GrT = va_np[:m, k:]
+    cp64 = np.asarray(rc_np[1], np.float64)
+    top = np.concatenate(
+        [va_np[:m, :k], (cp64[m:p, None] * Um64[m:]) @ GrT], axis=0)
+    return np.concatenate([top, va_np[:, k:]], axis=0)
+
+
 def submit_sb_fetch(sb_dev):
     """Submit the Sb device->host fetch on the transfer pool. Returns a
     zero-arg callable producing the (mb, mb) f64 array — exactly the lazy
@@ -505,13 +528,65 @@ def train_filter_stage2a(
         Um, lam_m, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
         f = features(rows, cols, y)
         fa, fb = f[:p], f[p:]
+        n = y.shape[0]
+        fused = (_stage2_fused(fa.dtype, use_pallas)
+                 and Um.dtype == fa.dtype)
+        small_eff = (stage2_dense_small(n, mb) if small is None
+                     else bool(small))
+        if fused and not small_eff:
+            from nle_tpu.ops.pallas.sinkhorn_kernel import (
+                resolve_split_stage2,
+            )
+
+            if resolve_split_stage2(n_sinkhorn_iter):
+                # SPLIT-BUFFER layout (int16 default, non-small): Um and
+                # the rest block never concatenate — the affinity builder
+                # direct-writes the zero-tailed padded rest block
+                # (out_rows) and the Sinkhorn loop carries the top block
+                # as p-sized f32 matvecs beside the packed-int16 rest
+                # stream. Removes the zeros+DUS assembly (~35 ms of pure
+                # copy at 1 MP, tools/profile_stage2a_parts.py r4). The
+                # returned factor is the TUPLE (phib_pad,) — stage 2b
+                # branches on the pytree structure; rc carries the FULL
+                # (2, p) top rows (the host builds the top V rows like
+                # the sharded protocol, pack_stage2b_upload).
+                from nle_tpu.ops.pallas.scaled_matmul_kernel import (
+                    scaled_gram_pallas,
+                )
+                from nle_tpu.ops.pallas.sinkhorn_kernel import (
+                    sinkhorn_vectors_split,
+                    split_row_pad,
+                )
+
+                nb = n - p
+                mpad = -(-mb // 128) * 128
+                npad_b, _ = split_row_pad(nb, mb)
+                phib_pad = affinity_matmul(
+                    fa, fb, Uinv, sw, pw,
+                    use_pallas=False if interpret else use_pallas,
+                    out_rows=npad_b)
+                Um_pad = (jnp.pad(Um, ((0, 0), (0, mpad - mb)))
+                          if mpad != mb else Um)
+                lam_pad = (jnp.pad(lam_m, (0, mpad - mb))
+                           if mpad != mb else lam_m)
+                rp, cp, rb, cb = sinkhorn_vectors_split(
+                    Um_pad, lam_pad, phib_pad, n_sinkhorn_iter,
+                    float(eps), interpret=interpret)
+                rc = jnp.stack([rp, cp])             # (2, p) full top rows
+                cb_rest = cb[:, None]
+                cphiu = jnp.where(jnp.arange(p) >= m_dyn, cp,
+                                  0.0)[:, None] * Um_pad
+                Sb = ((cphiu.T @ cphiu)[:mb, :mb]
+                      + scaled_gram_pallas(phib_pad, cb_rest,
+                                           interpret=interpret)[:mb, :mb])
+                return rc, Sb, (phib_pad,), cb_rest
+
         # interpret=True (CPU tests of the fused branch) keeps the affinity
         # product on the XLA builder — only the fused Sinkhorn/gram kernels
         # have interpreter plumbing.
         phi_b = affinity_matmul(fa, fb, Uinv, sw, pw,
                                 use_pallas=False if interpret else use_pallas)
-        n = y.shape[0]
-        if _stage2_fused(phi_b.dtype, use_pallas) and Um.dtype == phi_b.dtype:
+        if fused:
             from nle_tpu.ops.pallas.scaled_matmul_kernel import scaled_gram_pallas
             from nle_tpu.ops.pallas.sinkhorn_kernel import (
                 padded_shape,
@@ -579,8 +654,32 @@ def _stage2b_dense_body(factor, c_rest, va_grt, *, n: int, mb: int,
     zero-padded; because the factor's rows < m are zero (c is masked there)
     and Va's rows >= m are zero, the final V assembles as tail-product plus
     an additive Va overlay — no m-dependent slicing, so one compiled
-    program serves every rank in the bucket."""
+    program serves every rank in the bucket.
+
+    SPLIT layout (factor is the TUPLE (phib_pad,) — the split-buffer
+    stage 2a, resolve_split_stage2): va_grt is instead the single-k
+    [top (p, k); GrT (mb, k)] upload from pack_stage2b_upload — the host
+    computed the top-block V rows in f64 (the sharded protocol,
+    parallel/sharded.py element_host_chain) — and the device work is one
+    fused scaled matmul over the rest block plus a row concat."""
     with jax.default_matmul_precision("highest"):
+        if isinstance(factor, tuple):
+            from nle_tpu.ops.pallas.scaled_matmul_kernel import (
+                scaled_matmul_pallas,
+            )
+
+            (phib_pad,) = factor
+            p = va_grt.shape[0] - mb
+            top = va_grt[:p]
+            grt = va_grt[p:]
+            k = grt.shape[1]
+            kpad = -(-k // 128) * 128
+            grt_pad = jnp.zeros((phib_pad.shape[1], kpad), jnp.float32)
+            grt_pad = jax.lax.dynamic_update_slice(
+                grt_pad, grt.astype(jnp.float32), (0, 0))
+            vb = scaled_matmul_pallas(phib_pad, c_rest, grt_pad,
+                                      interpret=interpret)[:n - p, :k]
+            return jnp.concatenate([top, vb.astype(va_grt.dtype)], axis=0)
         k = va_grt.shape[1] // 2
         Va = va_grt[:, :k]
         GrT = va_grt[:, k:]
@@ -1028,7 +1127,10 @@ def train_filter(
             # slightly more accurate).
             va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                            m, mb, k, float(eps))
-            va_grt = jnp.asarray(va_np, dtype)  # one host->device transfer
+            split = (not streaming) and isinstance(phi_store, tuple)
+            va_grt = jnp.asarray(
+                pack_stage2b_upload(split, va_np, rc_np, Um64, m, p, k),
+                dtype)  # one host->device transfer
             S = jnp.asarray(Sq, dtype)
             fs = None
             if edit_weights is not None:

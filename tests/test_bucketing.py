@@ -240,3 +240,66 @@ def test_pack_stage1_device_matches_host():
             jnp.asarray(Um64, jnp.float32), jnp.asarray(lam64, jnp.float32),
             m, mb, jnp.float32)
         np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_split_buffer_stage2_matches_assembled_int16(monkeypatch):
+    """The split-buffer stage 2 (r4: Um and phi_b never concatenated —
+    the int16 default's layout, resolve_split_stage2) reproduces the
+    assembled int16 trajectory to quantization class: rc within ~2^-16
+    amplification, the filter ACTION sub-gray-level. Also pins the
+    protocol pieces: the (2, p) rc, the tuple factor, and the host-packed
+    [top; GrT] upload."""
+    cv2 = pytest.importorskip("cv2")
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    from nle_tpu.ops.affinity import bandwidth_weights
+    from nle_tpu.ops.pipeline import (
+        apply_filter,
+        host_orthogonalize,
+        pack_stage2b_upload,
+        train_filter_stage2b,
+    )
+    from nle_tpu.ops.transform import transform_eigenvalues
+
+    img = cv2.imread("/root/reference/data/bird.bmp")
+    L = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)[..., 0][:150, :180]
+    L = L.astype(np.float32)
+    nr, nc, hx, hy, iters, kk = 6, 8, 300.0, 30.0, 10, 8
+    h, w = L.shape
+    grid = sample_grid(h, w, nr, nc)
+    p = grid.n_samples
+    Um64, lam64, _ = ka_eigh_host64(
+        L.astype(np.float64)[grid.sel_rows, grid.sel_cols],
+        grid.sel_rows, grid.sel_cols, hx, hy, 1e-10)
+    m = lam64.shape[0]
+    mb = bucket_m(m, p)
+    y = jnp.asarray(L.reshape(-1)[grid.perm])
+    rr = jnp.asarray((grid.perm // w).astype(np.float32))
+    cc = jnp.asarray((grid.perm % w).astype(np.float32))
+    sw, pw = bandwidth_weights(hx, hy)
+    s1 = jnp.asarray(pack_stage1(Um64, lam64, mb=mb))
+
+    def run(small):
+        rc, sb, factor, c_rest = train_filter_stage2a(
+            y, rr, cc, s1, sw, pw, p=p, mb=mb, n_sinkhorn_iter=iters,
+            eps=1e-10, use_pallas=True, interpret=True, small=small)
+        split = isinstance(factor, tuple)
+        rc_np = np.asarray(rc, np.float64)
+        k = min(kk, m)
+        va_np, Sq = host_orthogonalize(
+            rc_np, np.asarray(sb, np.float64), Um64, lam64, m, mb, k, 1e-10)
+        va = jnp.asarray(
+            pack_stage2b_upload(split, va_np, rc_np, Um64, m, p, k),
+            jnp.float32)
+        V = train_filter_stage2b(factor, c_rest, va, n=grid.n_pixels,
+                                 mb=mb, scaled=small, interpret=True)
+        return np.asarray(V), np.asarray(Sq), split, rc_np
+
+    V_a, S_a, split_a, rc_a = run(small=True)    # assembled int16 (small)
+    V_s, S_s, split_s, rc_s = run(small=False)   # split layout
+    assert not split_a and split_s
+    assert rc_s.shape == (2, p)
+    assert np.abs(rc_s[:, :mb] - rc_a[:, :mb]).max() < 1e-3
+    fS = transform_eigenvalues(jnp.asarray(S_a), [2.0, 3.0, 4.0, 1.0])
+    o_a = np.asarray(apply_filter(jnp.asarray(V_a), fS, y))
+    o_s = np.asarray(apply_filter(jnp.asarray(V_s), fS, y))
+    assert np.abs(o_s - o_a).max() < 2.0

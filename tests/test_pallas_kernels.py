@@ -222,8 +222,14 @@ def test_stage2_dense_small_wide_bucket_falls_back():
     # 0.6 MP x mb=2048: ~5 GB phi — above NLE_CPHI_BYTES, fused window —
     # but the fused kernels cannot fit VMEM at that width.
     assert stage2_dense_small(600_000, 2048)
-    # Ordinary serving size: still the small/cphi branch by bytes.
-    assert stage2_dense_small(1_000_000, 640)
+    # Ordinary serving size: the FUSED branch since r4 (NLE_CPHI_BYTES
+    # default 64 MiB — the in-kernel 3-pass split made the fused scaled
+    # gram/matmul faster than the materialized cphi: same-session stream
+    # A/B 2.82 vs 2.61 MP/s at 1 MP).
+    assert not stage2_dense_small(1_000_000, 640)
+    # Genuinely tiny problems keep the cphi branch (Pallas fixed
+    # overheads outweigh the copy below ~64 MiB of phi).
+    assert stage2_dense_small(30_000, 128)
     # Large image, ordinary bucket: the fused branch stays available.
     assert not stage2_dense_small(3_000_000, 640)
 
