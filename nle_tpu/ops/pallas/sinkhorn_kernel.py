@@ -557,7 +557,17 @@ def resolve_split_stage2(max_iter: int) -> bool:
     trajectories (tools/check_tpu_sharded.py's =off machinery baseline).
     Motivation: the zeros+DUS assembly of [Um; phi_b] measured ~35 ms of
     pure copy at the 1 MP serving shape (tools/profile_stage2a_parts.py,
-    r4). Trace-time env read, like every Sinkhorn knob."""
+    r4). NLE_STAGE2_SPLIT overrides for A/B runs: auto (default — follow
+    the int16 resolve), off (assembled layout even with int16 on), on
+    (force where the int16 carrier resolves; same condition as auto —
+    the split layout cannot run without the carrier). Trace-time env
+    read, like every Sinkhorn knob."""
+    raw = os.environ.get("NLE_STAGE2_SPLIT", "auto").lower()
+    if raw in ("off", "0", "false"):
+        return False
+    if raw not in ("auto", "on", "1", "true"):
+        raise ValueError(
+            f"NLE_STAGE2_SPLIT={raw!r}: expected auto/on/off")
     kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual").lower()
     return (kernel_kind == "manual"
             and _resolve_int16(_resolve_bf16_iters(max_iter, None)))
@@ -708,19 +718,17 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         n_bf16 = 0  # the auto-pipelined kernel is f32-only
 
     use_int16 = _resolve_int16(n_bf16) and kernel_kind == "manual"
-    # s0 = phi^T @ ones. On the int16 default path it is computed as the
-    # COLUMN SUM so XLA sibling-fuses it with the quantizer's abs-max
-    # reduce — one phi read covers both (the old separate 6-pass GEMV was
-    # a full extra sweep of the pipeline's dominant buffer, ~4.7 ms at
-    # the 1 MP shape). The f32/bf16 modes keep the original dot so their
-    # pinned trajectories (check_tpu_sharded's =off machinery baseline)
-    # stay bit-identical.
-    if use_int16:
-        s0 = jnp.sum(phi_pad, axis=0)
-    else:
-        # Zero pad rows: phi_pad^T @ r counts only true rows anyway (pad
-        # rows of phi are zero), so s0 is exact.
-        s0 = phi_pad.T @ r0
+    # s0 = phi^T @ ones, as the DOT (zero pad rows: only true rows count,
+    # so s0 is exact). A column-sum form (fusing with the quantizer's
+    # abs-max reduce) was tried in r4 and REVERTED for this assembled
+    # path: the measured saving is ~1 ms (the GEMV streams phi at full
+    # rate), while the ulp-class s0 reordering moved the chaotic
+    # trajectory enough to cost taj-denoise 14 dB of golden margin
+    # (62.5 -> 48.2, still over the 45 gate — not worth the risk). The
+    # SPLIT-buffer path (sinkhorn_vectors_split) keeps its column-sum
+    # form: its two-buffer s0 is structurally different anyway and its
+    # configs gate with wide margins (GOLDEN_TPU.jsonl r4).
+    s0 = phi_pad.T @ r0
 
     state = (r0, jnp.zeros((npad,), jnp.float32), s0)
     if n_bf16 > 0:
