@@ -63,7 +63,7 @@ def _gram_kernel(c_ref, phi_ref, out_ref):
     cphi = phi_ref[:] * c_ref[:]
     # NLE_STAGE2_DOTS-gated (trace time): 3-pass split halves the MXU
     # passes of the large-image Sb gram (see affinity_kernel._dot_kb).
-    if stage2_dots("gram") == "high":
+    if stage2_dots("gram", in_kernel=True) == "high":
         out_ref[:] += dot_general_3pass(
             cphi, cphi, (((0,), (0,)), ((), ())))
     else:
@@ -110,7 +110,7 @@ def scaled_gram_pallas(phi_pad: jax.Array, c_pad: jax.Array,
 
 def _matmul_kernel(c_ref, phi_ref, b_ref, out_ref):
     cphi = phi_ref[:] * c_ref[:]
-    if stage2_dots("v") == "high":
+    if stage2_dots("v", in_kernel=True) == "high":
         out_ref[:] = dot_general_3pass(
             cphi, b_ref[:], (((1,), (0,)), ((), ())))
     else:

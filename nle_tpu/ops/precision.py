@@ -61,7 +61,8 @@ import jax.numpy as jnp
 _SITES = ("phi", "gram", "v")
 
 
-def stage2_dots(site: str, on_tpu: bool | None = None) -> str:
+def stage2_dots(site: str, on_tpu: bool | None = None,
+                in_kernel: bool = False) -> str:
     """Resolve NLE_STAGE2_DOTS for one of the three gated GEMM sites —
     "phi" (the K_AB @ Uinv build), "gram" (Sb), "v" (the stage-2b tail).
 
@@ -92,7 +93,16 @@ def stage2_dots(site: str, on_tpu: bool | None = None) -> str:
     if raw == "auto":
         tpu = (jax.default_backend() == "tpu" if on_tpu is None
                else on_tpu)
-        return "high" if site != "phi" and tpu else "highest"
+        # auto splits only IN-KERNEL sites (the scaled Pallas gram/matmul,
+        # where the 3-pass form halves genuine MXU passes in VMEM). The
+        # XLA small-path gram/V measured a ~1% win from the split (r3) —
+        # but its changed trajectory cost taj-denoise 15 dB of golden
+        # margin on the chip (63.1 -> 48.2, measured r4 via a
+        # DOTS=highest bisection): pure fidelity downside there. Forced
+        # modes ("high"/site lists) still apply everywhere (the CPU
+        # certification sweeps need that).
+        return ("high" if site != "phi" and tpu and in_kernel
+                else "highest")
     if raw == "highest":
         return "highest"
     if raw == "high":

@@ -349,3 +349,22 @@ def test_quantize_pack_fused_bitwise_matches_two_step():
     np.testing.assert_array_equal(np.asarray(scale_a), np.asarray(scale_b))
     np.testing.assert_array_equal(np.asarray(colmax_a),
                                   np.asarray(colmax_b))
+
+
+def test_stage2_split_knob(monkeypatch):
+    """NLE_STAGE2_SPLIT: auto follows the int16 resolve, off forces the
+    assembled layout, bogus values fail loudly (a typo'd knob must not
+    silently select a layout in an A/B)."""
+    from nle_tpu.ops.pallas.sinkhorn_kernel import resolve_split_stage2
+
+    monkeypatch.delenv("NLE_STAGE2_SPLIT", raising=False)
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
+    assert resolve_split_stage2(10)
+    monkeypatch.setenv("NLE_STAGE2_SPLIT", "off")
+    assert not resolve_split_stage2(10)
+    monkeypatch.setenv("NLE_STAGE2_SPLIT", "auto")
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
+    assert not resolve_split_stage2(10)   # no carrier -> no split layout
+    monkeypatch.setenv("NLE_STAGE2_SPLIT", "bogus")
+    with pytest.raises(ValueError):
+        resolve_split_stage2(10)

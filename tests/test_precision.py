@@ -112,3 +112,18 @@ def test_forced_gram_matches_3pass(monkeypatch):
     got = np.asarray(stage2_gram(a))
     want = np.asarray(dot_general_3pass(a, a, (((0,), (0,)), ((), ()))))
     np.testing.assert_array_equal(got, want)
+
+
+def test_auto_splits_only_in_kernel_sites(monkeypatch):
+    """The auto rule splits gram/v only at IN-KERNEL sites (the scaled
+    Pallas kernels): the XLA small-path split measured ~1% speed for a
+    15 dB golden-margin cost on taj-denoise (r4 chip bisection). Forced
+    modes still apply everywhere."""
+    monkeypatch.delenv("NLE_STAGE2_DOTS", raising=False)
+    assert stage2_dots("gram", on_tpu=True) == "highest"
+    assert stage2_dots("v", on_tpu=True) == "highest"
+    assert stage2_dots("gram", on_tpu=True, in_kernel=True) == "high"
+    assert stage2_dots("v", on_tpu=True, in_kernel=True) == "high"
+    assert stage2_dots("phi", on_tpu=True, in_kernel=True) == "highest"
+    monkeypatch.setenv("NLE_STAGE2_DOTS", "gram,v")
+    assert stage2_dots("gram", on_tpu=True) == "high"   # forced: everywhere
