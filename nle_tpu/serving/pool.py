@@ -373,6 +373,17 @@ def main() -> int:
                 return 2
             k, v = kv.split("=", 1)
             worker_env[k] = v
+        elif a.startswith("--warmup="):
+            # Forwarded to EVERY worker (validated here first: a typo'd
+            # spec must fail the pool boot, not each worker process):
+            # workers pre-trace the expected shapes before binding their
+            # ports, so the router's first proxied request is warm
+            # (serving/http.py run_warmup; workers share the persistent
+            # compile cache, so after worker 0 the rest boot from disk).
+            from nle_tpu.serving.http import parse_warmup_spec
+
+            parse_warmup_spec(a.split("=", 1)[1])
+            worker_args.append(a)
         elif a.startswith(("--platform=", "--token=", "--max-filters=",
                            "--max-filter-bytes=", "--access-log=")):
             worker_args.append(a)
@@ -381,6 +392,7 @@ def main() -> int:
                   "usage: nle-serve-pool [--workers=N] [--port=N] "
                   "[--spill-root=DIR] [--platform=NAME] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
+                  "[--warmup=H,W,nr,nc[,iters[,k]]] "
                   "[--worker-env=KEY=VALUE] [--access-log=PATH|-]",
                   file=sys.stderr)
             return 2

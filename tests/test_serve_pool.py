@@ -230,3 +230,25 @@ def test_pool_worker_restart_recovers_filters(pool_server, small_png):
         got = r.read()
     assert got == want         # recovered filter, identical bytes
     assert pool.workers[w.idx].restarts >= 1
+
+
+def test_pool_forwards_warmup_to_workers(tmp_path):
+    """--warmup passes through to every worker process (each worker
+    pre-traces before binding its port); a malformed spec fails the POOL
+    boot, not N worker processes later."""
+    import sys
+    from unittest import mock
+
+    from nle_tpu.serving import pool as P
+
+    with mock.patch.object(sys, "argv",
+                           ["nle-serve-pool", "--warmup=bogus"]):
+        with pytest.raises(ValueError):
+            P.main()
+
+    w = P._Worker(0, 0, ["--warmup=32,48,3,4,4,3", "--platform=cpu"],
+                  None)
+    # The spawn argv embeds the warmup flag (no process started here).
+    argv = [sys.executable, "-m", "nle_tpu.serving.http",
+            f"--port={w.port}"] + w.argv_extra
+    assert "--warmup=32,48,3,4,4,3" in argv
