@@ -193,10 +193,13 @@ def train_filters_iter(
             y = _cast_channel(y_u8, jnp.float32)
         else:
             y = jnp.asarray(packed_np.astype(np.float32))
+        from nle_tpu.ops.pallas.sinkhorn_kernel import resolve_split_stage2
+
         rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
             y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, mb=mb)),
             sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
             small=stage2_dense_small(grid.n_pixels, mb),
+            split=resolve_split_stage2(n_sinkhorn_iter),
         )
         return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
                 y_cache)

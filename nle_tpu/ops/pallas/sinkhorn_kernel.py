@@ -559,9 +559,11 @@ def resolve_split_stage2(max_iter: int) -> bool:
     pure copy at the 1 MP serving shape (tools/profile_stage2a_parts.py,
     r4). NLE_STAGE2_SPLIT overrides for A/B runs: auto (default — follow
     the int16 resolve), off (assembled layout even with int16 on), on
-    (force where the int16 carrier resolves; same condition as auto —
-    the split layout cannot run without the carrier). Trace-time env
-    read, like every Sinkhorn knob."""
+    (assert the split layout engages — ERRORS if the int16 carrier does
+    not resolve, since the split layout cannot run without it; a silent
+    fallback would void the very A/B the knob exists for). Trace-time
+    env read, like every Sinkhorn knob (callers thread the result into
+    their jit keys — pipeline.train_filter_stage2a's `split`)."""
     raw = os.environ.get("NLE_STAGE2_SPLIT", "auto").lower()
     if raw in ("off", "0", "false"):
         return False
@@ -569,8 +571,15 @@ def resolve_split_stage2(max_iter: int) -> bool:
         raise ValueError(
             f"NLE_STAGE2_SPLIT={raw!r}: expected auto/on/off")
     kernel_kind = os.environ.get("NLE_SINKHORN_KERNEL", "manual").lower()
-    return (kernel_kind == "manual"
-            and _resolve_int16(_resolve_bf16_iters(max_iter, None)))
+    carrier = (kernel_kind == "manual"
+               and _resolve_int16(_resolve_bf16_iters(max_iter, None)))
+    if raw in ("on", "1", "true") and not carrier:
+        raise ValueError(
+            "NLE_STAGE2_SPLIT=on but the int16 carrier does not resolve "
+            f"(NLE_SINKHORN_KERNEL={kernel_kind!r}, NLE_SINKHORN_INT16/"
+            "bf16-lead state): the split layout cannot run without the "
+            "packed carrier — fix the conflicting knob or use auto")
+    return carrier
 
 
 def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,

@@ -500,13 +500,13 @@ def _unpack_stage1(stage1_packed, p):
 @functools.partial(
     jax.jit,
     static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "use_pallas",
-                     "interpret", "small"),
+                     "interpret", "small", "split"),
 )
 def train_filter_stage2a(
     y, rows, cols, stage1_packed, sw, pw,
     *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
     use_pallas: bool | None = None, interpret: bool = False,
-    small: bool | None = None,
+    small: bool | None = None, split: bool | None = None,
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
     Sinkhorn, balanced-block pieces, and the Sb reduction. Returns
@@ -538,7 +538,14 @@ def train_filter_stage2a(
                 resolve_split_stage2,
             )
 
-            if resolve_split_stage2(n_sinkhorn_iter):
+            # Like `small`, `split` is part of the jit key: pipeline/batch
+            # callers resolve the NLE_STAGE2_SPLIT/NLE_SINKHORN_INT16 env
+            # at CALL time and pass it, so a mid-process knob flip (the
+            # documented same-session layout A/B) retraces instead of
+            # silently reusing the stale layout's cached program.
+            split_eff = (resolve_split_stage2(n_sinkhorn_iter)
+                         if split is None else bool(split))
+            if split_eff:
                 # SPLIT-BUFFER layout (int16 default, non-small): Um and
                 # the rest block never concatenate — the affinity builder
                 # direct-writes the zero-tailed padded rest block
@@ -1107,11 +1114,16 @@ def train_filter(
                     eps=float(eps), interpret=interpret_stream,
                 )
             else:
+                from nle_tpu.ops.pallas.sinkhorn_kernel import (
+                    resolve_split_stage2,
+                )
+
                 rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=float(eps),
                     use_pallas=use_pallas,
                     small=stage2_dense_small(grid.n_pixels, mb),
+                    split=resolve_split_stage2(n_sinkhorn_iter),
                 )
             # The MB-sized Sb fetch is submitted FIRST so it rides the
             # tunnel concurrently with the tiny blocking rc fetch (requests

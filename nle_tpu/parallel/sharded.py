@@ -403,13 +403,13 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
 
     if on_tpu:
         # Kernel layout: rows to a 2*tile multiple (pair-packing halves
-        # them), cols to the 128-lane alignment — same sizing rules as
-        # sinkhorn_vectors_fused.
+        # them), cols to the 128-lane alignment. split_row_pad IS the
+        # sizing rule (VMEM-budget tile shrink included) — re-deriving it
+        # here would drift if the kernel's budget is retuned.
+        from nle_tpu.ops.pallas.sinkhorn_kernel import split_row_pad
+
         mpad = -(-mb // 128) * 128
-        tile = TILE_N
-        while tile > 256 and 2 * tile * mpad * 4 > 12 * 2**20:
-            tile //= 2
-        npad = -(-nb_local // (2 * tile)) * (2 * tile)
+        npad, tile = split_row_pad(nb_local, mb)
         phi_q = jnp.pad(phi_bl, ((0, npad - nb_local), (0, mpad - mb)))
         q32, scale, _ = quantize_pack_int16(phi_q)
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
@@ -852,9 +852,12 @@ def train_filter_sharded(
                     stage2_dots,
                 )
 
-                # The stage-2b eigenvector tail is the 'v' split site
-                # (ops/precision.py: split-safe, on TPU only) — batched
-                # dims (b), contract m.
+                # The stage-2b eigenvector tail is the 'v' split site.
+                # Under the default auto this XLA site stays "highest"
+                # (auto splits IN-KERNEL sites only after the r4
+                # taj-denoise reversion — ops/precision.py); the 3-pass
+                # branch engages only under a forced NLE_STAGE2_DOTS=high,
+                # kept for layout A/Bs. Batched dims (b), contract m.
                 if stage2_dots("v", on_tpu=on_tpu) == "high":
                     Vb = dot_general_3pass(
                         cphib, grt_dev,

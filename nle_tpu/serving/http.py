@@ -1164,7 +1164,19 @@ def main():
         if a.startswith("--port="):
             port = int(a.split("=", 1)[1])
         elif a.startswith("--warmup="):
-            warmup_specs.append(parse_warmup_spec(a.split("=", 1)[1]))
+            try:
+                warmup_specs.append(parse_warmup_spec(a.split("=", 1)[1]))
+            except ValueError as e:
+                # Same loud-usage path as an unknown flag — a typo'd spec
+                # must not traceback past the argv parser.
+                print(f"nle-serve: {e}\n"
+                      "usage: nle-serve [--port=N] [--token=SECRET] "
+                      "[--max-bytes=N] [--max-filters=N] "
+                      "[--max-filter-bytes=N] [--spill-dir=DIR] "
+                      "[--warmup=H,W,nr,nc[,iters[,k]] ...] "
+                      "[--access-log=PATH|-] [--platform=NAME] "
+                      "[--selftest]", file=sys.stderr)
+                sys.exit(2)
         elif a == "--selftest":
             run_selftest = True
         elif a.startswith("--platform="):
@@ -1203,8 +1215,13 @@ def main():
 
     enable_persistent_cache()
     # Warm BEFORE binding the port: health checks / requests only see an
-    # open socket once every expected shape's programs are traced.
-    for spec, secs in zip(warmup_specs, run_warmup(warmup_specs)):
+    # open socket once every expected shape's programs are traced. One
+    # run_warmup call per spec so progress prints as each finishes —
+    # multi-spec cold boots take minutes/spec through the remote-compile
+    # service and a silent multi-minute boot is indistinguishable from a
+    # hang.
+    for spec in warmup_specs:
+        (secs,) = run_warmup([spec])
         print(f"nle-serve: warmed {spec} in {secs:.1f}s", flush=True)
     access_log = (sys.stdout if access_log_path == "-"
                   else open(access_log_path, "a")

@@ -154,12 +154,25 @@ class WorkerPool:
                 _Worker(i, _free_port(), worker_args, spill, env_i))
         self._stop = threading.Event()
         self._monitor: threading.Thread | None = None
+        self._warmup = any(a.startswith("--warmup=") for a in worker_args)
 
     def start(self) -> None:
-        for w in self.workers:
-            w.spawn()
-        for w in self.workers:
-            w.wait_ready()
+        if self._warmup:
+            # Warmed workers trace device programs BEFORE binding their
+            # port, which costs minutes/spec through the remote-compile
+            # service on a cold cache. Boot SERIALLY: worker 0 pays the
+            # compile under a generous deadline, the rest then boot warm
+            # from the shared persistent compile cache. Spawning all at
+            # once would run N concurrent warmups on the one chip (the
+            # one-TPU-job rule) and trip the default ready deadline.
+            for i, w in enumerate(self.workers):
+                w.spawn()
+                w.wait_ready(timeout=1800.0 if i == 0 else 600.0)
+        else:
+            for w in self.workers:
+                w.spawn()
+            for w in self.workers:
+                w.wait_ready()
         self._monitor = threading.Thread(target=self._supervise,
                                          daemon=True)
         self._monitor.start()
@@ -177,7 +190,11 @@ class WorkerPool:
                     w.restarts += 1
                     w.spawn()
                     try:
-                        w.wait_ready()
+                        # A warmed worker re-traces before binding; its
+                        # compiles come from the persistent cache but can
+                        # still exceed the plain 120 s deadline.
+                        w.wait_ready(timeout=600.0 if self._warmup
+                                     else 120.0)
                     except RuntimeError:
                         pass   # retried on the next sweep
             self._stop.wait(1.0)
@@ -378,11 +395,16 @@ def main() -> int:
             # spec must fail the pool boot, not each worker process):
             # workers pre-trace the expected shapes before binding their
             # ports, so the router's first proxied request is warm
-            # (serving/http.py run_warmup; workers share the persistent
-            # compile cache, so after worker 0 the rest boot from disk).
+            # (serving/http.py run_warmup; WorkerPool.start boots warmed
+            # workers serially, so after worker 0 the rest really do boot
+            # from the shared disk compile cache).
             from nle_tpu.serving.http import parse_warmup_spec
 
-            parse_warmup_spec(a.split("=", 1)[1])
+            try:
+                parse_warmup_spec(a.split("=", 1)[1])
+            except ValueError as e:
+                print(f"nle-serve-pool: {e}", file=sys.stderr)
+                return 2
             worker_args.append(a)
         elif a.startswith(("--platform=", "--token=", "--max-filters=",
                            "--max-filter-bytes=", "--access-log=")):

@@ -365,6 +365,10 @@ def test_stage2_split_knob(monkeypatch):
     monkeypatch.setenv("NLE_STAGE2_SPLIT", "auto")
     monkeypatch.setenv("NLE_SINKHORN_INT16", "off")
     assert not resolve_split_stage2(10)   # no carrier -> no split layout
+    monkeypatch.setenv("NLE_STAGE2_SPLIT", "on")
+    with pytest.raises(ValueError):
+        resolve_split_stage2(10)   # on + no carrier: contradiction errors
     monkeypatch.setenv("NLE_STAGE2_SPLIT", "bogus")
+    monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
     with pytest.raises(ValueError):
         resolve_split_stage2(10)

@@ -1157,6 +1157,15 @@ def test_parse_warmup_spec():
     for bad in ("64,48,3", "a,b,c,d", "64,48,3,4,5,6,7", "64,0,3,4", ""):
         with pytest.raises(ValueError):
             serve_http.parse_warmup_spec(bad)
+    # Through main(): the usage-message exit(2) path, not a traceback —
+    # same contract as every other malformed argument.
+    import sys
+    from unittest import mock
+
+    with mock.patch.object(sys, "argv", ["nle-serve", "--warmup=1024x768"]):
+        with pytest.raises(SystemExit) as e:
+            serve_http.main()
+    assert e.value.code == 2
 
 
 def test_run_warmup_traces_request_path():

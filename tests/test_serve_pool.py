@@ -243,8 +243,9 @@ def test_pool_forwards_warmup_to_workers(tmp_path):
 
     with mock.patch.object(sys, "argv",
                            ["nle-serve-pool", "--warmup=bogus"]):
-        with pytest.raises(ValueError):
-            P.main()
+        # Same clean usage-path exit as any other bad argument — a typo'd
+        # spec must not traceback past the argv parser.
+        assert P.main() == 2
 
     w = P._Worker(0, 0, ["--warmup=32,48,3,4,4,3", "--platform=cpu"],
                   None)

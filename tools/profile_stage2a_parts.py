@@ -56,6 +56,7 @@ def main():
         padded_shape,
         quantize_pack_int16,
         sinkhorn_halfstep_manual,
+        split_row_pad,
     )
     from nle_tpu.ops.pipeline import (
         _grid_device_arrays,
@@ -142,9 +143,8 @@ def main():
 
         q32, scale, colmax, s0 = timeit("prep_fused", prep_fused, phi)
 
-        tile = 1024
-        while tile > 256 and 2 * tile * mpad * 4 > 12 * 2**20:
-            tile //= 2
+        # tile depends only on mb; split_row_pad owns the VMEM shrink rule.
+        tile = split_row_pad(1, mb)[1]
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
         t_vec = jnp.asarray(
             np.random.default_rng(0).random(mpad), jnp.float32)
