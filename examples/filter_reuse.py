@@ -5,7 +5,7 @@ process, state only in memory — reference include/filter.hpp:52-53). Here
 the trained eigensystem is a saved artifact: sweep edit weights, or serve
 edits for a fixed image, at apply cost only (two skinny MXU matmuls).
 
-    python examples/filter_reuse.py <image> <outdir>
+    python examples/filter_reuse.py [--platform=cpu] <image> <outdir>
 """
 
 import os
@@ -18,8 +18,17 @@ from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
 
 
 def main():
-    image_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/flower-50.bmp"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nle_filter_reuse"
+    args = [a for a in sys.argv[1:] if not a.startswith("--platform=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--platform="):
+            # Must precede any backend-initializing jax call (same rule as
+            # the CLIs, cli/common.py): lets the smoke tests run this
+            # documented flow on cpu without touching the one chip.
+            import jax
+
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
+    image_path = args[0] if len(args) > 0 else "/root/reference/data/flower-50.bmp"
+    out_dir = args[1] if len(args) > 1 else "/tmp/nle_filter_reuse"
     os.makedirs(out_dir, exist_ok=True)
     image = imread_bgr(image_path)
 

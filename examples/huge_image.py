@@ -6,6 +6,7 @@ chip; beyond it, train_filter auto-switches to the streaming stage 2
 (ops/pallas/streaming_kernel.py) — O(N) memory, ~50 MP per chip.
 
     python examples/huge_image.py <image> <out> [--mp=8] [--force-streaming]
+                                  [--platform=cpu]
 
 The input is upscaled to the requested size; with --force-streaming the
 streaming path runs regardless of size (useful to compare both paths).
@@ -21,15 +22,20 @@ import numpy as np
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/rock2.jpg"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/huge-enhanced.png"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if len(args) > 0 else "/root/reference/data/rock2.jpg"
+    dst = args[1] if len(args) > 1 else "/tmp/huge-enhanced.png"
     target_mp = 8.0
     force = False
-    for a in sys.argv[3:]:
+    for a in sys.argv[1:]:
         if a.startswith("--mp="):
             target_mp = float(a.split("=", 1)[1])
         elif a == "--force-streaming":
             force = True
+        elif a.startswith("--platform="):
+            import jax
+
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
 
     import cv2
 

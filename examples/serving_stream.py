@@ -5,7 +5,7 @@ Simulates an edit service: a stream of same-sized frames is trained with
 neighboring frames — measured 1.64x vs sequential at 1 MP), then each frame
 is edited with its own filter at apply cost only.
 
-    python examples/serving_stream.py [--n=4]
+    python examples/serving_stream.py [--n=4] [--platform=cpu]
 """
 
 import os
@@ -22,6 +22,10 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n_frames = int(a.split("=", 1)[1])
+        elif a.startswith("--platform="):
+            import jax
+
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
 
     from nle_tpu.color.lab import bgr_to_lab_u8_np, lab_to_bgr_u8_np
     from nle_tpu.config import enable_persistent_cache

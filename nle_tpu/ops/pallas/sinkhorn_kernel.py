@@ -534,11 +534,14 @@ def sinkhorn_halfstep_split_xla(qi: jax.Array, tq: jax.Array, eps):
     return x, s_q
 
 
-def split_row_pad(nb: int, mb: int, tile: int = TILE_N) -> int:
+def split_row_pad(nb: int, mb: int, tile: int = TILE_N) -> tuple[int, int]:
     """Row padding of the REST block in the split-buffer stage 2a: the
     same VMEM-shrunk tile rule as sinkhorn_vectors_fused, doubled for the
-    pair-packed stream. Static (callers size the affinity builder's
-    direct-write output with it before anything traces)."""
+    pair-packed stream. Returns (npad_b, t_eff): the padded rest-row
+    count AND the effective (possibly VMEM-shrunk) tile it was rounded
+    to — sinkhorn_vectors_split re-derives t_eff from the same rule and
+    validates npad_b against it. Static (callers size the affinity
+    builder's direct-write output with it before anything traces)."""
     mpad = _round_up(max(mb, 1), 128)
     t = tile
     while t > 256 and 2 * t * mpad * 4 > 12 * 2**20:
@@ -561,9 +564,16 @@ def resolve_split_stage2(max_iter: int) -> bool:
     the int16 resolve), off (assembled layout even with int16 on), on
     (assert the split layout engages — ERRORS if the int16 carrier does
     not resolve, since the split layout cannot run without it; a silent
-    fallback would void the very A/B the knob exists for). Trace-time
-    env read, like every Sinkhorn knob (callers thread the result into
-    their jit keys — pipeline.train_filter_stage2a's `split`)."""
+    fallback would void the very A/B the knob exists for). Carve-out
+    =on cannot police: this resolve sees only the env/carrier state, not
+    the image — train_filter_stage2a still takes the small/XLA path when
+    stage2_dense_small(n, mb) holds or the fused kernels are unavailable
+    (the split kernels only exist on the fused non-small branch), so on
+    tiny images =on runs the assembled small layout. A/B the split
+    layout on images past the small threshold (~the 1 MP serving shape).
+    Trace-time env read, like every Sinkhorn knob (callers thread the
+    result into their jit keys — pipeline.train_filter_stage2a's
+    `split`)."""
     raw = os.environ.get("NLE_STAGE2_SPLIT", "auto").lower()
     if raw in ("off", "0", "false"):
         return False

@@ -82,19 +82,27 @@ class _Worker:
         self.proc: subprocess.Popen | None = None
         self.restarts = 0
 
-    def spawn(self) -> None:
+    def build_argv(self) -> list:
+        """The exact worker command line spawn() executes — factored out
+        so tests assert against the real assembly (a regression dropping
+        argv_extra or the spill flag fails the test, not just prod)."""
         argv = [sys.executable, "-m", "nle_tpu.serving.http",
                 f"--port={self.port}"] + self.argv_extra
         if self.spill_dir is not None:
-            os.makedirs(self.spill_dir, exist_ok=True)
             argv.append(f"--spill-dir={self.spill_dir}")
+        return argv
+
+    def spawn(self) -> None:
+        if self.spill_dir is not None:
+            os.makedirs(self.spill_dir, exist_ok=True)
         # Workers inherit stdout/stderr (operator logs). Per-worker device
         # pinning happens through env_extra (--worker-env, e.g.
         # TPU_VISIBLE_DEVICES={i} on a multi-chip host) plus the always-set
         # NLE_POOL_WORKER_INDEX.
         env = dict(os.environ, **self.env_extra,
                    NLE_POOL_WORKER_INDEX=str(self.idx))
-        self.proc = subprocess.Popen(argv, cwd=_repo_cwd(), env=env)
+        self.proc = subprocess.Popen(self.build_argv(), cwd=_repo_cwd(),
+                                     env=env)
 
     def wait_ready(self, timeout: float = 120.0) -> None:
         deadline = time.monotonic() + timeout
@@ -135,14 +143,22 @@ class WorkerPool:
 
     def __init__(self, n_workers: int, worker_args: list,
                  spill_root: str | None = None,
-                 worker_env: dict | None = None):
+                 worker_env: dict | None = None,
+                 ready_timeout: float | None = None):
         """worker_env: extra env vars per worker; values may contain `{i}`,
         substituted with the worker index — the device-pinning hook for a
         multi-chip host (e.g. {"TPU_VISIBLE_DEVICES": "{i}"} gives each
         worker its own chip). Without it, workers inherit the parent env
         unchanged — on a single-chip machine run CPU workers
         (--platform=cpu) or exactly one worker, since concurrent processes
-        contend on one chip."""
+        contend on one chip.
+
+        ready_timeout: operator override (--ready-timeout) for the warmed
+        boot/restart readiness deadlines. Default: the per-spec-scaled
+        deadlines below — each --warmup spec costs minutes on a cold
+        remote-compile cache, so worker 0 gets 1800 s PER SPEC and the
+        warm-cache boots 600 s per spec (a multi-spec warmup on a cold
+        cache can legitimately exceed a flat 1800 s)."""
         self._lock = threading.Lock()
         self._rr = 0
         self.workers = []
@@ -154,7 +170,13 @@ class WorkerPool:
                 _Worker(i, _free_port(), worker_args, spill, env_i))
         self._stop = threading.Event()
         self._monitor: threading.Thread | None = None
-        self._warmup = any(a.startswith("--warmup=") for a in worker_args)
+        n_specs = sum(1 for a in worker_args if a.startswith("--warmup="))
+        self._warmup = n_specs > 0
+        # Per-spec-scaled deadlines, overridable by --ready-timeout.
+        self._cold_deadline = (ready_timeout if ready_timeout is not None
+                               else 1800.0 * max(1, n_specs))
+        self._warm_deadline = (ready_timeout if ready_timeout is not None
+                               else 600.0 * max(1, n_specs))
 
     def start(self) -> None:
         if self._warmup:
@@ -167,7 +189,8 @@ class WorkerPool:
             # one-TPU-job rule) and trip the default ready deadline.
             for i, w in enumerate(self.workers):
                 w.spawn()
-                w.wait_ready(timeout=1800.0 if i == 0 else 600.0)
+                w.wait_ready(timeout=self._cold_deadline if i == 0
+                             else self._warm_deadline)
         else:
             for w in self.workers:
                 w.spawn()
@@ -193,8 +216,8 @@ class WorkerPool:
                         # A warmed worker re-traces before binding; its
                         # compiles come from the persistent cache but can
                         # still exceed the plain 120 s deadline.
-                        w.wait_ready(timeout=600.0 if self._warmup
-                                     else 120.0)
+                        w.wait_ready(timeout=self._warm_deadline
+                                     if self._warmup else 120.0)
                     except RuntimeError:
                         pass   # retried on the next sweep
             self._stop.wait(1.0)
@@ -369,9 +392,22 @@ def main() -> int:
     spill_root = None
     max_bytes = DEFAULT_MAX_BYTES
     worker_env: dict = {}
+    ready_timeout = None
     for a in sys.argv[1:]:
         if a.startswith("--workers="):
             n_workers = int(a.split("=", 1)[1])
+        elif a.startswith("--ready-timeout="):
+            # Operator override for the warmed boot/restart readiness
+            # deadlines (default scales 1800 s / 600 s per --warmup spec).
+            try:
+                ready_timeout = float(a.split("=", 1)[1])
+                if ready_timeout <= 0:
+                    raise ValueError
+            except ValueError:
+                print(f"nle-serve-pool: --ready-timeout needs a positive "
+                      f"number of seconds, got {a.split('=', 1)[1]!r}",
+                      file=sys.stderr)
+                return 2
         elif a.startswith("--port="):
             port = int(a.split("=", 1)[1])
         elif a.startswith("--spill-root="):
@@ -415,11 +451,12 @@ def main() -> int:
                   "[--spill-root=DIR] [--platform=NAME] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
                   "[--warmup=H,W,nr,nc[,iters[,k]]] "
+                  "[--ready-timeout=SECONDS] "
                   "[--worker-env=KEY=VALUE] [--access-log=PATH|-]",
                   file=sys.stderr)
             return 2
     pool = WorkerPool(n_workers, worker_args, spill_root=spill_root,
-                      worker_env=worker_env)
+                      worker_env=worker_env, ready_timeout=ready_timeout)
     pool.start()
     srv = make_pool_server(pool, port, max_bytes=max_bytes)
     print(f"nle-tpu serving pool on http://127.0.0.1:{port} "

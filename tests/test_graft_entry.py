@@ -22,3 +22,28 @@ def test_dryrun_multichip_8():
     # The driver runs exactly this with 8 virtual CPU devices; the call
     # asserts dense/streaming/factored agreement internally.
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_recovers_from_cpu_less_backends():
+    """When backends were initialized WITHOUT a cpu platform (the probe:
+    jax.devices("cpu") raises), the dry run re-execs itself in a fresh
+    subprocess instead of touching private jax internals (VERDICT r4 #6).
+    Simulated by patching the probe to raise once — the fallback then runs
+    the REAL dry run end-to-end in the child."""
+    from unittest import mock
+
+    with mock.patch.object(jax, "devices",
+                           side_effect=RuntimeError("no cpu backend")):
+        graft.dryrun_multichip(4)   # passes iff the child succeeded
+
+
+def test_reexec_surfaces_child_failure():
+    from unittest import mock
+
+    import pytest
+
+    # A failing child must surface as RuntimeError (with the child's
+    # output), never be swallowed as a silent ok.
+    with mock.patch.object(sys, "executable", "/bin/false"):
+        with pytest.raises(RuntimeError, match="re-exec"):
+            graft._reexec_dryrun(4)

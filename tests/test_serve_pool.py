@@ -247,9 +247,45 @@ def test_pool_forwards_warmup_to_workers(tmp_path):
         # spec must not traceback past the argv parser.
         assert P.main() == 2
 
-    w = P._Worker(0, 0, ["--warmup=32,48,3,4,4,3", "--platform=cpu"],
-                  None)
-    # The spawn argv embeds the warmup flag (no process started here).
-    argv = [sys.executable, "-m", "nle_tpu.serving.http",
-            f"--port={w.port}"] + w.argv_extra
+    w = P._Worker(0, 41234, ["--warmup=32,48,3,4,4,3", "--platform=cpu"],
+                  str(tmp_path / "spill-0"))
+    # The REAL spawn argv (build_argv is what spawn executes) embeds the
+    # warmup flag, the port, and the spill dir — a regression dropping
+    # argv_extra from the spawn command fails here, not just in prod.
+    argv = w.build_argv()
     assert "--warmup=32,48,3,4,4,3" in argv
+    assert "--port=41234" in argv
+    assert f"--spill-dir={tmp_path / 'spill-0'}" in argv
+    assert argv[1:3] == ["-m", "nle_tpu.serving.http"]
+
+
+def test_pool_ready_deadlines_scale_with_warmup_specs():
+    """The warmed boot deadlines scale per --warmup spec (a multi-spec
+    warmup on a cold remote-compile cache can exceed a flat 1800 s), and
+    --ready-timeout overrides both (ADVICE r4)."""
+    from nle_tpu.serving import pool as P
+
+    plain = P.WorkerPool(1, ["--platform=cpu"])
+    assert not plain._warmup
+    one = P.WorkerPool(1, ["--warmup=32,48,3,4", "--platform=cpu"])
+    assert one._warmup
+    assert one._cold_deadline == 1800.0 and one._warm_deadline == 600.0
+    three = P.WorkerPool(
+        1, ["--warmup=32,48,3,4", "--warmup=64,48,3,4",
+            "--warmup=32,64,3,4", "--platform=cpu"])
+    assert three._cold_deadline == 3 * 1800.0
+    assert three._warm_deadline == 3 * 600.0
+    forced = P.WorkerPool(1, ["--warmup=32,48,3,4", "--platform=cpu"],
+                          ready_timeout=42.0)
+    assert forced._cold_deadline == 42.0 and forced._warm_deadline == 42.0
+
+
+def test_pool_rejects_bad_ready_timeout():
+    import sys
+    from unittest import mock
+
+    from nle_tpu.serving import pool as P
+
+    for bad in ("--ready-timeout=abc", "--ready-timeout=-5"):
+        with mock.patch.object(sys, "argv", ["nle-serve-pool", bad]):
+            assert P.main() == 2
