@@ -37,6 +37,7 @@ from nle_tpu.ops.pipeline import (
     _cast_channel,
     _grid_device_arrays,
     bucket_m,
+    check_carrier_guard,
     host_orthogonalize,
     ka_eigh_host64,
     pack_channel,
@@ -202,16 +203,28 @@ def train_filters_iter(
             split=resolve_split_stage2(n_sinkhorn_iter),
         )
         return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
-                y_cache)
+                y_cache, y)
 
     def finish(state):
         """Blocking fetch + host f64 chain + async device stage 2b."""
         (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
-         y_cache) = state
+         y_cache, y) = state
         # Sb fetch first: it rides the tunnel concurrently with the blocking
         # rc fetch (measured ~30-60 ms earlier in hand, rc unharmed).
         sb_resolve = submit_sb_fetch(sb_dev)
         rc_np = np.asarray(rc_dev, np.float64)  # waits for this image's 2a
+        if check_carrier_guard(rc_np):
+            # Same guard + f32 re-dispatch as train_filter (ops/pipeline):
+            # this frame's input is out of the int16 carrier's validity
+            # domain. The stage-1 upload is rebuilt from the host copies.
+            rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
+                y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, mb=mb)),
+                sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
+                eps=eps, small=stage2_dense_small(grid.n_pixels, mb),
+                split=False, int16=False,
+            )
+            sb_resolve = submit_sb_fetch(sb_dev)
+            rc_np = np.asarray(rc_dev, np.float64)
         k = min(n_eig_vectors, m)
         va_np, Sq = host_orthogonalize(rc_np, sb_resolve, Um64, lam64,
                                        m, mb, k, eps)

@@ -496,6 +496,64 @@ def quantize_pack_int16(phi_pad: jax.Array):
     return q32, scale, colmax
 
 
+def carrier_crush_frac(phi_pad: jax.Array, scale: jax.Array) -> jax.Array:
+    """Fraction of NONZERO phi entries the int16 carrier crushes to 0 —
+    the runtime validity statistic for the quantized trajectory (VERDICT
+    r4 #2). An entry quantizes to zero iff |phi_ij| < scale_j/2; a column
+    that packs many decades of dynamic range (the documented failure
+    domain: uniform noise at small hx, ROADMAP r4 carrier note) crushes
+    most of its mass and the balancing weights of the affected rows
+    collapse through safe_reciprocal. Measured separation
+    (tools/exp_carrier_domain.py, f64 oracle with the carrier
+    substituted): all 10 README configs <= 0.09 crushed and 80-100 dB vs
+    the f64 trajectory; uniform noise at hx<=10 >= 0.32 crushed and
+    4.6-6.1 dB (destroyed). The VERDICT-suggested per-column
+    min-nonzero/max ratio does NOT separate (0.0 for both populations —
+    real affinity tails reach arbitrarily small values too).
+
+    Pure observation: reads phi beside the quantizer's own sweep (XLA
+    fuses the reduces), never perturbs the carrier arithmetic. Zero pad
+    rows/columns are exact zeros and drop out of both counts."""
+    nz = phi_pad != 0
+    crushed = jnp.sum(
+        jnp.logical_and(jnp.abs(phi_pad) < 0.5 * scale[None, :], nz),
+        dtype=jnp.float32)
+    return crushed / jnp.maximum(jnp.sum(nz, dtype=jnp.float32), 1.0)
+
+
+def resolve_int16_guard() -> float | None:
+    """Threshold for the carrier crush-fraction guard, or None when
+    disabled. NLE_INT16_GUARD: "off" disables, a float overrides; default
+    0.2 — the geometric middle of the measured gap (real configs <= 0.09,
+    failure domain >= 0.32, tools/exp_carrier_domain.py). Read by the
+    HOST-side guard at call time (the statistic is computed in-jit and
+    rides the rc fetch; the fallback is a host re-dispatch through the
+    bit-pinned f32 path, so the default trajectory's program is
+    untouched)."""
+    raw = os.environ.get("NLE_INT16_GUARD", "0.2").lower()
+    if raw in ("off", "false", "none"):
+        return None
+    try:
+        val = float(raw)
+    except ValueError:
+        raise ValueError(
+            f"NLE_INT16_GUARD={raw!r}: expected off or a float threshold"
+        ) from None
+    if not 0.0 < val <= 1.0:
+        raise ValueError(
+            f"NLE_INT16_GUARD={val}: threshold must be in (0, 1]")
+    return val
+
+
+def int16_forced_on() -> bool:
+    """Whether the operator EXPLICITLY forced the int16 carrier on
+    (NLE_SINKHORN_INT16=on/1/true, not the default auto). The guard then
+    warns but does not fall back — an explicit operator override wins,
+    same precedence rule as every Sinkhorn knob."""
+    return os.environ.get(
+        "NLE_SINKHORN_INT16", "auto").lower() in ("on", "1", "true")
+
+
 def sinkhorn_halfstep_split_xla(qi: jax.Array, tq: jax.Array, eps):
     """Plain-XLA twin of _kernel_manual's packed-int16 branch for non-TPU
     meshes (interpret-mode pallas inside shard_map trips check_vma on the
@@ -610,7 +668,9 @@ def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,
     masked; phib_pad (npad_b, mpad) f32, rows beyond the true rest count
     and columns beyond m EXACT ZERO (the affinity builder's zero_tail
     contract). Returns (r_top (p,), c_top (p,), r_b (npad_b,),
-    c_b (npad_b,)) — pad entries of the rest vectors are zero."""
+    c_b (npad_b,), crush (0-d f32)) — pad entries of the rest vectors are
+    zero; crush is carrier_crush_frac over the rest block (the runtime
+    validity statistic, VERDICT r4 #2)."""
     p, mpad = Um_pad.shape
     npad_b = phib_pad.shape[0]
     _, t_eff = split_row_pad(1, mpad, tile)
@@ -619,6 +679,7 @@ def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,
             f"phib rows ({npad_b}) must follow split_row_pad "
             f"(2*{t_eff} multiple)")
     q32, scale, colmax = quantize_pack_int16(phib_pad)
+    crush = carrier_crush_frac(phib_pad, scale)
     chunk_q = _packed_chunk(t_eff, npad_b // 2, mpad)
 
     ones_p = jnp.ones((p,), jnp.float32)
@@ -636,7 +697,7 @@ def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,
 
     zb = jnp.zeros((npad_b,), jnp.float32)
     if max_iter == 0:
-        return ones_p, jnp.zeros((p,), jnp.float32), zb, zb
+        return ones_p, jnp.zeros((p,), jnp.float32), zb, zb, crush
 
     def body(_, st):
         cp, cb, s = st
@@ -648,7 +709,7 @@ def sinkhorn_vectors_split(Um_pad: jax.Array, lam_pad: jax.Array,
         0, max_iter - 1, body, (jnp.zeros((p,), jnp.float32), zb, s0))
     cp, cb, s = halfstep(s)
     rp, rb, _ = halfstep(s)
-    return rp, cp, rb, cb
+    return rp, cp, rb, cb, crush
 
 
 def _packed_chunk(tile: int, npad_packed: int, mpad: int) -> int:
@@ -679,9 +740,16 @@ def _packed_chunk(tile: int, npad_packed: int, mpad: int) -> int:
 def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
                            eps: float, interpret: bool = False,
                            tile: int = TILE_N, n: int | None = None,
-                           bf16_iters: int | None = None):
+                           bf16_iters: int | None = None,
+                           with_stat: bool = False,
+                           int16: bool | None = None):
     """Drop-in replacement for ops.sinkhorn.sinkhorn_vectors using the fused
     kernel: returns (r, c) each (n,) for phi (n, m), lam (m,) masked.
+    With `with_stat`, returns (r, c, crush): carrier_crush_frac when the
+    int16 carrier engaged, else the sentinel -1.0 (0-d f32) — the runtime
+    validity statistic the host guard reads off the rc fetch (VERDICT r4
+    #2). `int16` overrides the env resolve per call (the guard's f32
+    re-dispatch passes False; None defers to _resolve_int16 as before).
 
     phi may be passed pre-padded (rows/cols beyond the true extent zero):
     give the true row count via `n`; column padding is inferred from lam.
@@ -736,7 +804,8 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
     if kernel_kind == "auto":
         n_bf16 = 0  # the auto-pipelined kernel is f32-only
 
-    use_int16 = _resolve_int16(n_bf16) and kernel_kind == "manual"
+    use_int16 = ((_resolve_int16(n_bf16) if int16 is None else bool(int16))
+                 and kernel_kind == "manual")
     # s0 = phi^T @ ones, as the DOT (zero pad rows: only true rows count,
     # so s0 is exact). A column-sum form (fusing with the quantizer's
     # abs-max reduce) was tried in r4 and REVERTED for this assembled
@@ -786,6 +855,7 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         # ~2.5 phi sweeps (abs-max reduce + quantized packed write),
         # amortized over 2*max_iter halfstep sweeps.
         q32, scale, colmax = quantize_pack_int16(phi_pad)
+        crush = carrier_crush_frac(phi_pad, scale) if with_stat else None
         lam_q = lam_pad * jnp.where(colmax > 0, scale, 0.0) ** 2
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
 
@@ -806,6 +876,8 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
             return r, c, sq
 
         r, c, _ = jax.lax.fori_loop(n_bf16, max_iter, body_q, (r, c, sq))
+        if with_stat:
+            return r[:n], c[:n], crush
         return r[:n], c[:n]
 
     def body(_, st):
@@ -815,4 +887,6 @@ def sinkhorn_vectors_fused(phi: jax.Array, lam: jax.Array, max_iter: int,
         return r, c, s
 
     r, c, _ = jax.lax.fori_loop(n_bf16, max_iter, body, state)
+    if with_stat:
+        return r[:n], c[:n], jnp.float32(-1.0)
     return r[:n], c[:n]

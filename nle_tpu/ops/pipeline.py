@@ -344,7 +344,8 @@ def host_orthogonalize(rc_np, sb, Um64, lam64, m: int, mb: int, k: int,
     bucket for the single (mb, 2k) upload. Returns (va_np f64, Sq).
     Shared by train_filter and the pipelined batch trainer.
 
-    rc_np: (2, mb) host f64 [r; c] rows. sb: the (>=m, >=m) Sb gram as a
+    rc_np: (>=2, mb) host f64 block; rows 0/1 are [r; c] (any extra
+    rows — the carrier guard statistic — are ignored here). sb: the (>=m, >=m) Sb gram as a
     host array, a device array, or a ZERO-ARG CALLABLE producing either —
     the callable is resolved only after eig(Wa)+E (~160 ms of host work),
     so callers can hand in a concurrent fetch and hide the transfer.
@@ -384,8 +385,8 @@ def pack_stage2b_upload(split: bool, va_np, rc_np, Um64, m: int, p: int,
     (c[m:p] * Um[m:p]) @ GrT tail (exactly the sharded protocol,
     parallel/sharded.py element_host_chain; ~20 MFLOP at p=600, host
     microseconds) — so the device's stage 2b is one fused scaled matmul
-    over the rest block plus a row concat. Needs the FULL (2, p) rc the
-    split stage 2a returns (the assembled path fetches only (2, mb))."""
+    over the rest block plus a row concat. Needs the FULL (3, p) rc the
+    split stage 2a returns (the assembled path fetches only (3, mb))."""
     if not split:
         return va_np
     GrT = va_np[:m, k:]
@@ -393,6 +394,45 @@ def pack_stage2b_upload(split: bool, va_np, rc_np, Um64, m: int, p: int,
     top = np.concatenate(
         [va_np[:m, :k], (cp64[m:p, None] * Um64[m:]) @ GrT], axis=0)
     return np.concatenate([top, va_np[:, k:]], axis=0)
+
+
+def check_carrier_guard(rc_np) -> bool:
+    """Host side of the int16-carrier validity guard (VERDICT r4 #2):
+    reads the crush statistic off the fetched rc block (row 2, col 0 —
+    sentinel -1.0 when no carrier engaged) and decides whether the caller
+    must re-dispatch stage 2a through the f32 carrier. Warn-and-continue
+    semantics throughout (the reference's solver-failure policy,
+    src/filter.cpp:180-183): over-threshold with the default auto resolve
+    -> warn + True (caller retrains f32); over-threshold with the carrier
+    EXPLICITLY forced on -> warn + False (operator override wins); guard
+    off (NLE_INT16_GUARD=off) -> always False."""
+    if rc_np.shape[0] <= 2:
+        return False
+    crush = float(rc_np[2, 0])
+    if crush < 0.0:
+        return False          # no carrier engaged
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        int16_forced_on,
+        resolve_int16_guard,
+    )
+
+    threshold = resolve_int16_guard()
+    if threshold is None or crush <= threshold:
+        return False
+    if int16_forced_on():
+        logger.warning(
+            "int16 Sinkhorn carrier out of its validity domain (crush "
+            "fraction %.3f > %.3f) but NLE_SINKHORN_INT16 is forced on — "
+            "continuing with the quantized trajectory; expect degraded "
+            "output on this input.", crush, threshold)
+        return False
+    logger.warning(
+        "int16 Sinkhorn carrier out of its validity domain (crush "
+        "fraction %.3f > %.3f: this input packs more dynamic range into "
+        "phi columns than int16's ~4.5 decades): retraining through the "
+        "f32 carrier. NLE_INT16_GUARD tunes/disables this guard.",
+        crush, threshold)
+    return True
 
 
 def submit_sb_fetch(sb_dev):
@@ -500,18 +540,19 @@ def _unpack_stage1(stage1_packed, p):
 @functools.partial(
     jax.jit,
     static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "use_pallas",
-                     "interpret", "small", "split"),
+                     "interpret", "small", "split", "int16"),
 )
 def train_filter_stage2a(
     y, rows, cols, stage1_packed, sw, pw,
     *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
     use_pallas: bool | None = None, interpret: bool = False,
     small: bool | None = None, split: bool | None = None,
+    int16: bool | None = None,
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
     Sinkhorn, balanced-block pieces, and the Sb reduction. Returns
-    (rc (2, mb), Sb (mb, mb), factor, c_rest): rc carries the balancing
-    vectors — a tiny fetch (~30 ms latency floor) that unblocks the host
+    (rc (3, mb), Sb (mb, mb), factor, c_rest): rc rows 0/1 carry the
+    balancing vectors — a tiny fetch (~30 ms latency floor) that unblocks the host
     chain's Wa rebuild + eig(Wa) + E — while the ~MB-sized Sb (which the
     chain needs only AFTER those, ~160 ms of host work) is fetched
     asynchronously and overlaps them (the tunnel moves ~1.4 MB in ~150 ms,
@@ -523,7 +564,15 @@ def train_filter_stage2a(
     src/filter.cpp:247-250). The returned factor is the pre-scaled
     diag(c) phi when stage2_dense_small(n, mb) on the fused path (and always
     on the XLA fallback), else the unscaled padded phi whose c-scaling is
-    fused into the Sb/Vb kernels so phi stays the only N-scale buffer."""
+    fused into the Sb/Vb kernels so phi stays the only N-scale buffer.
+
+    rc carries a THIRD row whose column 0 is the int16-carrier crush
+    statistic (carrier_crush_frac; sentinel -1.0 when no carrier engaged)
+    — it rides the existing tiny rc fetch so the host guard costs zero
+    extra round trips (VERDICT r4 #2). `int16` (static, like `small`/
+    `split`) forces the carrier per call: the guard's fallback re-dispatch
+    passes int16=False, split=False to retrain through the bit-pinned
+    assembled f32 trajectory."""
     with jax.default_matmul_precision("highest"):
         Um, lam_m, Uinv, m_dyn = _unpack_stage1(stage1_packed, p)
         f = features(rows, cols, y)
@@ -545,6 +594,10 @@ def train_filter_stage2a(
             # silently reusing the stale layout's cached program.
             split_eff = (resolve_split_stage2(n_sinkhorn_iter)
                          if split is None else bool(split))
+            if int16 is False:
+                # Guard fallback: the split layout cannot run without the
+                # packed carrier.
+                split_eff = False
             if split_eff:
                 # SPLIT-BUFFER layout (int16 default, non-small): Um and
                 # the rest block never concatenate — the affinity builder
@@ -555,7 +608,7 @@ def train_filter_stage2a(
                 # copy at 1 MP, tools/profile_stage2a_parts.py r4). The
                 # returned factor is the TUPLE (phib_pad,) — stage 2b
                 # branches on the pytree structure; rc carries the FULL
-                # (2, p) top rows (the host builds the top V rows like
+                # (3, p) top rows + stat (the host builds the top V rows like
                 # the sharded protocol, pack_stage2b_upload).
                 from nle_tpu.ops.pallas.scaled_matmul_kernel import (
                     scaled_gram_pallas,
@@ -576,10 +629,13 @@ def train_filter_stage2a(
                           if mpad != mb else Um)
                 lam_pad = (jnp.pad(lam_m, (0, mpad - mb))
                            if mpad != mb else lam_m)
-                rp, cp, rb, cb = sinkhorn_vectors_split(
+                rp, cp, rb, cb, crush = sinkhorn_vectors_split(
                     Um_pad, lam_pad, phib_pad, n_sinkhorn_iter,
                     float(eps), interpret=interpret)
-                rc = jnp.stack([rp, cp])             # (2, p) full top rows
+                # (3, p): full top rows + the crush statistic riding the
+                # same tiny fetch (host consumers index rows 0/1 only).
+                rc = jnp.stack([rp, cp, jnp.full((p,), -1.0, rp.dtype)
+                                .at[0].set(crush.astype(rp.dtype))])
                 cb_rest = cb[:, None]
                 cphiu = jnp.where(jnp.arange(p) >= m_dyn, cp,
                                   0.0)[:, None] * Um_pad
@@ -606,8 +662,9 @@ def train_filter_stage2a(
             phi = jnp.zeros((npad, mpad), jnp.float32)
             phi = jax.lax.dynamic_update_slice(phi, Um, (0, 0))
             phi = jax.lax.dynamic_update_slice(phi, phi_b, (p, 0))
-            r, c = sinkhorn_vectors_fused(phi, lam_m, n_sinkhorn_iter, eps,
-                                          n=n, interpret=interpret)
+            r, c, crush = sinkhorn_vectors_fused(
+                phi, lam_m, n_sinkhorn_iter, eps, n=n, interpret=interpret,
+                with_stat=True, int16=int16)
             c_rest = jnp.where(jnp.arange(npad) >= m_dyn,
                                jnp.pad(c, (0, npad - n)), 0.0)[:, None]
             # `small` is part of the jit key: callers that probe both
@@ -626,7 +683,9 @@ def train_filter_stage2a(
                 # NLE_STAGE2_DOTS=high (ops/precision.py).
                 cphi = c_rest * phi
                 Sb = stage2_gram(cphi)
-                rc = jnp.stack([r[:mb], c[:mb]])
+                rc = jnp.stack([r[:mb], c[:mb],
+                                jnp.full((mb,), -1.0, r.dtype)
+                                .at[0].set(crush.astype(r.dtype))])
                 return rc, Sb[:mb, :mb], cphi, c_rest
             # Large images: fuse the scaling into the Sb/Vb kernels so phi is
             # the only N-scale buffer (doubles single-chip image capacity).
@@ -640,12 +699,14 @@ def train_filter_stage2a(
             # fallback is the CPU-visible twin, so the CPU golden sweep
             # certifies the identical 3-pass arithmetic.
             Sb = stage2_gram(cphi)
-            rc = jnp.stack([r[:mb], c[:mb]])
+            rc = jnp.stack([r[:mb], c[:mb],
+                            jnp.full((mb,), -1.0, r.dtype)])
             return rc, Sb[:mb, :mb], cphi, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
         # precision).
-        rc = jnp.stack([r[:mb], c[:mb]])
+        rc = jnp.stack([r[:mb], c[:mb], jnp.full((mb,), -1.0, r.dtype)
+                        .at[0].set(crush.astype(r.dtype))])
     return rc, Sb, phi, c_rest
 
 
@@ -1132,6 +1193,24 @@ def train_filter(
             # (host_orthogonalize resolves it late).
             sb_resolve = submit_sb_fetch(sb_dev)
             rc_np = np.asarray(rc_dev, np.float64)
+            redo = check_carrier_guard(rc_np)
+            if redo:
+                # Out-of-domain input for the int16 carrier (crush
+                # statistic over threshold, VERDICT r4 #2): retrain this
+                # image through the bit-pinned assembled f32 trajectory.
+                # Rare by construction (every golden config measures
+                # <= 0.09 vs the 0.2 default threshold), so the doubled
+                # stage-2a cost applies only to inputs the carrier would
+                # silently destroy.
+                rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
+                    y, rr, cc, stage1_dev, sw, pw,
+                    p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
+                    eps=float(eps), use_pallas=use_pallas,
+                    small=stage2_dense_small(grid.n_pixels, mb),
+                    split=False, int16=False,
+                )
+                sb_resolve = submit_sb_fetch(sb_dev)
+                rc_np = np.asarray(rc_dev, np.float64)
         k = min(n_eig_vectors, m)
         with stage("Orthogonalize"):
             # Rebuild the balanced-block small matrices in f64 on the host

@@ -113,6 +113,43 @@ def _sharded_int16(on_tpu: bool) -> bool:
     return on_tpu or raw != "auto"
 
 
+def _sharded_guard_trips(crush) -> bool:
+    """Host side of the sharded int16-carrier validity guard: fetch the
+    per-element global crush fractions (a (B,) psum'd statistic from
+    _train_2a_q) and decide whether the group retrains through the f32
+    carrier. Same policy as the single-chip check_carrier_guard
+    (ops/pipeline.py): threshold from NLE_INT16_GUARD (default 0.2, "off"
+    disables); an EXPLICIT NLE_SINKHORN_INT16=on wins with a warning."""
+    import logging
+
+    from nle_tpu.ops.pallas.sinkhorn_kernel import (
+        int16_forced_on,
+        resolve_int16_guard,
+    )
+
+    threshold = resolve_int16_guard()
+    if threshold is None:
+        return False
+    crush_np = np.asarray(fetch(crush))
+    worst = float(crush_np.max())
+    if worst <= threshold:
+        return False
+    logger = logging.getLogger("nle_tpu")
+    if int16_forced_on():
+        logger.warning(
+            "sharded int16 Sinkhorn carrier out of its validity domain "
+            "(worst crush %.3f > %.3f) but NLE_SINKHORN_INT16 is forced "
+            "on — continuing with the quantized trajectory.",
+            worst, threshold)
+        return False
+    logger.warning(
+        "sharded int16 Sinkhorn carrier out of its validity domain "
+        "(worst crush %.3f > %.3f): retraining this group through the "
+        "f32 carrier. NLE_INT16_GUARD tunes/disables this guard.",
+        worst, threshold)
+    return True
+
+
 def _sharded_2a_step_q(mesh: Mesh, p: int, mb: int, n_iter: int, eps: float,
                        on_tpu: bool):
     """int16-carrier variant of _sharded_2a_step (same contract and out
@@ -148,7 +185,7 @@ def _sharded_2a_step_q_cached(mesh: Mesh, p: int, mb: int, n_iter: int,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                   P("data", "pixel"), P("data", "pixel"), P(), P()),
         out_specs=(P("data"), P("data"), P("data"),
-                   P("data", "pixel")),
+                   P("data", "pixel"), P("data")),
     )
     return jax.jit(sharded)
 
@@ -412,6 +449,7 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
         npad, tile = split_row_pad(nb_local, mb)
         phi_q = jnp.pad(phi_bl, ((0, npad - nb_local), (0, mpad - mb)))
         q32, scale, _ = quantize_pack_int16(phi_q)
+        crush_local = phi_q, scale
         chunk_q = _packed_chunk(tile, npad // 2, mpad)
 
         def local_halfstep(tq):
@@ -420,10 +458,24 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
     else:
         mpad = mb
         qf, scale, _ = quantize_int16(phi_bl)
+        crush_local = phi_bl, scale
         qi = qf.astype(jnp.int32)
 
         def local_halfstep(tq):
             return sinkhorn_halfstep_split_xla(qi, tq, eps)
+
+    # Shard-local crush counts, psum'd to the GLOBAL crush fraction — the
+    # carrier validity statistic (same semantics as the single-chip
+    # carrier_crush_frac; shard-LOCAL scales, so the count uses each
+    # shard's own scale exactly as its carrier does).
+    phi_c, scale_c = crush_local
+    nz = phi_c != 0
+    crush_num = jax.lax.psum(
+        jnp.sum(jnp.logical_and(
+            jnp.abs(phi_c) < 0.5 * scale_c[None, :], nz),
+            dtype=jnp.float32), "pixel")
+    crush_den = jax.lax.psum(jnp.sum(nz, dtype=jnp.float32), "pixel")
+    crush = crush_num / jnp.maximum(crush_den, 1.0)
 
     def pad_m(v):
         return jnp.pad(v, (0, mpad - mb)) if mpad != mb else v
@@ -466,7 +518,7 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
     cphib_l = cbl[:, None] * phi_bl
     Sb = cphiu.T @ cphiu + jax.lax.psum(_local_gram(cphib_l, gram_mode),
                                         "pixel")
-    return rp, cp, Sb, cphib_l
+    return rp, cp, Sb, cphib_l, crush
 
 
 def _train_2a_streaming(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *,
@@ -790,18 +842,39 @@ def train_filter_sharded(
         # sees default_backend() == "tpu".
         on_tpu = mesh.devices.flat[0].platform == "tpu"
         interpret = not on_tpu
+        q_step = False
         if streaming:
             step = _sharded_2a_step_streaming(
                 mesh, p, mb, n_sinkhorn_iter, eps, interpret)
         elif _sharded_int16(on_tpu):
             step = _sharded_2a_step_q(mesh, p, mb, n_sinkhorn_iter, eps,
                                       on_tpu)
+            q_step = True
         else:
             step = _sharded_2a_step(mesh, p, mb, n_sinkhorn_iter, eps, on_tpu)
         with jax.default_matmul_precision("highest"):
-            rp, cp, Sb, cphib = step(
-                Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
-            )
+            if q_step:
+                rp, cp, Sb, cphib, crush = step(
+                    Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
+                )
+            else:
+                rp, cp, Sb, cphib = step(
+                    Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
+                )
+        if q_step and _sharded_guard_trips(crush):
+            # Same int16-carrier validity guard as the single-chip path
+            # (ops/pipeline.py check_carrier_guard, VERDICT r4 #2): any
+            # element of this group over the crush threshold retrains the
+            # GROUP through the f32 carrier (warn-and-continue; groups are
+            # small and out-of-domain inputs rare). Costs one tiny (B,)
+            # fetch per int16 group, submitted before the rp/cp fetches
+            # would have been anyway.
+            step = _sharded_2a_step(mesh, p, mb, n_sinkhorn_iter, eps,
+                                    on_tpu)
+            with jax.default_matmul_precision("highest"):
+                rp, cp, Sb, cphib = step(
+                    Um, lam_m, Uinv, m_arr, fa_g, fb_g, mask_g, sw, pw
+                )
         # Submit the lazy group Sb fetch BEFORE the blocking rp/cp fetches
         # so it rides the tunnel concurrently with them (single-chip
         # protocol, ops/pipeline.py submit_sb_fetch — measured Sb-in-hand

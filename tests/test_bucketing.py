@@ -297,8 +297,12 @@ def test_split_buffer_stage2_matches_assembled_int16(monkeypatch):
     V_a, S_a, split_a, rc_a = run(small=True)    # assembled int16 (small)
     V_s, S_s, split_s, rc_s = run(small=False)   # split layout
     assert not split_a and split_s
-    assert rc_s.shape == (2, p)
-    assert np.abs(rc_s[:, :mb] - rc_a[:, :mb]).max() < 1e-3
+    # Row 2 carries the carrier crush statistic (rides the rc fetch);
+    # rows 0/1 are the balancing vectors as before.
+    assert rc_s.shape == (3, p)
+    assert 0.0 <= rc_s[2, 0] <= 1.0      # int16 engaged on both layouts
+    assert 0.0 <= rc_a[2, 0] <= 1.0
+    assert np.abs(rc_s[:2, :mb] - rc_a[:2, :mb]).max() < 1e-3
     fS = transform_eigenvalues(jnp.asarray(S_a), [2.0, 3.0, 4.0, 1.0])
     o_a = np.asarray(apply_filter(jnp.asarray(V_a), fS, y))
     o_s = np.asarray(apply_filter(jnp.asarray(V_s), fS, y))
