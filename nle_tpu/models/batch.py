@@ -27,6 +27,8 @@ this is the serving-path extension of NLEFilter (models/filter.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -54,19 +56,22 @@ from nle_tpu.utils.logging import logger, warn_truncation
 
 
 def fits_pipeline(n_pixels: int, n_row_samples: int,
-                  n_col_samples: int) -> bool:
-    """Whether the pipelined schedule's two-phi lookahead fits the chip.
+                  n_col_samples: int, lookahead: int = 1) -> bool:
+    """Whether the pipelined schedule's phi lookahead fits the chip.
 
-    The one-image lookahead keeps TWO dense (npad, mpad) phi buffers alive
-    (see module docstring), so two phis must fit where the single-image
-    train_filter allows one plus headroom. This is the shared capacity rule
-    for every consumer of train_filters_iter (serving /enhance coalescing,
-    nle-batch); past it, train_filters_iter itself falls back to sequential
-    streaming-capable training rather than OOM the one chip."""
+    A lookahead of L keeps L+1 dense (npad, mpad) phi buffers alive
+    (see module docstring; the default L=1 is the classic two-phi rule),
+    so L+1 phis must fit where the single-image train_filter allows one
+    plus headroom. This is the shared capacity rule for every consumer of
+    train_filters_iter (serving /enhance coalescing, nle-batch); past it,
+    train_filters_iter itself falls back to sequential streaming-capable
+    training rather than OOM the one chip."""
     from nle_tpu.ops.pipeline import _STREAM_BYTES_LIMIT
 
     mpad_est = -(-(n_row_samples * n_col_samples) // 128) * 128
-    return 4 * n_pixels * mpad_est <= (3 * _STREAM_BYTES_LIMIT) // 4
+    phi_bytes = 4 * n_pixels * mpad_est
+    return (lookahead + 1) * phi_bytes <= 2 * ((3 * _STREAM_BYTES_LIMIT)
+                                               // 4)
 
 
 def train_filters_pipelined(
@@ -105,10 +110,17 @@ def train_filters_iter(
     n_eig_vectors: int = 5,
     *,
     eps: float = 1e-10,
+    lookahead: int | None = None,
 ):
     """Generator form of train_filters_pipelined: yields each channel's
     TrainedFilter as soon as its host-f64 chain completes and its stage-2b
     is DISPATCHED (eigvecs are async device arrays).
+
+    lookahead: how many frames may be submitted ahead of the one being
+    finished (default 1 — the classic two-phi schedule; env
+    NLE_STREAM_LOOKAHEAD overrides when the argument is None). Each
+    in-flight frame holds one dense phi buffer on the chip, so the value
+    is clamped to capacity (fits_pipeline).
 
     Use for first-result LATENCY: frame 0's filter is ready after ~1 train
     instead of after the whole stream. For THROUGHPUT, prefer consuming the
@@ -240,10 +252,25 @@ def train_filters_iter(
         return TrainedFilter(V_packed, jnp.asarray(Sq, jnp.float32),
                              nrows, ncols, perm=grid.perm, y_cache=y_cache)
 
-    prev = None
+    # Clamp the requested lookahead to what the chip holds (each in-flight
+    # frame keeps one dense phi alive); L=1 is the classic schedule, L=2
+    # adds a second submitted frame so tunnel round-trip latency in
+    # finish() overlaps one more frame's device work (VERDICT r5 lever).
+    if lookahead is None:
+        lookahead = int(os.environ.get("NLE_STREAM_LOOKAHEAD", "1"))
+    look = max(1, int(lookahead))
+    while look > 1 and not fits_pipeline(grid.n_pixels, n_row_samples,
+                                         n_col_samples, lookahead=look):
+        look -= 1
+    if look != lookahead and lookahead > 1:
+        logger.info("pipelined trainer: lookahead clamped %d -> %d "
+                    "(phi capacity)", lookahead, look)
+    from collections import deque
+
+    pending = deque()
     for chan in channels:
-        state = submit(chan)   # host stage 1 overlaps the device queue
-        if prev is not None:
-            yield finish(prev)
-        prev = state
-    yield finish(prev)
+        pending.append(submit(chan))  # host stage 1 overlaps device queue
+        if len(pending) > look:
+            yield finish(pending.popleft())
+    while pending:
+        yield finish(pending.popleft())

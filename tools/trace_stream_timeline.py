@@ -11,19 +11,20 @@ direct evidence or falsified:
   up.stage1    packed stage-1 upload (f32 (p+2, mb))
   disp.2a      stage-2a dispatch call (host-side span of the jitted call)
   rc.wait      blocking rc fetch (device slack + ~30 ms latency)
-  sb.fetch     the pooled Sb transfer (pure link once 2a is done)
+  sb.ready     pooled Sb probe: submit -> value computed (+~30 ms latency)
+  sb.link      pooled Sb bulk transfer AFTER the probe (~pure link time)
   up.va        stage-2b [top;GrT] upload
   disp.2b      stage-2b dispatch
-  edit.apply   consumer-thread edit dispatch (transform+apply_u8 submit)
-  edit.fetch   consumer-thread u8 result fetch (pure link)
+  edit.ready   consumer-thread probe: edit value computed
+  edit.link    consumer-thread u8 result bulk transfer (~pure link time)
 
 Output: one JSON object with per-pass aggregates and the full event list
 (kind, t0_ms, t1_ms, ms, bytes, frame) relative to pass start. Aggregates
 include per-kind busy ms/frame, the UNION busy time of all transfer-kind
 spans (the link cannot move two requests' bytes at once), and implied
-bandwidths. rc.wait is kept out of the union (it is mostly device slack,
-not link) — the union of up.*/sb.fetch/edit.fetch/up.va bounds the pure
-transfer occupancy from below.
+bandwidths. rc.wait and the *.ready probes are kept out of
+the union (they are mostly device slack, not link) — the union of
+up.*/sb.link/edit.link bounds the pure transfer occupancy from below.
 
 Usage (real chip, ONE TPU job at a time):
   cd /root/repo && python tools/trace_stream_timeline.py [--mp=1.0]
@@ -213,12 +214,20 @@ def main():
 
     batch.np = NPProxy()
 
-    # --- Sb fetch: wrap the pooled transfer itself ---
+    # --- Sb fetch: wrap the pooled transfer itself. A fetch of an async
+    # device value first WAITS for the value: to separate device slack
+    # from pure link time, a 1-element probe fetch (~30 ms latency) runs
+    # first ("sb.ready" = dispatch->computed+latency), then the bulk
+    # transfer ("sb.link" ~ pure link occupancy). ---
     def wrapped_sb(sb_dev):
         def timed():
             t0 = time.perf_counter()
+            np.asarray(sb_dev[:1, :1])
+            t1 = time.perf_counter()
             out = pipe.transfer_fetch(sb_dev)
-            sp.add("sb.fetch", t0, time.perf_counter(), out.nbytes)
+            t2 = time.perf_counter()
+            sp.add("sb.ready", t0, t1)
+            sp.add("sb.link", t1, t2, out.nbytes)
             return np.asarray(out, np.float64)
 
         fut = pipe.transfer_pool().submit(timed)
@@ -226,14 +235,20 @@ def main():
 
     batch.submit_sb_fetch = wrapped_sb
 
-    # --- edit-side u8 fetch (consumer threads) ---
+    # --- edit-side u8 fetch (consumer threads): same ready/link split ---
     real_fetch = fmod.fetch
 
     def wrapped_fetch(arr):
         t0 = time.perf_counter()
+        try:
+            np.asarray(arr[:1])
+        except Exception:
+            pass
+        t1 = time.perf_counter()
         out = real_fetch(arr)
-        sp.add("edit.fetch", t0, time.perf_counter(),
-               getattr(out, "nbytes", 0), frame=-2)
+        t2 = time.perf_counter()
+        sp.add("edit.ready", t0, t1, frame=-2)
+        sp.add("edit.link", t1, t2, getattr(out, "nbytes", 0), frame=-2)
         return out
 
     fmod.fetch = wrapped_fetch
@@ -278,8 +293,8 @@ def main():
         assert all(o is not None for o in out)
 
     run_stream()   # warmup/compile pass
-    transfer_kinds = ("up.chan", "up.stage1", "up.va", "sb.fetch",
-                      "edit.fetch")
+    transfer_kinds = ("up.chan", "up.stage1", "up.va", "sb.link",
+                      "edit.link")
     results = []
     for _ in range(passes):
         sp.reset()
