@@ -40,7 +40,7 @@ _APPLY_FLAG_DOC = """Apply-only flags:
 
 # Training-time flags the shared validator accepts but nle-apply cannot
 # honor (there is no training here; the filter file fixes eps/solver/type).
-_INAPPLICABLE = ("save-filter", "debug-eigvecs", "eps", "stage1",
+_INAPPLICABLE = ("save-filter", "debug-eigvecs", "eps", "stage1", "reuse-delta",
                  "no-pallas", "factored", "precision")
 
 

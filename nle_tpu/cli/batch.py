@@ -137,6 +137,8 @@ def main(argv=None) -> int:
     from nle_tpu.models.filter import NLEFilter
 
     eps = float(flags["eps"]) if "eps" in flags else 1e-10
+    reuse_delta = (float(flags["reuse-delta"])
+                   if "reuse-delta" in flags else None)
     n_done = 0
     if op == "denoise":
         from nle_tpu.color.bilateral import bilateral_filter_u8
@@ -186,7 +188,8 @@ def main(argv=None) -> int:
                     ex.submit(run_edit, i, flt)
                     for i, flt in enumerate(train_filters_iter(
                         channels, n_row_samples, n_col_samples, hx, hy,
-                        n_sinkhorn_iter, n_eig_vectors, eps=eps))
+                        n_sinkhorn_iter, n_eig_vectors, eps=eps,
+                        reuse_delta=reuse_delta))
                 ]
                 for f in futs:
                     f.result()

@@ -21,6 +21,11 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
   --check-nans                  abort on NaN in any device computation
   --stage1=host64|topk|device   Ka eigensolver (topk = the reference's
                                 USE_SPECTRA iterative solver)
+  --reuse-delta=D               (nle-batch) temporal warm-start: a frame
+                                whose mean |L delta| vs the last trained
+                                frame is <= D reuses that frame's filter
+                                (opt-in; trades filter freshness for
+                                throughput on near-static streams)
   --show                        display the result in a blocking window
                                 (the reference's imshow/waitKey end
                                 behavior; needs a display)
@@ -30,7 +35,7 @@ _FLAG_DOC = """Optional named flags (extensions beyond the reference CLI):
 # Flags that require `--name=value`; the rest are boolean switches.
 _VALUE_FLAGS = frozenset(
     {"precision", "eps", "save-filter", "debug-eigvecs", "platform",
-     "profile", "stage1"})
+     "profile", "stage1", "reuse-delta"})
 _BOOL_FLAGS = frozenset({"no-pallas", "check-nans", "verbose", "factored",
                          "show"})
 
@@ -76,6 +81,13 @@ def validate_flags(flags) -> str | None:
     if flags.get("precision") not in (None, "float32", "float64"):
         return (f"Flag --precision={flags['precision']} invalid "
                 "(expected float32|float64)")
+    if "reuse-delta" in flags:
+        try:
+            if float(flags["reuse-delta"]) < 0:
+                raise ValueError
+        except ValueError:
+            return (f"Flag --reuse-delta={flags['reuse-delta']} invalid "
+                    "(expected a nonnegative float)")
     return None
 
 

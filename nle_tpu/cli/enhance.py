@@ -57,6 +57,9 @@ def main(argv=None) -> int:
         print(add_common_flags(), file=sys.stderr)
         return 0
 
+    from nle_tpu.cli.common import warn_inapplicable
+
+    warn_inapplicable("nle-enhance", flags, ("reuse-delta",))
     apply_common_flags(flags)
     from nle_tpu.utils.imageio import imread_bgr, imwrite_bgr
 

@@ -111,6 +111,7 @@ def train_filters_iter(
     *,
     eps: float = 1e-10,
     lookahead: int | None = None,
+    reuse_delta: float | None = None,
 ):
     """Generator form of train_filters_pipelined: yields each channel's
     TrainedFilter as soon as its host-f64 chain completes and its stage-2b
@@ -121,6 +122,19 @@ def train_filters_iter(
     NLE_STREAM_LOOKAHEAD overrides when the argument is None). Each
     in-flight frame holds one dense phi buffer on the chip, so the value
     is clamped to capacity (fits_pipeline).
+
+    reuse_delta: OPT-IN temporal warm-start for frame streams (VERDICT r4
+    #8; explicitly NOT a default): when set, a frame whose mean absolute
+    L delta vs the last TRAINED frame is <= reuse_delta yields that
+    frame's TrainedFilter instead of training its own — the edit still
+    runs on the frame's own channel (apply's y_cache is content-guarded),
+    so only the FILTER is approximated. The nonlocal filter depends on
+    the scene's affinity structure, which small exposure wiggles barely
+    move; measured cost/gain on the bench's jittered-rock2 stream:
+    tools/bench_warmstart.py. The comparison is against the last trained
+    frame (not the previous frame), so drift cannot accumulate
+    unboundedly: the first frame past the threshold retrains and becomes
+    the new reference.
 
     Use for first-result LATENCY: frame 0's filter is ready after ~1 train
     instead of after the whole stream. For THROUGHPUT, prefer consuming the
@@ -161,7 +175,16 @@ def train_filters_iter(
             "pipelined trainer: %dx%d at %dx%d samples exceeds the two-phi "
             "lookahead ceiling; training sequentially (streaming stage 2).",
             nrows, ncols, n_row_samples, n_col_samples)
+        seq_ref = None
+        seq_filter = None
         for chan in channels:
+            if (reuse_delta is not None and seq_ref is not None
+                    and float(np.mean(np.abs(chan - seq_ref)))
+                    <= reuse_delta):
+                yield seq_filter     # same warm-start rule as the
+                continue             # pipelined schedule below
+            if reuse_delta is not None:
+                seq_ref = chan
             packed_np, is_8bit = pack_channel(chan, grid.perm)
             # Ship the packed u8 channel (exact in ANY compute dtype);
             # non-8-bit channels pass packed_y_dev=None so train_filter
@@ -172,9 +195,10 @@ def train_filters_iter(
                 chan, n_row_samples, n_col_samples, hx, hy,
                 n_sinkhorn_iter, n_eig_vectors, eps=eps, grid=grid,
                 pixel_order=False, packed_y_dev=y_dev)[:2]
-            yield TrainedFilter(
+            seq_filter = TrainedFilter(
                 V, S, nrows, ncols, perm=grid.perm,
                 y_cache=(packed_np, y_dev) if is_8bit else None)
+            yield seq_filter
         return
     p = grid.n_samples
     perm, rr, cc = _grid_device_arrays(grid, jnp.float32)
@@ -267,10 +291,31 @@ def train_filters_iter(
                     "(phi capacity)", lookahead, look)
     from collections import deque
 
+    _REUSE = object()        # sentinel: this frame reuses the last filter
     pending = deque()
+    ref_chan = None          # channel of the last TRAINED frame
+    last_filter = None       # its finished TrainedFilter
+
+    def pop_finish():
+        nonlocal last_filter
+        item = pending.popleft()
+        if item is _REUSE:
+            # FIFO yield order guarantees the reference frame (which
+            # precedes every reuser) has already been finished.
+            return last_filter
+        last_filter = finish(item)
+        return last_filter
+
     for chan in channels:
-        pending.append(submit(chan))  # host stage 1 overlaps device queue
+        if (reuse_delta is not None and ref_chan is not None
+                and float(np.mean(np.abs(chan - ref_chan)))
+                <= reuse_delta):
+            pending.append(_REUSE)
+        else:
+            if reuse_delta is not None:
+                ref_chan = chan
+            pending.append(submit(chan))  # host stage 1 overlaps device
         if len(pending) > look:
-            yield finish(pending.popleft())
+            yield pop_finish()
     while pending:
-        yield finish(pending.popleft())
+        yield pop_finish()

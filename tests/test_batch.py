@@ -93,3 +93,58 @@ def test_iter_degenerate_stage1_raises_cleanly():
     bad = np.full((20, 24), np.nan, np.float32)
     with pytest.raises(ValueError):
         list(train_filters_iter([bad], 3, 4, 100.0, 30.0, 3, 3))
+
+
+def test_reuse_delta_warm_start():
+    """Opt-in temporal warm-start (VERDICT r4 #8): frames within the
+    L-delta threshold of the last TRAINED frame reuse its filter; a frame
+    past the threshold retrains and becomes the new reference."""
+    from nle_tpu.models.batch import train_filters_iter
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (30, 40)).astype(np.float32)
+    other = rng.integers(0, 256, (30, 40)).astype(np.float32)
+    chans = [base, np.clip(base + 1, 0, 255), other,
+             np.clip(other + 1, 0, 255)]
+    flts = list(train_filters_iter(chans, 4, 5, 40.0, 20.0, 8, 4,
+                                   reuse_delta=3.0))
+    assert len(flts) == 4
+    assert flts[1] is flts[0]          # within threshold -> reused
+    assert flts[2] is not flts[0]      # big change -> retrained
+    assert flts[3] is flts[2]          # near the NEW reference -> reused
+    # Default (no reuse_delta): every frame trains its own filter.
+    flts0 = list(train_filters_iter(chans, 4, 5, 40.0, 20.0, 8, 4))
+    assert all(a is not b for a, b in zip(flts0, flts0[1:]))
+
+
+def test_reuse_delta_sequential_fallback(monkeypatch):
+    import nle_tpu.models.batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "fits_pipeline",
+                        lambda *a, **k: False)
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 256, (30, 40)).astype(np.float32)
+    chans = [base, np.clip(base + 1, 0, 255)]
+    flts = list(batch_mod.train_filters_iter(
+        chans, 4, 5, 40.0, 20.0, 8, 4, reuse_delta=3.0))
+    assert flts[1] is flts[0]
+
+
+def test_lookahead_schedules_match():
+    """lookahead=2 must yield the SAME filters in the same order as the
+    classic schedule (only submission timing differs)."""
+    from nle_tpu.models.batch import train_filters_iter
+
+    rng = np.random.default_rng(9)
+    chans = [rng.integers(0, 256, (30, 40)).astype(np.float32)
+             for _ in range(4)]
+    f1 = list(train_filters_iter(chans, 4, 5, 40.0, 20.0, 8, 4,
+                                 lookahead=1))
+    f2 = list(train_filters_iter(chans, 4, 5, 40.0, 20.0, 8, 4,
+                                 lookahead=2))
+    assert len(f1) == len(f2) == 4
+    for a, b in zip(f1, f2):
+        np.testing.assert_array_equal(np.asarray(a.eigvals),
+                                      np.asarray(b.eigvals))
+        np.testing.assert_array_equal(np.asarray(a.eigvecs),
+                                      np.asarray(b.eigvecs))
