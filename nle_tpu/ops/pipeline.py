@@ -870,6 +870,20 @@ def train_filter_stage2a_streaming(
     return rc, Sb, c
 
 
+# The streaming Vb build's Pallas output is 128-lane padded (512 B/pixel
+# whatever k is); past this bound the build runs in row slabs so the
+# padded intermediate never exceeds one slab (see _stage2b_streaming_body).
+# 3 GiB keeps every golden/bench shape (<= 8 MP trains to date) on the
+# whole-image call — bit-identical either way, but no reason to churn
+# compiled programs for sizes that already fit.
+_VB_BUILD_BYTES_LIMIT = int(os.environ.get("NLE_VB_BUILD_BYTES",
+                                           str(3 << 30)))
+# (slab, 128) f32 = 1 GiB per slab; env override is for tests (tiny
+# slabs force the chunked path on small images). Must be a TILE_Q (512)
+# multiple.
+_VB_SLAB_ROWS = int(os.environ.get("NLE_VB_SLAB_ROWS", str(2 << 20)))
+
+
 def _stage2b_streaming_body(
     y, rr, cc, stage1_packed, sw, pw, c, va_grt,
     *, p: int, mb: int, interpret: bool = False,
@@ -897,7 +911,28 @@ def _stage2b_streaming_body(
         cu = jnp.where(jnp.arange(p) >= m_dyn, c[:p], 0.0)[:, None] * Um
         V_head = (cu @ GrT).at[:mb].add(Va)
         B = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)     # (p, k)
-        if ptiled_fits(k):
+        q = fb.shape[0]
+        if ptiled_fits(k) and 512 * q > _VB_BUILD_BYTES_LIMIT:
+            # SLAB-CHUNKED Vb build for very large images: the Pallas
+            # builder materializes its output 128-LANE padded — 512 B per
+            # pixel regardless of k — so one whole-image call peaks at
+            # 8.2 GiB for 16 MP and RESOURCE_EXHAUSTs next to the (N, k)
+            # result (r5 capacity sweep; the prior 'streaming = O(N)'
+            # accounting missed this constant). Row slabs are bit-exact:
+            # each output row is an independent dot over the p samples,
+            # so tiling the rows changes no per-row arithmetic. Peak
+            # extra memory drops to one (slab, 128) buffer.
+            slab = _VB_SLAB_ROWS
+            qpad2 = -(-q // slab) * slab
+            fb_p = jnp.pad(fb, ((0, qpad2 - q), (0, 0)))
+
+            def one(fb_s):
+                return affinity_matmul_pallas(
+                    fa, fb_s, B, sw, pw, interpret=interpret)
+
+            Vb_raw = jax.lax.map(
+                one, fb_p.reshape(-1, slab, 3)).reshape(qpad2, -1)[:q]
+        elif ptiled_fits(k):
             Vb_raw = affinity_matmul_pallas(fa, fb, B, sw, pw,
                                             interpret=interpret)
         else:
@@ -1006,8 +1041,14 @@ def factored_apply(y, y_train, rr, cc, c, v_head, w, f_eigvals, sw, pw,
 
 
 @jax.jit
-def _scatter_rows(V_packed, perm):
-    return jnp.zeros_like(V_packed).at[perm].set(V_packed)
+def _scatter_rows(V_packed, inv_perm):
+    """Packed -> pixel-order rows as a GATHER by the inverse permutation:
+    out[i] = V_packed[inv_perm[i]]. The scatter form
+    (zeros.at[perm].set(V)) hit RESOURCE_EXHAUSTED through the axon
+    plugin at N = 1M rows (r5 capacity sweep); the gather lowers to a
+    plain dynamic-gather with no update-combiner buffers. Same result:
+    out[perm[j]] = V_packed[j]."""
+    return V_packed[inv_perm]
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -1288,7 +1329,9 @@ def train_filter(
         return V_packed, S, edit_out
     if not pixel_order:
         return V_packed, S
-    return _scatter_rows(V_packed, perm), S
+    inv_perm = np.empty_like(grid.perm)
+    inv_perm[grid.perm] = np.arange(grid.perm.shape[0])
+    return _scatter_rows(V_packed, jnp.asarray(inv_perm)), S
 
 
 @jax.jit

@@ -199,3 +199,28 @@ def test_training_is_deterministic(rng):
     V2, S2 = train_filter(chan, 5, 6, 200.0, 30.0, 8, 5)
     np.testing.assert_array_equal(np.asarray(V1), np.asarray(V2))
     np.testing.assert_array_equal(np.asarray(S1), np.asarray(S2))
+
+
+def test_streaming_vb_slab_chunked_matches(monkeypatch):
+    """The slab-chunked streaming Vb build (the >6 MP memory fix — the
+    Pallas builder's 128-lane-padded output is 512 B/pixel whatever k is)
+    must be BIT-identical to the whole-image call: each output row is an
+    independent dot over the p samples."""
+    import jax
+
+    import nle_tpu.ops.pipeline as pipe
+
+    rng = np.random.default_rng(11)
+    chan = rng.integers(0, 256, (40, 64)).astype(np.float32)
+    args = (chan, 4, 5, 40.0, 20.0, 6, 4)
+    V0, S0 = pipe.train_filter(*args, streaming=True)
+    V0, S0 = np.asarray(V0), np.asarray(S0)
+    monkeypatch.setattr(pipe, "_VB_BUILD_BYTES_LIMIT", 0)
+    monkeypatch.setattr(pipe, "_VB_SLAB_ROWS", 512)
+    jax.clear_caches()   # same shapes would reuse the unchunked trace
+    try:
+        V1, S1 = pipe.train_filter(*args, streaming=True)
+        np.testing.assert_array_equal(np.asarray(S1), S0)
+        np.testing.assert_array_equal(np.asarray(V1), V0)
+    finally:
+        jax.clear_caches()  # drop the tiny-slab traces for later tests
