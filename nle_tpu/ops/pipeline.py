@@ -913,26 +913,48 @@ def _stage2b_streaming_body(
         B = Uinv.astype(jnp.float32) @ GrT.astype(jnp.float32)     # (p, k)
         q = fb.shape[0]
         if ptiled_fits(k) and 512 * q > _VB_BUILD_BYTES_LIMIT:
-            # SLAB-CHUNKED Vb build for very large images: the Pallas
-            # builder materializes its output 128-LANE padded — 512 B per
-            # pixel regardless of k — so one whole-image call peaks at
-            # 8.2 GiB for 16 MP and RESOURCE_EXHAUSTs next to the (N, k)
-            # result (r5 capacity sweep; the prior 'streaming = O(N)'
-            # accounting missed this constant). Row slabs are bit-exact:
-            # each output row is an independent dot over the p samples,
-            # so tiling the rows changes no per-row arithmetic. Peak
-            # extra memory drops to one (slab, 128) buffer.
+            # SLAB-CHUNKED Vb build for very large images. Two memory
+            # facts drive this shape (r5 capacity sweep, 16 MP repro):
+            # (1) the Pallas builder materializes its output 128-LANE
+            # padded — 512 B/pixel regardless of k — so one whole-image
+            # call peaks at 8.2 GiB for 16 MP; (2) ANY (N, k<=128) f32
+            # array costs the same 512 B/pixel on TPU (T(8,128) minor-dim
+            # padding), so the final V itself is ~8 GiB at 16 MP and a
+            # second N-scale temp (a concat or trailing slice copy) OOMs
+            # the chip. Hence: ONE exactly-sized (n, k) output buffer,
+            # V_head + each slab written in place via dynamic-update-
+            # slice inside a fori_loop (XLA keeps the loop carry
+            # in-place), the ragged tail via one padded kernel call.
+            # Bit-exact vs the whole-image call: each output row is an
+            # independent dot over the p samples.
             slab = _VB_SLAB_ROWS
-            qpad2 = -(-q // slab) * slab
-            fb_p = jnp.pad(fb, ((0, qpad2 - q), (0, 0)))
+            n_full = q // slab
+            out = jnp.zeros((p + q, k), jnp.float32)
+            out = jax.lax.dynamic_update_slice(
+                out, V_head.astype(jnp.float32), (0, 0))
+            c_rest = c[p:]
 
-            def one(fb_s):
-                return affinity_matmul_pallas(
-                    fa, fb_s, B, sw, pw, interpret=interpret)
+            def body(i, acc):
+                fb_s = jax.lax.dynamic_slice(fb, (i * slab, 0), (slab, 3))
+                cs = jax.lax.dynamic_slice(c_rest, (i * slab,), (slab,))
+                vb = affinity_matmul_pallas(fa, fb_s, B, sw, pw,
+                                            interpret=interpret)
+                return jax.lax.dynamic_update_slice(
+                    acc, cs[:, None] * vb, (p + i * slab, 0))
 
-            Vb_raw = jax.lax.map(
-                one, fb_p.reshape(-1, slab, 3)).reshape(qpad2, -1)[:q]
-        elif ptiled_fits(k):
+            out = jax.lax.fori_loop(0, n_full, body, out)
+            rem = q - n_full * slab
+            if rem:
+                rpad = -(-rem // 512) * 512       # TILE_Q multiple
+                fb_t = jnp.pad(fb[n_full * slab:], ((0, rpad - rem),
+                                                    (0, 0)))
+                vb_t = affinity_matmul_pallas(fa, fb_t, B, sw, pw,
+                                              interpret=interpret)[:rem]
+                out = jax.lax.dynamic_update_slice(
+                    out, c_rest[n_full * slab:, None] * vb_t,
+                    (p + n_full * slab, 0))
+            return out.astype(va_grt.dtype)
+        if ptiled_fits(k):
             Vb_raw = affinity_matmul_pallas(fa, fb, B, sw, pw,
                                             interpret=interpret)
         else:

@@ -81,7 +81,10 @@ def main():
         streaming_auto = (phi_bytes > _STREAM_BYTES_LIMIT
                           or (phi_bytes > _CPHI_BYTES_LIMIT
                               and not scaled_fits_vmem(mpad_)))
-        v_bytes = 4 * n * k_eig
+        # Stored V on TPU is T(8,128)-tiled: the minor dim pads to 128
+        # lanes, so any k <= 128 costs 512 B/pixel (the layout tax the
+        # r5 16 MP OOM exposed — see _stage2b_streaming_body).
+        v_bytes = n * max(4 * k_eig, 512 if k_eig <= 128 else 0)
         factored = v_bytes + 12 * n > 12 * 2**30   # stored V + features
         path = ("factored" if factored
                 else "streaming" if streaming_auto else "dense-split")
