@@ -74,7 +74,8 @@ def main():
                 yield lab[..., 0].astype(np.float32)
 
         out = [None] * repeats
-        flt_ids = [None] * repeats
+        flts_seen = [None] * repeats   # hold refs: freed objects reuse
+        #                                id(), which undercounts
 
         def _edit(i, flt):
             f = NLEFilter(trained=flt)
@@ -85,14 +86,14 @@ def main():
             futs = []
             for i, flt in enumerate(train_filters_iter(
                     channels(), *params, reuse_delta=reuse)):
-                flt_ids[i] = id(flt)
+                flts_seen[i] = flt
                 futs.append(ex.submit(
                     lambda i=i, flt=flt: out.__setitem__(
                         i, _edit(i, flt))))
             for f in futs:
                 f.result()
         assert all(o is not None for o in out)
-        return out, len(set(flt_ids))
+        return out, len({id(f) for f in flts_seen})
 
     def psnr(a, b):
         mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
