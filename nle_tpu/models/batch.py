@@ -45,6 +45,7 @@ from nle_tpu.ops.pipeline import (
     pack_channel,
     pack_stage1,
     pack_stage2b_upload,
+    resolve_sb_tri,
     stage2_dense_small,
     stage2b_factor_scaled,
     submit_sb_fetch,
@@ -237,6 +238,7 @@ def train_filters_iter(
             sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter, eps=eps,
             small=stage2_dense_small(grid.n_pixels, mb),
             split=resolve_split_stage2(n_sinkhorn_iter),
+            sb_tri=resolve_sb_tri(),
         )
         return (rc_dev, sb_dev, phi_store, c_rest, Um64, lam64, m, mb,
                 y_cache, y)
@@ -257,7 +259,7 @@ def train_filters_iter(
                 y, rr, cc, jnp.asarray(pack_stage1(Um64, lam64, mb=mb)),
                 sw, pw, p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
                 eps=eps, small=stage2_dense_small(grid.n_pixels, mb),
-                split=False, int16=False,
+                split=False, int16=False, sb_tri=resolve_sb_tri(),
             )
             sb_resolve = submit_sb_fetch(sb_dev)
             rc_np = np.asarray(rc_dev, np.float64)

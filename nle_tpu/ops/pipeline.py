@@ -435,20 +435,113 @@ def check_carrier_guard(rc_np) -> bool:
     return True
 
 
+def _sb_tri_blocks(sb_dev):
+    """Lower-triangle 128-BLOCK pack of Sb: pad to (mbp, mbp) and stack
+    the nb(nb+1)/2 lower-triangle (128, 128) blocks (nb = mbp/128) into
+    one (ntri*128, 128) buffer — static slices + one concat, NO gather
+    (the elementwise tril gather the r2 attempt used cost ~62 ms of
+    device time at mb=640; these are ~15 aligned block copies, ~1 MB
+    total). Traced INSIDE stage 2a (sb_tri=True) so the pack rides the
+    same device program: a separate pack dispatch queues behind the next
+    frame's whole stage 2a in the pipelined stream and measured 25%
+    SLOWER end-to-end."""
+    mb = sb_dev.shape[0]
+    mbp = -(-mb // 128) * 128
+    sb_p = (jnp.pad(sb_dev, ((0, mbp - mb), (0, mbp - mb)))
+            if mbp != mb else sb_dev)
+    nb = mbp // 128
+    blocks = [sb_p[i * 128:(i + 1) * 128, j * 128:(j + 1) * 128]
+              for i in range(nb) for j in range(i + 1)]
+    return jnp.concatenate(blocks, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("mbp",))
+def _pack_sb_tri_blocks(sb_dev, *, mbp: int):
+    """Standalone jitted form of _sb_tri_blocks (tests; mbp must match
+    the rounded-up block extent)."""
+    assert mbp == -(-sb_dev.shape[0] // 128) * 128
+    return _sb_tri_blocks(sb_dev)
+
+
+def _unpack_sb_tri(packed_np: np.ndarray, mb: int) -> np.ndarray:
+    """Host reassembly of _pack_sb_tri_blocks: lower blocks placed, upper
+    entries mirrored from the lower triangle. Diagonal blocks keep their
+    own exact upper halves; off-diagonal upper entries become the lower
+    triangle's transpose — they differ from the true Sb by its measured
+    ulp-class asymmetry (~3e-9 relative; the Sb gram's accumulation is
+    not bitwise symmetric), which is why NLE_SB_TRI defaults off pending
+    a full golden revalidation (see resolve_sb_tri)."""
+    mbp = -(-mb // 128) * 128
+    nb = mbp // 128
+    out = np.empty((mbp, mbp), np.float64)
+    idx = 0
+    for i in range(nb):
+        for j in range(i + 1):
+            blk = packed_np[idx * 128:(idx + 1) * 128]
+            out[i * 128:(i + 1) * 128, j * 128:(j + 1) * 128] = blk
+            if j < i:
+                out[j * 128:(j + 1) * 128, i * 128:(i + 1) * 128] = blk.T
+            idx += 1
+    return out[:mb, :mb]
+
+
+def resolve_sb_tri() -> bool:
+    """Whether the Sb fetch ships only the lower-triangle 128-blocks
+    (-32-40% of the stream's largest down-link payload; the r5 timeline
+    pinned the stream residual to down-link bytes). DEFAULT ON — it is
+    EXACT for the mainline: the host chain consumes Sb through the
+    lower-triangle-only Cholesky congruence (ops/orthogonalize.py
+    _scaled_congruence) and the lower triangle ships bit-identically, so
+    the full chip golden sweep with the pack on reproduced every config's
+    PSNR to the last digit (GOLDEN_TPU r5) and the CPU end-to-end test
+    pins bitwise equality. Only the rare non-PSD Cholesky-failure
+    fallback (warn-and-continue territory) sees the mirrored upper
+    triangle (~3e-9 relative change — Sb's own measured asymmetry).
+    Same-session interleaved stream A/B on a quiet tunnel: on 3.012/
+    2.557/2.673/3.040 vs off 2.855/2.629/2.588/2.944 MP/s (+2.5% mean;
+    bytes-proportional, so loaded hours save more). The pack MUST ride
+    the stage-2a program (static sb_tri arg): a separate pack dispatch
+    queues behind the next frame's stage 2a and measured 25% SLOWER.
+    NLE_SB_TRI=off restores the full fetch; resolved per CALL (the jit
+    key carries the result)."""
+    raw = os.environ.get("NLE_SB_TRI", "on").lower()
+    if raw in ("off", "0", "false"):
+        return False
+    if raw in ("on", "1", "true"):
+        return True
+    raise ValueError(f"NLE_SB_TRI={raw!r}: expected on/off")
+
+
 def submit_sb_fetch(sb_dev):
     """Submit the Sb device->host fetch on the transfer pool. Returns a
     zero-arg callable producing the (mb, mb) f64 array — exactly the lazy
     `sb` shape host_orthogonalize accepts, so the fetch overlaps
     eig(Wa)+E on the host.
 
-    A lower-triangle-only pack (Sb is a gram, so mb(mb+1)/2 floats would
-    suffice) was measured and REVERTED: the packing gather costs ~62 ms of
-    DEVICE time at mb=640 (TPU gathers are scalar-slow; 205k elements)
-    against a ~0.8 MB fetch saving that was already hidden under the host
-    chain. In the pipelined serving stream the device is the bottleneck,
-    so the gather subtracted straight from throughput (same-session A/B:
-    stream 1.33-1.53 -> 1.26 MP/s with the gather; single-image unharmed
-    either way because the gather overlapped the idle host-chain window)."""
+    An elementwise lower-triangle pack (mb(mb+1)/2 floats) was measured
+    and REVERTED in r2: the packing gather costs ~62 ms of DEVICE time at
+    mb=640 (TPU gathers are scalar-slow; 205k elements) against a ~0.8 MB
+    fetch saving that was already hidden under the host chain. The r5
+    alternative — NLE_SB_TRI, off by default — packs lower-triangle
+    128-BLOCKS instead (static slices, no gather) for -32-40% of the
+    payload, at the cost of a symmetrized upper triangle (ulp-class
+    change to the chain input; see resolve_sb_tri)."""
+    if sb_dev.shape[1] == 128 and sb_dev.shape[0] % 128 == 0 \
+            and sb_dev.shape[0] != sb_dev.shape[1]:
+        # Tri-packed Sb (sb_tri=True threaded into stage 2a — the pack
+        # rides the SAME device program; a separate pack dispatch was
+        # measured 25% SLOWER in the stream because it queues behind the
+        # next frame's whole stage 2a). Recover mb from the block count.
+        ntri = sb_dev.shape[0] // 128
+        nb = int((np.sqrt(8 * ntri + 1) - 1) / 2)
+        assert nb * (nb + 1) // 2 == ntri, sb_dev.shape
+        fut = transfer_pool().submit(transfer_fetch, sb_dev)
+
+        def resolve_tri():
+            return _unpack_sb_tri(
+                np.asarray(fut.result(), np.float64), nb * 128)
+
+        return resolve_tri
     fut = transfer_pool().submit(transfer_fetch, sb_dev)
 
     def resolve():
@@ -540,14 +633,14 @@ def _unpack_stage1(stage1_packed, p):
 @functools.partial(
     jax.jit,
     static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "use_pallas",
-                     "interpret", "small", "split", "int16"),
+                     "interpret", "small", "split", "int16", "sb_tri"),
 )
 def train_filter_stage2a(
     y, rows, cols, stage1_packed, sw, pw,
     *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
     use_pallas: bool | None = None, interpret: bool = False,
     small: bool | None = None, split: bool | None = None,
-    int16: bool | None = None,
+    int16: bool | None = None, sb_tri: bool = False,
 ):
     """Device half 1 of the default (split) pipeline: Nystrom extension,
     Sinkhorn, balanced-block pieces, and the Sb reduction. Returns
@@ -642,6 +735,8 @@ def train_filter_stage2a(
                 Sb = ((cphiu.T @ cphiu)[:mb, :mb]
                       + scaled_gram_pallas(phib_pad, cb_rest,
                                            interpret=interpret)[:mb, :mb])
+                if sb_tri:
+                    Sb = _sb_tri_blocks(Sb)
                 return rc, Sb, (phib_pad,), cb_rest
 
         # interpret=True (CPU tests of the fused branch) keeps the affinity
@@ -682,11 +777,13 @@ def train_filter_stage2a(
                 # stage2_gram drops to the 3-pass split under
                 # NLE_STAGE2_DOTS=high (ops/precision.py).
                 cphi = c_rest * phi
-                Sb = stage2_gram(cphi)
+                Sb = stage2_gram(cphi)[:mb, :mb]
+                if sb_tri:
+                    Sb = _sb_tri_blocks(Sb)
                 rc = jnp.stack([r[:mb], c[:mb],
                                 jnp.full((mb,), -1.0, r.dtype)
                                 .at[0].set(crush.astype(r.dtype))])
-                return rc, Sb[:mb, :mb], cphi, c_rest
+                return rc, Sb, cphi, c_rest
             # Large images: fuse the scaling into the Sb/Vb kernels so phi is
             # the only N-scale buffer (doubles single-chip image capacity).
             Sb = scaled_gram_pallas(phi, c_rest, interpret=interpret)[:mb, :mb]
@@ -698,15 +795,19 @@ def train_filter_stage2a(
             # Same NLE_STAGE2_DOTS gate as the fused branch: this XLA
             # fallback is the CPU-visible twin, so the CPU golden sweep
             # certifies the identical 3-pass arithmetic.
-            Sb = stage2_gram(cphi)
+            Sb = stage2_gram(cphi)[:mb, :mb]
+            if sb_tri:
+                Sb = _sb_tri_blocks(Sb)
             rc = jnp.stack([r[:mb], c[:mb],
                             jnp.full((mb,), -1.0, r.dtype)])
-            return rc, Sb[:mb, :mb], cphi, c_rest
+            return rc, Sb, cphi, c_rest
         # Only (r_a, c_a, Sb) go to the host — Wa/RGa/Ga are recomputed
         # there in f64 from stage 1's Um/lam (smaller transfer, better
         # precision).
         rc = jnp.stack([r[:mb], c[:mb], jnp.full((mb,), -1.0, r.dtype)
                         .at[0].set(crush.astype(r.dtype))])
+        if sb_tri:
+            Sb = _sb_tri_blocks(Sb)
     return rc, Sb, phi, c_rest
 
 
@@ -813,12 +914,13 @@ def train_filter_stage2b_edit(factor, c_rest, va_grt, y, fs, *, n: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "interpret"),
+    static_argnames=("p", "mb", "n_sinkhorn_iter", "eps", "interpret",
+                     "sb_tri"),
 )
 def train_filter_stage2a_streaming(
     y, rr, cc, stage1_packed, sw, pw,
     *, p: int, mb: int, n_sinkhorn_iter: int, eps: float,
-    interpret: bool = False,
+    interpret: bool = False, sb_tri: bool = False,
 ):
     """phi-free device half 1 for images whose phi would not fit in HBM:
     Sinkhorn and the Sb gram recompute affinity tiles on the fly
@@ -866,6 +968,10 @@ def train_filter_stage2a_streaming(
             Sb_rest = streaming_scaled_gram_xla(
                 fa, fb_cols, c_row, Uinv.astype(jnp.float32), sw, pw)
         Sb = Sb_top + Sb_rest
+        if sb_tri:
+            # Same lower-triangle block pack as the dense stage 2a
+            # (submit_sb_fetch auto-detects the layout by shape).
+            Sb = _sb_tri_blocks(Sb)
         rc = jnp.stack([r[:mb], c[:mb]])
     return rc, Sb, c
 
@@ -1236,6 +1342,7 @@ def train_filter(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
                     eps=float(eps), interpret=interpret_stream,
+                    sb_tri=resolve_sb_tri(),
                 )
             else:
                 from nle_tpu.ops.pallas.sinkhorn_kernel import (
@@ -1248,6 +1355,7 @@ def train_filter(
                     use_pallas=use_pallas,
                     small=stage2_dense_small(grid.n_pixels, mb),
                     split=resolve_split_stage2(n_sinkhorn_iter),
+                    sb_tri=resolve_sb_tri(),
                 )
             # The MB-sized Sb fetch is submitted FIRST so it rides the
             # tunnel concurrently with the tiny blocking rc fetch (requests
@@ -1270,7 +1378,7 @@ def train_filter(
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,
                     eps=float(eps), use_pallas=use_pallas,
                     small=stage2_dense_small(grid.n_pixels, mb),
-                    split=False, int16=False,
+                    split=False, int16=False, sb_tri=resolve_sb_tri(),
                 )
                 sb_resolve = submit_sb_fetch(sb_dev)
                 rc_np = np.asarray(rc_dev, np.float64)

@@ -224,3 +224,71 @@ def test_streaming_vb_slab_chunked_matches(monkeypatch):
         np.testing.assert_array_equal(np.asarray(V1), V0)
     finally:
         jax.clear_caches()  # drop the tiny-slab traces for later tests
+
+
+def test_sb_tri_pack_roundtrip(monkeypatch):
+    """NLE_SB_TRI block pack: the reassembled matrix equals the exact Sb
+    on the lower triangle AND the diagonal blocks, and equals the lower's
+    transpose elsewhere; on a symmetric input the round trip is exact."""
+    import jax.numpy as jnp
+
+    import nle_tpu.ops.pipeline as pipe
+
+    rng = np.random.default_rng(12)
+    for mb in (600, 640, 128, 130):
+        A = rng.normal(size=(mb, mb))
+        A = A + 1e-9 * rng.normal(size=(mb, mb))   # slightly asymmetric
+        packed = np.asarray(pipe._pack_sb_tri_blocks(
+            jnp.asarray(A, jnp.float32), mbp=-(-mb // 128) * 128),
+            np.float64)
+        R = pipe._unpack_sb_tri(packed, mb)
+        A32 = A.astype(np.float32).astype(np.float64)
+        tril = np.tril_indices(mb)
+        np.testing.assert_array_equal(R[tril], A32[tril])
+        # Expected: diagonal blocks exact (upper halves included);
+        # strictly-upper BLOCKS are the mirrored lower blocks.
+        mbp = -(-mb // 128) * 128
+        nb = mbp // 128
+        Ap = np.zeros((mbp, mbp))
+        Ap[:mb, :mb] = A32
+        E = Ap.copy()
+        for bi in range(nb):
+            for bj in range(bi + 1, nb):
+                E[bi * 128:(bi + 1) * 128, bj * 128:(bj + 1) * 128] = \
+                    Ap[bj * 128:(bj + 1) * 128, bi * 128:(bi + 1) * 128].T
+        np.testing.assert_array_equal(R, E[:mb, :mb])
+        S = (A + A.T).astype(np.float32)
+        packed_s = np.asarray(pipe._pack_sb_tri_blocks(
+            jnp.asarray(S), mbp=-(-mb // 128) * 128), np.float64)
+        np.testing.assert_array_equal(
+            pipe._unpack_sb_tri(packed_s, mb), S.astype(np.float64))
+    # submit_sb_fetch auto-detects the packed layout by shape and
+    # reassembles; an exactly-symmetric input round-trips exactly.
+    sb = jnp.asarray((A + A.T).astype(np.float32))
+    packed_dev = pipe._pack_sb_tri_blocks(sb, mbp=-(-mb // 128) * 128)
+    got = pipe.submit_sb_fetch(packed_dev)()
+    np.testing.assert_array_equal(got[:mb, :mb],
+                                  np.asarray(sb, np.float64))
+    monkeypatch.setenv("NLE_SB_TRI", "bogus")
+    import pytest
+
+    with pytest.raises(ValueError, match="NLE_SB_TRI"):
+        pipe.resolve_sb_tri()
+
+
+def test_sb_tri_train_filter_end_to_end(monkeypatch):
+    """NLE_SB_TRI=on must leave train_filter's output BITWISE unchanged:
+    the host chain's Cholesky congruence reads only Sb's lower triangle
+    (ops/orthogonalize.py _scaled_congruence), which the block pack ships
+    exactly — proven on the real chip by a bit-identical full golden
+    sweep (GOLDEN_TPU r5)."""
+    from nle_tpu.ops.pipeline import train_filter
+
+    rng = np.random.default_rng(13)
+    chan = rng.integers(0, 256, (40, 64)).astype(np.float32)
+    monkeypatch.setenv("NLE_SB_TRI", "off")
+    V0, S0 = train_filter(chan, 4, 5, 40.0, 20.0, 8, 4)
+    monkeypatch.setenv("NLE_SB_TRI", "on")
+    V1, S1 = train_filter(chan, 4, 5, 40.0, 20.0, 8, 4)
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S0))
+    np.testing.assert_array_equal(np.asarray(V1), np.asarray(V0))
