@@ -372,3 +372,29 @@ def test_stage2_split_knob(monkeypatch):
     monkeypatch.setenv("NLE_SINKHORN_INT16", "on")
     with pytest.raises(ValueError):
         resolve_split_stage2(10)
+
+
+def test_affinity_direct_write_padded_rows_masked():
+    """out_rows direct-write contract (interpret mode): rows >= q and
+    columns >= m are EXACT zeros — pad features are zeros, which would
+    otherwise produce nonzero affinities against real samples — and the
+    true rows match the sliced form bit-for-bit."""
+    from nle_tpu.ops.pallas.affinity_kernel import (
+        TILE_Q,
+        affinity_matmul_pallas,
+    )
+
+    rng = np.random.default_rng(14)
+    p, q, m = 24, 700, 20
+    fa = jnp.asarray(rng.integers(0, 50, (p, 3)).astype(np.float32))
+    fb = jnp.asarray(rng.integers(0, 50, (q, 3)).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(p, m)).astype(np.float32))
+    out_rows = -(-q // TILE_Q) * TILE_Q + TILE_Q   # extra pad tile
+    full = np.asarray(affinity_matmul_pallas(
+        fa, fb, B, 2e-4, 1e-3, interpret=True, out_rows=out_rows))
+    assert full.shape[0] == out_rows and full.shape[1] % 128 == 0
+    assert (full[q:] == 0).all()           # masked tail rows
+    assert (full[:, m:] == 0).all()        # zero-pad columns
+    sliced = np.asarray(affinity_matmul_pallas(
+        fa, fb, B, 2e-4, 1e-3, interpret=True))
+    np.testing.assert_array_equal(full[:q, :m], sliced)
