@@ -469,8 +469,9 @@ def _unpack_sb_tri(packed_np: np.ndarray, mb: int) -> np.ndarray:
     own exact upper halves; off-diagonal upper entries become the lower
     triangle's transpose — they differ from the true Sb by its measured
     ulp-class asymmetry (~3e-9 relative; the Sb gram's accumulation is
-    not bitwise symmetric), which is why NLE_SB_TRI defaults off pending
-    a full golden revalidation (see resolve_sb_tri)."""
+    not bitwise symmetric). Harmless for the mainline, which reads the
+    lower triangle only — the full validation record is in
+    resolve_sb_tri."""
     mbp = -(-mb // 128) * 128
     nb = mbp // 128
     out = np.empty((mbp, mbp), np.float64)
@@ -522,10 +523,11 @@ def submit_sb_fetch(sb_dev):
     and REVERTED in r2: the packing gather costs ~62 ms of DEVICE time at
     mb=640 (TPU gathers are scalar-slow; 205k elements) against a ~0.8 MB
     fetch saving that was already hidden under the host chain. The r5
-    alternative — NLE_SB_TRI, off by default — packs lower-triangle
-    128-BLOCKS instead (static slices, no gather) for -32-40% of the
-    payload, at the cost of a symmetrized upper triangle (ulp-class
-    change to the chain input; see resolve_sb_tri)."""
+    default (NLE_SB_TRI=on) packs lower-triangle 128-BLOCKS instead —
+    static slices inside the stage-2a program, no gather — for -32-40%
+    of the payload, exact for the chain's lower-triangle consumption
+    (see resolve_sb_tri); this function auto-detects the packed layout
+    by shape and reassembles."""
     if sb_dev.shape[1] == 128 and sb_dev.shape[0] % 128 == 0 \
             and sb_dev.shape[0] != sb_dev.shape[1]:
         # Tri-packed Sb (sb_tri=True threaded into stage 2a — the pack
