@@ -84,12 +84,20 @@ class _CoalescingTrainer:
     1.64x on 1 MP streams). Mixed shapes/params fall back to per-request
     training within the same worker (device work stays serialized)."""
 
-    def __init__(self, device_lock: threading.Lock, metrics=None):
+    def __init__(self, device_lock: threading.Lock, metrics=None,
+                 reuse_delta: float | None = None):
         self._cv = threading.Condition()
         self._queue: list = []   # (key, L, params, result_box)
         self._worker: threading.Thread | None = None
         self._device_lock = device_lock
         self._metrics = metrics
+        # OPT-IN temporal warm-start (--reuse-delta, models/batch.py
+        # train_filters_iter): within a coalesced batch, frames whose
+        # mean |L delta| vs the batch's last trained frame is under the
+        # threshold reuse that filter — a burst of near-identical frames
+        # trains once (measured ~2x on the jittered-rock2 stream at
+        # D=20, worst 35.4 dB vs per-frame training). NOT a default.
+        self._reuse_delta = reuse_delta
 
     def train_enhancement(self, img_bgr, params):
         """Blocking: returns (TrainedFilter, lab) for img's Lab L channel
@@ -140,7 +148,8 @@ class _CoalescingTrainer:
                 # +8% end-to-end (deferred 1.61-1.63 -> 1.75-1.76 MP/s).
                 with self._device_lock:
                     for flt in train_filters_iter(
-                            [r[1] for r in group], *params):
+                            [r[1] for r in group], *params,
+                            reuse_delta=self._reuse_delta):
                         box = group[done][3]
                         box["filter"] = flt
                         box["event"].set()
@@ -669,13 +678,15 @@ class _Service:
 
     def __init__(self, max_filters: int = DEFAULT_MAX_FILTERS,
                  spill_dir: str | None = None,
-                 max_filter_bytes: int = DEFAULT_MAX_FILTER_BYTES):
+                 max_filter_bytes: int = DEFAULT_MAX_FILTER_BYTES,
+                 reuse_delta: float | None = None):
         self.lock = threading.Lock()
         self.store = _FilterStore(max_filters, spill_dir,
                                   device_lock=self.lock,
                                   max_bytes=max_filter_bytes)
         self.metrics = _Metrics()
-        self.trainer = _CoalescingTrainer(self.lock, self.metrics)
+        self.trainer = _CoalescingTrainer(self.lock, self.metrics,
+                                          reuse_delta=reuse_delta)
 
     @staticmethod
     def _params(q):
@@ -839,12 +850,16 @@ def make_server(port: int = 0, token: str | None = None,
                 spill_dir: str | None = None,
                 access_log=None,
                 max_filter_bytes: int = DEFAULT_MAX_FILTER_BYTES,
+                reuse_delta: float | None = None,
                 ) -> ThreadingHTTPServer:
     """access_log: None (off), or a write()-able stream that receives one
     JSON line per request: ts, client, method, path, status, ms, bytes_in,
-    bytes_out (structured access logging for the serving subsystem)."""
+    bytes_out (structured access logging for the serving subsystem).
+    reuse_delta: opt-in temporal warm-start for coalesced one-shot
+    /enhance bursts (see _CoalescingTrainer)."""
     svc = _Service(max_filters=max_filters, spill_dir=spill_dir,
-                   max_filter_bytes=max_filter_bytes)
+                   max_filter_bytes=max_filter_bytes,
+                   reuse_delta=reuse_delta)
     token = token if token is not None else os.environ.get("NLE_SERVE_TOKEN")
     log_lock = threading.Lock()
 
@@ -1160,9 +1175,20 @@ def main():
     spill_dir = None
     access_log_path = None
     warmup_specs = []
+    reuse_delta = None
     for a in sys.argv[1:]:
         if a.startswith("--port="):
             port = int(a.split("=", 1)[1])
+        elif a.startswith("--reuse-delta="):
+            try:
+                reuse_delta = float(a.split("=", 1)[1])
+                if reuse_delta < 0:
+                    raise ValueError
+            except ValueError:
+                print(f"nle-serve: --reuse-delta needs a nonnegative "
+                      f"float, got {a.split('=', 1)[1]!r}",
+                      file=sys.stderr)
+                sys.exit(2)
         elif a.startswith("--warmup="):
             try:
                 warmup_specs.append(parse_warmup_spec(a.split("=", 1)[1]))
@@ -1175,7 +1201,7 @@ def main():
                       "[--max-filter-bytes=N] [--spill-dir=DIR] "
                       "[--warmup=H,W,nr,nc[,iters[,k]] ...] "
                       "[--access-log=PATH|-] [--platform=NAME] "
-                      "[--selftest]", file=sys.stderr)
+                      "[--reuse-delta=D] [--selftest]", file=sys.stderr)
                 sys.exit(2)
         elif a == "--selftest":
             run_selftest = True
@@ -1200,8 +1226,8 @@ def main():
                   "usage: nle-serve [--port=N] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
                   "[--spill-dir=DIR] [--warmup=H,W,nr,nc[,iters[,k]] ...] "
-                  "[--access-log=PATH|-] [--platform=NAME] [--selftest]",
-                  file=sys.stderr)
+                  "[--access-log=PATH|-] [--platform=NAME] [--reuse-delta=D] "
+                  "[--selftest]", file=sys.stderr)
             sys.exit(2)
     if run_selftest:
         psnr = selftest(platform)
@@ -1229,7 +1255,8 @@ def main():
     srv = make_server(port, token=token, max_bytes=max_bytes,
                       max_filters=max_filters, spill_dir=spill_dir,
                       access_log=access_log,
-                      max_filter_bytes=max_filter_bytes)
+                      max_filter_bytes=max_filter_bytes,
+                      reuse_delta=reuse_delta)
     print(f"nle-tpu edit service on http://127.0.0.1:{port} "
           "(POST /enhance /denoise /train /apply, GET /healthz /metrics, "
           "DELETE /filters?name=)", flush=True)

@@ -443,7 +443,8 @@ def main() -> int:
                 return 2
             worker_args.append(a)
         elif a.startswith(("--platform=", "--token=", "--max-filters=",
-                           "--max-filter-bytes=", "--access-log=")):
+                           "--max-filter-bytes=", "--access-log=",
+                           "--reuse-delta=")):
             worker_args.append(a)
         else:
             print(f"nle-serve-pool: unknown argument {a!r}\n"
@@ -451,7 +452,7 @@ def main() -> int:
                   "[--spill-root=DIR] [--platform=NAME] [--token=SECRET] "
                   "[--max-bytes=N] [--max-filters=N] [--max-filter-bytes=N] "
                   "[--warmup=H,W,nr,nc[,iters[,k]]] "
-                  "[--ready-timeout=SECONDS] "
+                  "[--ready-timeout=SECONDS] [--reuse-delta=D] "
                   "[--worker-env=KEY=VALUE] [--access-log=PATH|-]",
                   file=sys.stderr)
             return 2

@@ -394,7 +394,7 @@ def test_coalescer_midbatch_failure_releases_trained(monkeypatch):
 
     calls = {"n": 0}
 
-    def fake_iter(channels, *params):
+    def fake_iter(channels, *params, **kwargs):
         calls["n"] += 1
         if calls["n"] == 1:
             yield "filter-0"
@@ -1198,3 +1198,54 @@ def test_run_warmup_traces_request_path():
         assert out.shape == img.shape
     finally:
         srv.shutdown()
+
+
+def test_coalescing_trainer_reuse_delta():
+    """--reuse-delta: near-identical frames in one coalesced batch share
+    a filter (the temporal warm-start, models/batch.py); distinct frames
+    keep their own."""
+    import threading
+
+    import numpy as np
+
+    from nle_tpu.serving.http import _CoalescingTrainer
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
+    near = base.copy()
+    near[..., :] = np.clip(near.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 256, (30, 40, 3)).astype(np.uint8)
+    params = (4, 5, 40.0, 20.0, 6, 4)
+
+    import time
+
+    def run_batch(pairs, trainer):
+        """Coalesce the given requests into one batch (pre-queued under
+        the held cv). Enqueue ORDER between threads is arbitrary — pick
+        pairs whose expectation is order-invariant."""
+        results = {}
+
+        def go(name, img):
+            results[name] = trainer.train_enhancement(img, params)[0]
+
+        threads = [threading.Thread(target=go, args=(n, im))
+                   for n, im in pairs]
+        with trainer._cv:
+            for t in threads:
+                t.start()
+            time.sleep(0.3)
+        for t in threads:
+            t.join(timeout=120)
+        return results
+
+    trainer = _CoalescingTrainer(threading.Lock(), reuse_delta=3.0)
+    # Near-identical pair: whichever trains first, the other reuses it.
+    r = run_batch([("base", base), ("near", near)], trainer)
+    assert r["near"] is r["base"]
+    # Distinct pair: each trains its own filter.
+    r = run_batch([("base", base), ("far", far)], trainer)
+    assert r["far"] is not r["base"]
+    # Default (no reuse_delta): even near-identical frames train apart.
+    trainer0 = _CoalescingTrainer(threading.Lock())
+    r = run_batch([("base", base), ("near", near)], trainer0)
+    assert r["near"] is not r["base"]
