@@ -254,6 +254,10 @@ def test_pool_forwards_warmup_to_workers(tmp_path):
     # argv_extra from the spawn command fails here, not just in prod.
     argv = w.build_argv()
     assert "--warmup=32,48,3,4,4,3" in argv
+    # Pass-through worker flags ride the same assembly (--reuse-delta
+    # is the serving-side temporal warm-start knob).
+    w2 = P._Worker(1, 41235, ["--reuse-delta=4", "--platform=cpu"], None)
+    assert "--reuse-delta=4" in w2.build_argv()
     assert "--port=41234" in argv
     assert f"--spill-dir={tmp_path / 'spill-0'}" in argv
     assert argv[1:3] == ["-m", "nle_tpu.serving.http"]
