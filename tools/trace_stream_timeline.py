@@ -228,7 +228,15 @@ def main():
             t2 = time.perf_counter()
             sp.add("sb.ready", t0, t1)
             sp.add("sb.link", t1, t2, out.nbytes)
-            return np.asarray(out, np.float64)
+            arr = np.asarray(out, np.float64)
+            if (arr.shape[1] == 128 and arr.shape[0] % 128 == 0
+                    and arr.shape[0] != arr.shape[1]):
+                # NLE_SB_TRI default: stage 2a ships the lower-triangle
+                # block pack — reassemble like pipe.submit_sb_fetch does.
+                ntri = arr.shape[0] // 128
+                nb = int((np.sqrt(8 * ntri + 1) - 1) / 2)
+                arr = pipe._unpack_sb_tri(arr, nb * 128)
+            return arr
 
         fut = pipe.transfer_pool().submit(timed)
         return fut.result
