@@ -83,7 +83,7 @@ def validate_flags(flags) -> str | None:
                 "(expected float32|float64)")
     if "reuse-delta" in flags:
         try:
-            if float(flags["reuse-delta"]) < 0:
+            if not float(flags["reuse-delta"]) >= 0:   # rejects NaN too
                 raise ValueError
         except ValueError:
             return (f"Flag --reuse-delta={flags['reuse-delta']} invalid "

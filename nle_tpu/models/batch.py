@@ -180,7 +180,8 @@ def train_filters_iter(
         seq_filter = None
         for chan in channels:
             if (reuse_delta is not None and seq_ref is not None
-                    and float(np.mean(np.abs(chan - seq_ref)))
+                    and float(np.mean(np.abs(chan.astype(np.float32, copy=False)
+                             - seq_ref.astype(np.float32, copy=False))))
                     <= reuse_delta):
                 yield seq_filter     # same warm-start rule as the
                 continue             # pipelined schedule below
@@ -310,7 +311,8 @@ def train_filters_iter(
 
     for chan in channels:
         if (reuse_delta is not None and ref_chan is not None
-                and float(np.mean(np.abs(chan - ref_chan)))
+                and float(np.mean(np.abs(chan.astype(np.float32, copy=False)
+                                         - ref_chan.astype(np.float32, copy=False))))
                 <= reuse_delta):
             pending.append(_REUSE)
         else:

@@ -514,11 +514,48 @@ def carrier_crush_frac(phi_pad: jax.Array, scale: jax.Array) -> jax.Array:
     Pure observation: reads phi beside the quantizer's own sweep (XLA
     fuses the reduces), never perturbs the carrier arithmetic. Zero pad
     rows/columns are exact zeros and drop out of both counts."""
-    nz = phi_pad != 0
-    crushed = jnp.sum(
-        jnp.logical_and(jnp.abs(phi_pad) < 0.5 * scale[None, :], nz),
+    num, den = crush_counts(phi_pad, scale)
+    return num / jnp.maximum(den, 1.0)
+
+
+def crush_counts(phi, scale):
+    """(crushed, nonzero) counts as f32 scalars — the ONE definition of
+    the crush predicate, shared by carrier_crush_frac and the sharded
+    trainer (which psums the two counts across pixel shards before
+    dividing, parallel/sharded.py _train_2a_q)."""
+    nz = phi != 0
+    num = jnp.sum(
+        jnp.logical_and(jnp.abs(phi) < 0.5 * scale[None, :], nz),
         dtype=jnp.float32)
-    return crushed / jnp.maximum(jnp.sum(nz, dtype=jnp.float32), 1.0)
+    return num, jnp.sum(nz, dtype=jnp.float32)
+
+
+def carrier_guard_decision(crush: float, log, context: str,
+                           action: str) -> bool:
+    """The ONE guard policy, shared by the single-chip and sharded hosts
+    (check_carrier_guard / _sharded_guard_trips): over the
+    NLE_INT16_GUARD threshold -> warn + True (caller retrains f32)
+    unless the operator EXPLICITLY forced the carrier on (warn + False —
+    override wins). `context` labels the statistic in the message (e.g.
+    "crush fraction" / "worst crush"); `action` describes the fallback
+    (e.g. "retraining" / "retraining this group")."""
+    threshold = resolve_int16_guard()
+    if threshold is None or not crush > threshold:
+        return False
+    if int16_forced_on():
+        log.warning(
+            "int16 Sinkhorn carrier out of its validity domain (%s %.3f "
+            "> %.3f) but NLE_SINKHORN_INT16 is forced on — continuing "
+            "with the quantized trajectory; expect degraded output on "
+            "this input.", context, crush, threshold)
+        return False
+    log.warning(
+        "int16 Sinkhorn carrier out of its validity domain (%s %.3f > "
+        "%.3f: this input packs more dynamic range into phi columns than "
+        "int16's ~4.5 decades): %s through the f32 carrier. "
+        "NLE_INT16_GUARD tunes/disables this guard.",
+        context, crush, threshold, action)
+    return True
 
 
 def resolve_int16_guard() -> float | None:

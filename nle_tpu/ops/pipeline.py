@@ -411,28 +411,10 @@ def check_carrier_guard(rc_np) -> bool:
     crush = float(rc_np[2, 0])
     if crush < 0.0:
         return False          # no carrier engaged
-    from nle_tpu.ops.pallas.sinkhorn_kernel import (
-        int16_forced_on,
-        resolve_int16_guard,
-    )
+    from nle_tpu.ops.pallas.sinkhorn_kernel import carrier_guard_decision
 
-    threshold = resolve_int16_guard()
-    if threshold is None or crush <= threshold:
-        return False
-    if int16_forced_on():
-        logger.warning(
-            "int16 Sinkhorn carrier out of its validity domain (crush "
-            "fraction %.3f > %.3f) but NLE_SINKHORN_INT16 is forced on — "
-            "continuing with the quantized trajectory; expect degraded "
-            "output on this input.", crush, threshold)
-        return False
-    logger.warning(
-        "int16 Sinkhorn carrier out of its validity domain (crush "
-        "fraction %.3f > %.3f: this input packs more dynamic range into "
-        "phi columns than int16's ~4.5 decades): retraining through the "
-        "f32 carrier. NLE_INT16_GUARD tunes/disables this guard.",
-        crush, threshold)
-    return True
+    return carrier_guard_decision(crush, logger, "crush fraction",
+                                  "retraining")
 
 
 def _sb_tri_blocks(sb_dev):
@@ -528,7 +510,8 @@ def submit_sb_fetch(sb_dev):
     of the payload, exact for the chain's lower-triangle consumption
     (see resolve_sb_tri); this function auto-detects the packed layout
     by shape and reassembles."""
-    if sb_dev.shape[1] == 128 and sb_dev.shape[0] % 128 == 0 \
+    if sb_dev.ndim == 2 and sb_dev.shape[1] == 128 \
+            and sb_dev.shape[0] % 128 == 0 \
             and sb_dev.shape[0] != sb_dev.shape[1]:
         # Tri-packed Sb (sb_tri=True threaded into stage 2a — the pack
         # rides the SAME device program; a separate pack dispatch was
@@ -990,6 +973,10 @@ _VB_BUILD_BYTES_LIMIT = int(os.environ.get("NLE_VB_BUILD_BYTES",
 # slabs force the chunked path on small images). Must be a TILE_Q (512)
 # multiple.
 _VB_SLAB_ROWS = int(os.environ.get("NLE_VB_SLAB_ROWS", str(2 << 20)))
+if _VB_SLAB_ROWS <= 0 or _VB_SLAB_ROWS % 512:
+    raise ValueError(
+        f"NLE_VB_SLAB_ROWS={_VB_SLAB_ROWS}: must be a positive multiple "
+        "of 512 (the affinity builder's TILE_Q row alignment)")
 
 
 def _stage2b_streaming_body(
@@ -1375,6 +1362,12 @@ def train_filter(
                 # <= 0.09 vs the 0.2 default threshold), so the doubled
                 # stage-2a cost applies only to inputs the carrier would
                 # silently destroy.
+                # The first attempt's in-flight Sb fetch is simply
+                # abandoned (reviewed r5): cancelling it would need a
+                # future handle through submit_sb_fetch, and deferring
+                # the FIRST submit until after this check would cost the
+                # COMMON path its measured Sb/rc request overlap
+                # (~30 ms/frame) to optimize a rare fallback.
                 rc_dev, sb_dev, phi_store, c_rest = train_filter_stage2a(
                     y, rr, cc, stage1_dev, sw, pw,
                     p=p, mb=mb, n_sinkhorn_iter=n_sinkhorn_iter,

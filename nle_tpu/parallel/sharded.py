@@ -116,38 +116,22 @@ def _sharded_int16(on_tpu: bool) -> bool:
 def _sharded_guard_trips(crush) -> bool:
     """Host side of the sharded int16-carrier validity guard: fetch the
     per-element global crush fractions (a (B,) psum'd statistic from
-    _train_2a_q) and decide whether the group retrains through the f32
-    carrier. Same policy as the single-chip check_carrier_guard
-    (ops/pipeline.py): threshold from NLE_INT16_GUARD (default 0.2, "off"
-    disables); an EXPLICIT NLE_SINKHORN_INT16=on wins with a warning."""
-    import logging
-
+    _train_2a_q) and hand the worst to the ONE shared policy
+    (sinkhorn_kernel.carrier_guard_decision — same threshold resolve,
+    forced-on override, and warn-and-continue semantics as the
+    single-chip check_carrier_guard). Skips the tiny fetch entirely when
+    the guard is off."""
     from nle_tpu.ops.pallas.sinkhorn_kernel import (
-        int16_forced_on,
+        carrier_guard_decision,
         resolve_int16_guard,
     )
+    from nle_tpu.utils.logging import logger
 
-    threshold = resolve_int16_guard()
-    if threshold is None:
+    if resolve_int16_guard() is None:
         return False
-    crush_np = np.asarray(fetch(crush))
-    worst = float(crush_np.max())
-    if worst <= threshold:
-        return False
-    logger = logging.getLogger("nle_tpu")
-    if int16_forced_on():
-        logger.warning(
-            "sharded int16 Sinkhorn carrier out of its validity domain "
-            "(worst crush %.3f > %.3f) but NLE_SINKHORN_INT16 is forced "
-            "on — continuing with the quantized trajectory.",
-            worst, threshold)
-        return False
-    logger.warning(
-        "sharded int16 Sinkhorn carrier out of its validity domain "
-        "(worst crush %.3f > %.3f): retraining this group through the "
-        "f32 carrier. NLE_INT16_GUARD tunes/disables this guard.",
-        worst, threshold)
-    return True
+    worst = float(np.asarray(fetch(crush)).max())
+    return carrier_guard_decision(worst, logger, "worst crush",
+                                  "retraining this group")
 
 
 def _sharded_2a_step_q(mesh: Mesh, p: int, mb: int, n_iter: int, eps: float,
@@ -468,14 +452,11 @@ def _train_2a_q(Um, lam_m, Uinv, m_dyn, fa, fb_local, mask_local, *, p, mb,
     # carrier validity statistic (same semantics as the single-chip
     # carrier_crush_frac; shard-LOCAL scales, so the count uses each
     # shard's own scale exactly as its carrier does).
-    phi_c, scale_c = crush_local
-    nz = phi_c != 0
-    crush_num = jax.lax.psum(
-        jnp.sum(jnp.logical_and(
-            jnp.abs(phi_c) < 0.5 * scale_c[None, :], nz),
-            dtype=jnp.float32), "pixel")
-    crush_den = jax.lax.psum(jnp.sum(nz, dtype=jnp.float32), "pixel")
-    crush = crush_num / jnp.maximum(crush_den, 1.0)
+    from nle_tpu.ops.pallas.sinkhorn_kernel import crush_counts
+
+    num_l, den_l = crush_counts(*crush_local)
+    crush = (jax.lax.psum(num_l, "pixel")
+             / jnp.maximum(jax.lax.psum(den_l, "pixel"), 1.0))
 
     def pad_m(v):
         return jnp.pad(v, (0, mpad - mb)) if mpad != mb else v

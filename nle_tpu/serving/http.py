@@ -1182,7 +1182,7 @@ def main():
         elif a.startswith("--reuse-delta="):
             try:
                 reuse_delta = float(a.split("=", 1)[1])
-                if reuse_delta < 0:
+                if not reuse_delta >= 0:   # rejects NaN too
                     raise ValueError
             except ValueError:
                 print(f"nle-serve: --reuse-delta needs a nonnegative "

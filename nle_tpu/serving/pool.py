@@ -172,11 +172,17 @@ class WorkerPool:
         self._monitor: threading.Thread | None = None
         n_specs = sum(1 for a in worker_args if a.startswith("--warmup="))
         self._warmup = n_specs > 0
-        # Per-spec-scaled deadlines, overridable by --ready-timeout.
+        # Per-spec-scaled deadlines, overridable by --ready-timeout. The
+        # override applies to EVERY readiness wait — plain (non-warmup)
+        # boots and supervisor restarts included (review r5: it was
+        # silently ignored for those while the usage string advertised it
+        # unconditionally).
         self._cold_deadline = (ready_timeout if ready_timeout is not None
                                else 1800.0 * max(1, n_specs))
         self._warm_deadline = (ready_timeout if ready_timeout is not None
                                else 600.0 * max(1, n_specs))
+        self._plain_deadline = (ready_timeout if ready_timeout is not None
+                                else 120.0)
 
     def start(self) -> None:
         if self._warmup:
@@ -195,7 +201,7 @@ class WorkerPool:
             for w in self.workers:
                 w.spawn()
             for w in self.workers:
-                w.wait_ready()
+                w.wait_ready(timeout=self._plain_deadline)
         self._monitor = threading.Thread(target=self._supervise,
                                          daemon=True)
         self._monitor.start()
@@ -217,7 +223,8 @@ class WorkerPool:
                         # compiles come from the persistent cache but can
                         # still exceed the plain 120 s deadline.
                         w.wait_ready(timeout=self._warm_deadline
-                                     if self._warmup else 120.0)
+                                     if self._warmup
+                                     else self._plain_deadline)
                     except RuntimeError:
                         pass   # retried on the next sweep
             self._stop.wait(1.0)
@@ -401,7 +408,7 @@ def main() -> int:
             # deadlines (default scales 1800 s / 600 s per --warmup spec).
             try:
                 ready_timeout = float(a.split("=", 1)[1])
-                if ready_timeout <= 0:
+                if not ready_timeout > 0:   # rejects NaN too
                     raise ValueError
             except ValueError:
                 print(f"nle-serve-pool: --ready-timeout needs a positive "

@@ -292,3 +292,31 @@ def test_sb_tri_train_filter_end_to_end(monkeypatch):
     V1, S1 = train_filter(chan, 4, 5, 40.0, 20.0, 8, 4)
     np.testing.assert_array_equal(np.asarray(S1), np.asarray(S0))
     np.testing.assert_array_equal(np.asarray(V1), np.asarray(V0))
+
+
+def test_sb_fetch_3d_group_not_misdetected():
+    """The tri-pack auto-detection requires ndim == 2: the sharded
+    trainer's (B, mb, mb) group Sb must pass through as a FULL fetch even
+    when B is a multiple of 128 and mb == 128 (review r5 finding)."""
+    import jax.numpy as jnp
+
+    import nle_tpu.ops.pipeline as pipe
+
+    rng = np.random.default_rng(15)
+    group = rng.normal(size=(256, 128, 128)).astype(np.float32)
+    got = pipe.submit_sb_fetch(jnp.asarray(group))()
+    np.testing.assert_array_equal(got, group.astype(np.float64))
+
+
+def test_reuse_delta_uint8_channels():
+    """uint8 channels must not wrap around in the reuse comparison: a
+    ±1-jitter u8 pair is 'near' (mean |delta| ~1), not ~128 (review r5
+    finding — unsigned subtraction is modular)."""
+    from nle_tpu.models.batch import train_filters_iter
+
+    rng = np.random.default_rng(16)
+    base = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    near = np.clip(base.astype(np.int16) - 1, 0, 255).astype(np.uint8)
+    flts = list(train_filters_iter([base, near], 4, 5, 40.0, 20.0, 8, 4,
+                                   reuse_delta=3.0))
+    assert flts[1] is flts[0]

@@ -282,6 +282,11 @@ def test_pool_ready_deadlines_scale_with_warmup_specs():
     forced = P.WorkerPool(1, ["--warmup=32,48,3,4", "--platform=cpu"],
                           ready_timeout=42.0)
     assert forced._cold_deadline == 42.0 and forced._warm_deadline == 42.0
+    # The override applies to PLAIN (non-warmup) boots/restarts too
+    # (review r5: it was silently ignored there).
+    plain_forced = P.WorkerPool(1, ["--platform=cpu"], ready_timeout=42.0)
+    assert plain_forced._plain_deadline == 42.0
+    assert P.WorkerPool(1, ["--platform=cpu"])._plain_deadline == 120.0
 
 
 def test_pool_rejects_bad_ready_timeout():
